@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.fixtures.SeqGen
+import graft.ops._
+import graft.planner.GridConfig
+import graft.state.Checkpoint
+import graft.table.{SeqIO, SeqTable}
+
+/** The engine's spark-submit entry point — one invocation = one maintenance cycle (SURVEY.md §3:
+  * "Our lifecycle replacement"). Subcommands:
+  *
+  *   demo <dir> [rows] [files]   create a fragmented synthetic table, run a full cycle, report
+  *   cycle <tableDir>            run one maintenance cycle on an existing table (resumes if a
+  *                               previous cycle crashed mid-way)
+  *   merge <tableDir> <changes>  MERGE INTO from a parquet changes table
+  */
+object Maintain {
+
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-maintain")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = session(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = GridConfig()
+    val opts = MaintenanceOptions()
+
+    args.toList match {
+      case "demo" :: dir :: rest =>
+        val rows = rest.headOption.map(_.toLong).getOrElse(50000L)
+        val files = rest.drop(1).headOption.map(_.toInt).getOrElse(200)
+        val opts = MaintenanceOptions(targetRecordsPerFile = math.max(1000L, rows / 25))
+        println(s"[demo] creating fragmented table: $rows rows in ~$files files at $dir")
+        val (table, metas) = SeqGen.fragmentedTable(spark, dir, rows, files)
+        println(s"[demo] v${table.currentVersion()} live-files=${metas.size}")
+
+        val (_, before) = SeqIO.scanPruned(spark, table, Some("src0"), Some(256), Some(1024))
+        println(s"[demo] pruned scan BEFORE: ${before.filesScanned}/${before.totalFiles} files")
+
+        // run cycles until the planner finds nothing above threshold (converged layout)
+        val ckpt = new Checkpoint(s"$dir/state")
+        var go = true
+        while (go) {
+          val report = MaintenanceRunner.runCycle(spark, table, cfg, opts.copy(k = 16), ckpt)
+          println(s"[demo] cycle: $report")
+          go = report.tasksExecuted > 0
+        }
+
+        val (df, after) = SeqIO.scanPruned(spark, table, Some("src0"), Some(256), Some(1024))
+        println(s"[demo] pruned scan AFTER compaction: ${after.filesScanned}/${after.totalFiles} files, rows=${df.count()}")
+
+        val changes = SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50)
+        val t0 = System.nanoTime()
+        val mr = MergeInto.merge(spark, table, changes, cfg, opts.targetRecordsPerFile)
+        println(f"[demo] merge: rewrote ${mr.filesRewritten} files in ${(System.nanoTime() - t0) / 1e9}%.1fs " +
+          s"attempts=${mr.attempts} → v${mr.snapshot.version}")
+
+        go = true
+        while (go) { // post-merge maintenance
+          val report = MaintenanceRunner.runCycle(spark, table, cfg, opts.copy(k = 16), ckpt)
+          println(s"[demo] cycle: $report")
+          go = report.tasksExecuted > 0
+        }
+        val (df2, fin) = SeqIO.scanPruned(spark, table, Some("src0"), Some(256), Some(1024))
+        println(s"[demo] pruned scan FINAL: ${fin.filesScanned}/${fin.totalFiles} files, rows=${df2.count()}")
+        println(s"[demo] final row count=${SeqIO.read(spark, table).count()} " +
+          s"live-files=${table.liveFiles().size} version=${table.currentVersion()}")
+
+      case "cycle" :: dir :: _ =>
+        val table = SeqTable.load(dir)
+        val report = MaintenanceRunner.runCycle(spark, table, cfg, opts, new Checkpoint(s"$dir/state"))
+        println(s"[cycle] $report")
+
+      case "merge" :: dir :: changesPath :: _ =>
+        val table = SeqTable.load(dir)
+        val changes = spark.read.parquet(changesPath)
+        val mr = MergeInto.merge(spark, table, changes, cfg, opts.targetRecordsPerFile)
+        println(s"[merge] files-rewritten=${mr.filesRewritten} attempts=${mr.attempts} → v${mr.snapshot.version}")
+
+      case other =>
+        System.err.println(s"usage: demo <dir> [rows] [files] | cycle <tableDir> | merge <tableDir> <changesParquet>; got: $other")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

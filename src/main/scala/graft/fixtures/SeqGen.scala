@@ -1,0 +1,68 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.table.{FileMeta, SeqIO, SeqTable}
+
+/** Deterministic synthetic tokenized-sequence tables (FIXTURES.md §1) — generated entirely with
+  * codegen'd column expressions off `spark.range`, so fixture generation itself scales: no driver
+  * loops, no RNG state, reproducible at any parallelism (row i's content is a pure function of i).
+  *
+  *  - n_tok: 70% uniform [16, 2048], 30% power-law tail to 8192 (non-uniform bin occupancy)
+  *  - source: skewed over nSources values (Zipf-ish; src0 dominates) — exercises salting
+  *  - tokens: per-row hash stream, values in [0, 50304)
+  */
+object SeqGen {
+
+  def table(spark: SparkSession, n: Long, nSources: Int = 20, parts: Int = 32,
+      tokensScale: Double = 1.0): DataFrame = {
+    val id = col("id")
+    // independent per-row uniforms in [0,1) from distinct hash channels
+    def u(salt: Int) = (pmod(xxhash64(id, lit(salt)), lit(1000000L)).cast("double") / 1000000.0)
+    val nTok = when(u(1) < 0.7, (lit(16) + u(2) * 2032).cast("int"))
+      .otherwise((lit(16) + pow(u(2), 4.0) * 8176).cast("int"))
+    val srcIdx = least((pow(u(3), 3.0) * nSources).cast("int"), lit(nSources - 1))
+    spark.range(0, n, 1, parts)
+      .select(
+        format_string("doc-%010d", id).as("doc_id"),
+        transform(
+          sequence(lit(1), (nTok * tokensScale).cast("int")),
+          i => pmod(hash(id, i), lit(50304))).as("tokens"),
+        nTok.as("n_tok"),
+        concat(lit("src"), srcIdx).as("source"))
+  }
+
+  /** T-frag: write `n` rows as ~`nFiles` deliberately tiny files with sources and lengths
+    * interleaved across every file (hash-scattered) — maximal fragmentation, the compaction
+    * planner's worst case.
+    */
+  def fragmentedTable(spark: SparkSession, dir: String, n: Long, nFiles: Int,
+      nSources: Int = 20): (SeqTable, Seq[FileMeta]) = {
+    val t = SeqTable.create(dir)
+    val df = table(spark, n, nSources).repartition(nFiles, col("doc_id"))
+    val metas = SeqIO.writeFiles(spark, t, df)
+    t.commit("append", metas, Set.empty)
+    (t, metas)
+  }
+
+  /** T-merge: a change set against a table of `n` rows — half updates (existing ids, new tokens),
+    * half inserts (new ids), plus `deletes` deletions of existing ids.
+    */
+  def changeSet(spark: SparkSession, n: Long, changes: Long, deletes: Long = 0): DataFrame = {
+    val upd = table(spark, changes / 2, parts = 8)
+      .withColumn("doc_id", format_string("doc-%010d", (xxhash64(col("doc_id")) % n + n) % n))
+      .withColumn("tokens", transform(col("tokens"), t => t + 1)) // visibly-new payload
+      .withColumn("_op", lit("U"))
+      .dropDuplicates("doc_id")
+    val ins = table(spark, changes - changes / 2, parts = 8)
+      .withColumn("doc_id", format_string("new-%010d", xxhash64(col("doc_id")).bitwiseAND(lit(Long.MaxValue))))
+      .withColumn("_op", lit("U"))
+      .dropDuplicates("doc_id")
+    val del = table(spark, deletes, parts = 4)
+      .withColumn("doc_id", format_string("doc-%010d", (xxhash64(col("doc_id"), lit(7)) % n + n) % n))
+      .withColumn("_op", lit("D"))
+      .dropDuplicates("doc_id")
+    upd.unionByName(ins).unionByName(if (deletes > 0) del else del.limit(0))
+      .dropDuplicates("doc_id")
+  }
+}

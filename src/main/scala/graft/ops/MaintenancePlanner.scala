@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.planner._
+import graft.table.FileMeta
+
+/** A planned maintenance task: one winning grid region and the live files it claims. */
+final case class PlannedTask(taskId: Int, region: Region, filePaths: Seq[String], score: Double)
+
+/** The BRS-planner: positions every live data file on the (sourceBucket × ntokBin) grid, scores
+  * cells by fragmentation, and finds the top-k non-overlapping w×w regions with the reference's
+  * partition-parallel protocol — border replication (`Generic.poiToKeyValue`,
+  * `/root/reference/src/main/scala/SDL/Generic.scala:28-37`) + per-node kernel after `groupByKey`
+  * (`/root/reference/src/main/scala/SDL/distrib/OnestepAlgoReduce.scala:23-48`) + completeness-
+  * thresholded merge — re-expressed as typed Dataset ops.
+  *
+  * Scale note: the planner's input is MANIFEST METADATA (one row per data file), not data rows.
+  * At 10^12 sequences / ~10^7 files the cell dataset is ~10^7 rows — a trivially distributed
+  * aggregation — while the data itself is never touched until a task executes. This inversion
+  * (planner on metadata, executor on data) is what makes the design hold at 100 TB.
+  */
+object MaintenancePlanner {
+
+  /** Fragmentation score of a file: how much would rewriting it help?
+    *  - small-file penalty: linear in how far below the target record count it is
+    *  - clustering penalty: +0.5 when the file spans >1 grid cell (its min/max stats are loose →
+    *    it defeats manifest pruning), +1 when its source set overflowed (unknown layout)
+    */
+  def fragScore(f: FileMeta, cfg: GridConfig, targetRecords: Long): Double = {
+    val small = math.max(0.0, 1.0 - f.records.toDouble / targetRecords)
+    val span = cellsOf(f, cfg).size
+    val spanPenalty = if (f.sources.isEmpty) 1.0 else if (span > 1) 0.5 else 0.0
+    small + spanPenalty
+  }
+
+  /** Grid cells covered by a file, from its manifest stats. Files with overflowed source stats
+    * cover the full bucket axis (they are maximally unclustered).
+    */
+  def cellsOf(f: FileMeta, cfg: GridConfig): Seq[(Int, Int)] = {
+    val xs =
+      if (f.sources.nonEmpty) f.sources.map(cfg.sourceBucket).distinct
+      else 0 until cfg.sourceBuckets
+    val ys = cfg.ntokBin(f.minNtok) to cfg.ntokBin(f.maxNtok)
+    for { x <- xs; y <- ys } yield (x, y)
+  }
+
+  /** A file is a POINT on the grid — its centroid cell — carrying its full fragScore, exactly the
+    * reference's POI model (a point with a weight, `/root/reference/src/main/scala/SDL/POI.java:9-35`).
+    * Smearing the weight across every spanned cell would dilute fully-unclustered files (thousands
+    * of cells) below any threshold; concentrating it keeps the region score monotone additive
+    * (`ScoreFunctionTotalScore.java:10-16` precondition) AND proportional to "files fixed by
+    * rewriting this region".
+    */
+  def centroidCell(f: FileMeta, cfg: GridConfig): (Int, Int) = {
+    val x =
+      if (f.sources.nonEmpty) cfg.sourceBucket(f.sources(f.sources.size / 2))
+      else math.floorMod(f.path.hashCode, cfg.sourceBuckets) // unknown layout: deterministic scatter
+    val y = cfg.ntokBin((f.minNtok.toLong + f.maxNtok).toInt / 2)
+    (x, y)
+  }
+
+  def fileCells(f: FileMeta, cfg: GridConfig, targetRecords: Long): Seq[Cell] = {
+    val s = fragScore(f, cfg, targetRecords)
+    if (s <= 0) Nil
+    else {
+      val (x, y) = centroidCell(f, cfg)
+      Seq(Cell(x, y, s))
+    }
+  }
+
+  /** Distributed exact top-k regions over the file-metadata grid. */
+  def topRegions(
+      spark: SparkSession,
+      metas: Seq[FileMeta],
+      cfg: GridConfig,
+      k: Int,
+      targetRecords: Long,
+      overlapAllowed: Boolean = false): Vector[Region] = {
+    import spark.implicits._
+    if (metas.isEmpty) return Vector.empty
+
+    // file → weighted cells → border-replicated (node, cell) pairs; cached across K′ rounds
+    val cells: Dataset[(Int, Cell)] = spark.createDataset(metas)
+      .flatMap(f => fileCells(f, cfg, targetRecords))
+      .flatMap(c => cfg.nodesForCell(c.x, c.y).map(n => (n, c)))
+      .persist()
+    try {
+      def runRound(kPrime: Int): Seq[NodeResult] =
+        cells.groupByKey(_._1)
+          .mapGroups { (node, it) =>
+            val (ax0, ax1, ay0, ay1) = cfg.anchorBounds(node)
+            RegionKernel.localTopK(it.map(_._2).toSeq, ax0, ax1, ay0, ay1, cfg.regionW, kPrime)
+          }
+          .collect().toSeq
+      DistributedTopK.solve(runRound, k, overlapAllowed)
+    } finally cells.unpersist()
+  }
+
+  /** Full plan: top regions → file-disjoint tasks above a benefit threshold. Files are claimed by
+    * centroid cell, and winning regions are pairwise non-overlapping (the planner's distinct mode),
+    * so no file is ever claimed twice — the file-level analog of the reference's safe/unsafe
+    * disjointness protocol (`/root/reference/src/main/scala/SDL/DependencyGraph.scala:36-142`).
+    */
+  def planCompaction(
+      spark: SparkSession,
+      metas: Seq[FileMeta],
+      cfg: GridConfig,
+      k: Int,
+      threshold: Double,
+      targetRecords: Long): Seq[PlannedTask] = {
+    val winners = topRegions(spark, metas, cfg, k, targetRecords).filter(_.score >= threshold)
+    val withCentroid = metas.map(f => (f, centroidCell(f, cfg)))
+    val claimed = scala.collection.mutable.HashSet.empty[String]
+    winners.zipWithIndex.flatMap { case (r, i) =>
+      val fs = withCentroid.collect {
+        case (f, (x, y)) if x >= r.x && x <= r.x + r.w - 1 && y >= r.y && y <= r.y + r.w - 1 &&
+          !claimed.contains(f.path) => f
+      }
+      // usefulness gate (termination): execute only when the rewrite can actually improve layout —
+      // fewer output files than inputs (merge win), or a spanning file big enough to split into ≥2
+      // tighter files. Without this the planner re-flags converged-but-small files forever.
+      val total = fs.map(_.records).sum
+      val outFiles = math.max(1L, (total + targetRecords - 1) / targetRecords)
+      // files the engine itself wrote curve-sorted are as tight as their size allows — only a
+      // file-count win can improve them; external (unclustered) spanning files also justify a
+      // splitting re-cluster when there is enough data for ≥2 output files
+      val useful = outFiles < fs.size ||
+        (fs.exists(f => !f.clustered && cellsOf(f, cfg).size > 1) && total >= 2 * targetRecords)
+      if (useful) {
+        fs.foreach(f => claimed += f.path)
+        Some(PlannedTask(i, r, fs.map(_.path), r.score))
+      } else None
+    }
+  }
+}

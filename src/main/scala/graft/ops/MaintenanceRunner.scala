@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import graft.planner.{GridConfig, Region}
+import graft.state.{Checkpoint, StateEvent}
+import graft.table.SeqTable
+
+final case class MaintenanceOptions(
+    k: Int = 8, // max tasks per cycle
+    threshold: Double = 1.0, // min region benefit score to act (north_star: act only above threshold)
+    targetRecordsPerFile: Long = 20000L,
+    hilbert: Boolean = false,
+    expireKeepLast: Int = 0, // 0 = don't expire
+    rewriteManifests: Boolean = false)
+
+final case class CycleReport(
+    cycle: Long,
+    tasksPlanned: Int,
+    tasksExecuted: Int,
+    tasksSkippedOnResume: Int,
+    filesBefore: Int,
+    filesAfter: Int,
+    recordsRewritten: Long,
+    finalVersion: Long)
+
+/** One full resumable maintenance cycle: plan (BRS grid top-k) → execute tasks (compact+re-cluster
+  * commits) → housekeeping (manifest rewrite, snapshot expiry) — checkpointing lineage before and
+  * after every irreversible step. `failpoint` injects crashes for the resume tests
+  * (SURVEY.md §5.5).
+  */
+object MaintenanceRunner {
+
+  def runCycle(
+      spark: SparkSession,
+      table: SeqTable,
+      cfg: GridConfig,
+      opts: MaintenanceOptions,
+      checkpoint: Checkpoint,
+      failpoint: String => Unit = _ => ()): CycleReport = {
+
+    val now = () => System.currentTimeMillis()
+    val metasByPath = table.liveFiles().map(f => f.path -> f).toMap
+
+    // ---- resume or plan ----
+    val (cycle, baseVersion, tasks, alreadyDone) = checkpoint.openCycle() match {
+      case Some(ev) =>
+        val start = ev.find(_.event == "CYCLE_START").get
+        val planned = ev.filter(_.event == "TASK_PLANNED").map { e =>
+          PlannedTask(e.taskId, Region(e.region(0), e.region(1), e.region(2), 0.0), e.files, 0.0)
+        }
+        val loggedDone = ev.filter(_.event == "TASK_COMMITTED").map(_.taskId).toSet
+        // crash window: committed but not logged → recover from snapshot summaries
+        val snapDone = table.snapshotVersions().filter(_ > start.baseVersion).map(table.snapshot)
+          .flatMap(s => s.summary.get("maintenance-task")
+            .filter(_.startsWith(s"${start.cycle}/")).map(_.split('/')(1).toInt))
+          .toSet
+        (start.cycle, start.baseVersion, planned, loggedDone ++ snapDone)
+      case None =>
+        val cycle = checkpoint.lastCycle() + 1
+        val base = table.currentVersion()
+        val metas = metasByPath.values.toSeq
+        val planned = MaintenancePlanner.planCompaction(
+          spark, metas, cfg, opts.k, opts.threshold, opts.targetRecordsPerFile)
+        checkpoint.append(StateEvent("CYCLE_START", cycle, -1, base, -1, Nil, Nil,
+          Map("live-files" -> metas.size.toString), now()))
+        planned.foreach { t =>
+          checkpoint.append(StateEvent("TASK_PLANNED", cycle, t.taskId, base, -1,
+            Seq(t.region.x, t.region.y, t.region.w), t.filePaths,
+            Map("score" -> t.score.toString), now()))
+        }
+        (cycle, base, planned, Set.empty[Int])
+    }
+    failpoint("planned")
+
+    // ---- execute ----
+    val filesBefore = metasByPath.size
+    var executed = 0
+    var skipped = 0
+    var recordsRewritten = 0L
+    tasks.sortBy(_.taskId).foreach { t =>
+      if (alreadyDone.contains(t.taskId)) skipped += 1
+      else {
+        val files = t.filePaths.flatMap(metasByPath.get) // files may be gone if replanned; skip those
+        if (files.nonEmpty) {
+          val snap = Rewrite.compactFiles(spark, table, files, cfg, opts.targetRecordsPerFile,
+            Map("maintenance-task" -> s"$cycle/${t.taskId}"), opts.hilbert)
+          recordsRewritten += files.map(_.records).sum
+          checkpoint.append(StateEvent("TASK_COMMITTED", cycle, t.taskId, baseVersion,
+            snap.version, Seq(t.region.x, t.region.y, t.region.w), t.filePaths,
+            Map("records" -> files.map(_.records).sum.toString), now()))
+          executed += 1
+        } else skipped += 1
+        failpoint(s"task-${t.taskId}")
+      }
+    }
+
+    // ---- housekeeping ----
+    if (opts.rewriteManifests) table.rewriteManifests()
+    if (opts.expireKeepLast > 0) table.expireSnapshots(opts.expireKeepLast)
+    failpoint("housekeeping")
+
+    val filesAfter = table.liveFiles().size
+    checkpoint.append(StateEvent("CYCLE_END", cycle, -1, baseVersion, table.currentVersion(), Nil, Nil,
+      Map("files-before" -> filesBefore.toString, "files-after" -> filesAfter.toString,
+        "records-rewritten" -> recordsRewritten.toString), now()))
+    CycleReport(cycle, tasks.size, executed, skipped, filesBefore, filesAfter,
+      recordsRewritten, table.currentVersion())
+  }
+}

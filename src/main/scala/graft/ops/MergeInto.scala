@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.planner.GridConfig
+import graft.table.{SeqIO, SeqTable, Snapshot}
+
+final case class MergeResult(
+    snapshot: Snapshot,
+    filesRewritten: Int,
+    attempts: Int)
+
+/** Copy-on-write MERGE INTO with optimistic snapshot-isolation.
+  *
+  * Semantics (per change row, keyed on `doc_id`; optional `_op` column, default upsert):
+  *  - `_op = 'D'`  → delete the target row if present
+  *  - otherwise    → update the target row, or insert when absent
+  *
+  * Physical plan, scale-first:
+  *  1. prune: only data files whose manifest [minDocId, maxDocId] range can contain a change key are
+  *     touched — a broadcast range-join of change keys against file stats (manifest rows, tiny);
+  *  2. full outer join of the pruned target subset with the changes on `doc_id` — Catalyst
+  *     broadcast-joins the change side when it is small, sort-merge otherwise;
+  *  3. rewrite the affected files curve-clustered, atomically swap them in one commit.
+  *
+  * Isolation: the commit validates that no concurrent commit rewrote our affected files; on
+  * conflict the ENTIRE merge replans against the new snapshot (bounded retries). Two merges on
+  * disjoint files commit concurrently; overlapping merges serialize — one wins, one replans.
+  * The reference has no transactional machinery; this replaces its single-writer REST queue
+  * (`/root/reference/src/main/scala/SDL/main/main.java:169-248`).
+  */
+object MergeInto {
+
+  def merge(
+      spark: SparkSession,
+      table: SeqTable,
+      changes: DataFrame,
+      cfg: GridConfig,
+      targetRecordsPerFile: Long,
+      maxAttempts: Int = 5): MergeResult = {
+    val hasOp = changes.columns.contains("_op")
+    val ch = (if (hasOp) changes else changes.withColumn("_op", lit("U")))
+      .select(
+        col("doc_id").as("c_doc_id"), col("tokens").as("c_tokens"),
+        col("n_tok").as("c_n_tok"), col("source").as("c_source"), col("_op"))
+      .persist()
+    try {
+      val keys = ch.select(col("c_doc_id")).distinct().persist()
+      val nKeys = keys.count() // materialize once; reused every attempt
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val snap = table.currentSnapshot()
+        val live = table.liveFiles(snap)
+
+        // 1. manifest pruning: files whose doc_id range may contain a change key
+        import spark.implicits._
+        val fileRanges = spark.createDataset(live.map(f => (f.path, f.minDocId, f.maxDocId)))
+          .toDF("path", "min_doc", "max_doc")
+        val affectedPaths = fileRanges
+          .join(broadcast(keys), col("c_doc_id").between(col("min_doc"), col("max_doc")))
+          .select("path").distinct().as[String].collect().toSet
+        val affected = live.filter(f => affectedPaths.contains(f.path))
+
+        // 2. COW merge of only the affected rows
+        val target = SeqIO.readFiles(spark, table, affected)
+        val merged = target.join(ch, col("doc_id") === col("c_doc_id"), "full_outer")
+          .filter(col("_op").isNull || col("_op") =!= "D") // deletes drop out; unmatched target rows (null _op) kept
+          .select(
+            coalesce(col("c_doc_id"), col("doc_id")).as("doc_id"),
+            coalesce(col("c_tokens"), col("tokens")).as("tokens"),
+            coalesce(col("c_n_tok"), col("n_tok")).as("n_tok"),
+            coalesce(col("c_source"), col("source")).as("source"))
+
+        val total = affected.map(_.records).sum + nKeys // upper bound (inserts all new)
+        val added = Rewrite.clusteredWrite(spark, table, merged, cfg, targetRecordsPerFile, total)
+
+        // 3. atomic swap; on conflict, drop our orphan files and replan from the new head
+        try {
+          val s = table.commit("merge", added, affectedPaths,
+            Map("merge-attempt" -> attempt.toString))
+          return MergeResult(s, affected.size, attempt)
+        } catch {
+          case e: table.CommitConflictException =>
+            added.foreach(f =>
+              java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(table.absolutePath(f))))
+            if (attempt >= maxAttempts) throw e
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally ch.unpersist()
+  }
+}

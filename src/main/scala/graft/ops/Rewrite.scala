@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.curve
+import graft.planner.GridConfig
+import graft.table.{FileMeta, SeqIO, SeqTable}
+
+/** Space-filling-curve clustered write — the physical layout engine behind compaction, re-cluster
+  * and MERGE INTO.
+  *
+  * Layout: key = zorder/hilbert interleave of (pmod(xxhash64(source), B), n_tok / binWidth) —
+  * both factors codegen'd Catalyst expressions, so the whole rewrite stays inside whole-stage
+  * codegen. Rows are range-partitioned on (curveKey, doc_id): the secondary key is the **salt** —
+  * a hot curve key (one dominant `source`, the reference grid's unhandled skew case,
+  * `/root/reference/src/main/scala/SDL/distrib/GridIndexer.scala` fixed sqrt grid) gets split across
+  * as many range partitions as its row share demands, so no single executor owns a hot source.
+  */
+object Rewrite {
+
+  /** Attach the clustering key column. */
+  def withCurveKey(df: DataFrame, cfg: GridConfig, hilbert: Boolean = false): DataFrame = {
+    val x = pmod(xxhash64(col("source")), lit(cfg.sourceBuckets.toLong)).cast("int")
+    val y = (col("n_tok") / lit(cfg.ntokBinWidth)).cast("int")
+    val key = if (hilbert) curve.hilbertKey(x, y) else curve.zorderKey(x, y)
+    df.withColumn("_ck", key)
+  }
+
+  /** Cluster `df` along the curve and write it as ~`totalRecords / targetRecordsPerFile` files.
+    * Returns the manifest entries (not yet committed).
+    */
+  def clusteredWrite(
+      spark: SparkSession,
+      table: SeqTable,
+      df: DataFrame,
+      cfg: GridConfig,
+      targetRecordsPerFile: Long,
+      totalRecords: Long,
+      hilbert: Boolean = false): Seq[FileMeta] = {
+    val nFiles = math.max(1L, (totalRecords + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val clustered = withCurveKey(df, cfg, hilbert)
+      .repartitionByRange(nFiles, col("_ck"), col("doc_id")) // doc_id = skew salt
+      .sortWithinPartitions(col("_ck"), col("doc_id"))
+      .drop("_ck")
+    SeqIO.writeFiles(spark, table, clustered, clustered = true)
+  }
+
+  /** Compact+re-cluster an explicit file set into right-sized curve-sorted files and commit.
+    * Copy-on-write: the input rows are rewritten byte-identically (same doc_id→tokens mapping),
+    * only layout changes.
+    */
+  def compactFiles(
+      spark: SparkSession,
+      table: SeqTable,
+      files: Seq[FileMeta],
+      cfg: GridConfig,
+      targetRecordsPerFile: Long,
+      summary: Map[String, String] = Map.empty,
+      hilbert: Boolean = false): graft.table.Snapshot = {
+    val df = SeqIO.readFiles(spark, table, files)
+    val total = files.map(_.records).sum
+    val added = clusteredWrite(spark, table, df, cfg, targetRecordsPerFile, total, hilbert)
+    table.commit("compact", added, files.map(_.path).toSet,
+      summary ++ Map("records" -> total.toString))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.state
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** One event in the maintenance lineage log. */
+final case class StateEvent(
+    event: String, // CYCLE_START | TASK_PLANNED | TASK_COMMITTED | CYCLE_END
+    cycle: Long,
+    taskId: Int, // -1 for cycle-level events
+    baseVersion: Long, // snapshot the cycle planned against
+    snapshotVersion: Long, // version a TASK_COMMITTED produced (-1 otherwise)
+    region: Seq[Int], // (x, y, w) of the task region, empty for cycle events
+    files: Seq[String],
+    metrics: Map[String, String],
+    ts: Long)
+
+/** Append-only, fsync'd JSON-lines driver state — the engine's resume-after-failure checkpoint,
+  * replacing the reference's `buffer.tmp` query-result cache
+  * (`/root/reference/src/main/scala/SDL/main/main.java:50-58,244-247`) with per-task lineage.
+  *
+  * Exactly-once task execution across crashes: a task's commit carries `(cycle, taskId)` in its
+  * snapshot summary, so on resume a task is treated as done if EITHER the log has its
+  * TASK_COMMITTED event OR some snapshot after the cycle's base version carries its id (covering a
+  * crash in the window between commit and log append).
+  */
+final class Checkpoint(dir: String) {
+  import Checkpoint.formats
+  private val path = Paths.get(dir, "maintenance-log.jsonl")
+  Files.createDirectories(Paths.get(dir))
+
+  def append(e: StateEvent): Unit = {
+    val ch = Files.newByteChannel(path,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND, StandardOpenOption.SYNC)
+    try ch.write(java.nio.ByteBuffer.wrap((Serialization.write(e) + "\n").getBytes("UTF-8")))
+    finally ch.close()
+  }
+
+  def events(): Seq[StateEvent] =
+    if (!Files.exists(path)) Nil
+    else Files.readAllLines(path).asScala.iterator.filter(_.nonEmpty)
+      .map(Serialization.read[StateEvent]).toSeq
+
+  def lastCycle(): Long = events().map(_.cycle).maxOption.getOrElse(0L)
+
+  /** The unfinished cycle to resume, if any: started but not ended. */
+  def openCycle(): Option[Seq[StateEvent]] = {
+    val ev = events()
+    val started = ev.filter(_.event == "CYCLE_START").map(_.cycle)
+    val ended = ev.filter(_.event == "CYCLE_END").map(_.cycle).toSet
+    started.filterNot(ended).maxOption.map(c => ev.filter(_.cycle == c))
+  }
+}
+
+object Checkpoint {
+  implicit val formats: Formats = Serialization.formats(NoTypeHints)
+}

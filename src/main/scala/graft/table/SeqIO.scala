@@ -1,0 +1,116 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+object SeqSchema {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("tokens", ArrayType(IntegerType)),
+    StructField("n_tok", IntegerType),
+    StructField("source", StringType)))
+}
+
+/** Spark-side write/read for [[SeqTable]].
+  *
+  * The writer computes per-file min/max stats with ONE distributed pass over the just-written files
+  * (`groupBy(input_file_name())`) — the Iceberg-manifest analog of the reference's bounding-box
+  * pre-pass (`/root/reference/src/main/scala/SDL/main/Run.scala:96-99`, which spends 4 full scans;
+  * ours is a single partial-aggregated job).
+  */
+object SeqIO {
+
+  /** Max distinct sources tracked per file before stats degrade to "unknown" (no source pruning). */
+  val MaxSourcesTracked = 12
+
+  /** Write `df` (seq schema) as new data files of the table and return their manifest entries.
+    * The caller controls file layout (partitioning/sort) on `df` BEFORE calling; this function only
+    * materializes + collects stats. Nothing is committed here.
+    */
+  def writeFiles(spark: SparkSession, table: SeqTable, df: DataFrame,
+      clustered: Boolean = false): Seq[FileMeta] = {
+    val batch = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = table.dataDir.resolve(s".tmp-$batch")
+    df.select("doc_id", "tokens", "n_tok", "source")
+      .write.mode("overwrite").parquet(tmp.toString)
+
+    val parts = Files.list(tmp).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.getFileName.toString)
+    val moved: Seq[Path] = parts.zipWithIndex.map { case (p, i) =>
+      val dst = table.dataDir.resolve(f"$batch-$i%05d.parquet")
+      Files.move(p, dst)
+      dst
+    }
+    // clean tmp dir remnants (_SUCCESS etc.)
+    Files.list(tmp).iterator().asScala.foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(tmp)
+    if (moved.isEmpty) return Nil
+
+    val stats = spark.read.schema(SeqSchema.schema).parquet(moved.map(_.toString): _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        count(lit(1)).as("records"),
+        min("n_tok").as("min_ntok"), max("n_tok").as("max_ntok"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        slice(sort_array(collect_set("source")), 1, MaxSourcesTracked + 1).as("sources"))
+      .collect()
+
+    val rootP = Paths.get(table.root).toAbsolutePath.normalize
+    // drop physically-empty part files (no stats row → no manifest entry → would be orphans)
+    val statPaths = stats.map(r => Paths.get(java.net.URI.create(r.getString(0)).getPath).toAbsolutePath.normalize).toSet
+    moved.filterNot(p => statPaths.contains(p.toAbsolutePath.normalize)).foreach(Files.deleteIfExists(_))
+    stats.toSeq.map { r =>
+      val uri = r.getString(0)
+      val abs = Paths.get(java.net.URI.create(uri).getPath).toAbsolutePath.normalize
+      val rel = rootP.relativize(abs).toString
+      val srcs = r.getSeq[String](6)
+      FileMeta(
+        path = rel,
+        records = r.getLong(1),
+        bytes = Files.size(abs),
+        minNtok = r.getInt(2), maxNtok = r.getInt(3),
+        minDocId = r.getString(4), maxDocId = r.getString(5),
+        sources = if (srcs.size > MaxSourcesTracked) Nil else srcs, // Nil = unknown/overflow
+        addedAt = -1L,
+        clustered = clustered)
+    }
+  }
+
+  /** Read an explicit set of data files. */
+  def readFiles(spark: SparkSession, table: SeqTable, metas: Seq[FileMeta]): DataFrame =
+    if (metas.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], SeqSchema.schema)
+    else spark.read.schema(SeqSchema.schema).parquet(metas.map(table.absolutePath): _*)
+
+  /** Full-table read at the current snapshot. */
+  def read(spark: SparkSession, table: SeqTable): DataFrame =
+    readFiles(spark, table, table.liveFiles())
+
+  final case class ScanStats(filesScanned: Int, totalFiles: Int, recordsScanned: Long)
+
+  /** Manifest-pruned scan: `source = ? AND n_tok BETWEEN ? AND ?`, with file skipping driven purely
+    * by manifest min/max stats — the metric the Z-order rewrite is meant to improve. The residual
+    * predicate still applies (pruning is sound, not exact).
+    */
+  def scanPruned(
+      spark: SparkSession,
+      table: SeqTable,
+      source: Option[String],
+      ntokMin: Option[Int],
+      ntokMax: Option[Int]): (DataFrame, ScanStats) = {
+    val live = table.liveFiles()
+    val selected = live.filter { f =>
+      val srcOk = source.forall(s => f.sources.isEmpty || f.sources.contains(s))
+      val loOk = ntokMax.forall(hi => f.minNtok <= hi)
+      val hiOk = ntokMin.forall(lo => f.maxNtok >= lo)
+      srcOk && loOk && hiOk
+    }
+    var df = readFiles(spark, table, selected)
+    source.foreach(s => df = df.filter(col("source") === s))
+    ntokMin.foreach(lo => df = df.filter(col("n_tok") >= lo))
+    ntokMax.foreach(hi => df = df.filter(col("n_tok") <= hi))
+    (df, ScanStats(selected.size, live.size, selected.map(_.records).sum))
+  }
+}

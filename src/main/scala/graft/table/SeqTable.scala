@@ -1,0 +1,232 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, FileAlreadyExistsException}
+import scala.jdk.CollectionConverters._
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** One row of the maintained table — the `input_hint` shape. */
+final case class SeqRecord(doc_id: String, tokens: Array[Int], n_tok: Int, source: String)
+
+/** Per-data-file statistics — the engine's manifest entry, mirroring Iceberg's data-file metadata
+  * (record count, size, per-column min/max). These stats are what the planner "sees": each file is a
+  * weighted point on the (sourceBucket × ntokBin) grid, playing the role of the reference's POI
+  * (`/root/reference/src/main/scala/SDL/POI.java:9-35`).
+  */
+final case class FileMeta(
+    path: String, // relative to table root
+    records: Long,
+    bytes: Long,
+    minNtok: Int,
+    maxNtok: Int,
+    minDocId: String,
+    maxDocId: String,
+    sources: Seq[String], // distinct sources present (bounded by writer bucketing)
+    addedAt: Long, // snapshot version that added this file
+    clustered: Boolean = false // written curve-sorted by this engine (as tight as its size allows)
+)
+
+/** An immutable table version. `manifests` are metadata-relative paths of JSON-lines FileMeta
+  * manifests. The version chain (`parent`) is the lineage the state/expiry machinery walks.
+  */
+final case class Snapshot(
+    version: Long,
+    parent: Long,
+    operation: String,
+    manifests: Seq[String],
+    summary: Map[String, String],
+    ts: Long
+)
+
+object SeqTable {
+  implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  /** Initialize an empty table (v0, no manifests). */
+  def create(root: String): SeqTable = {
+    val r = Paths.get(root)
+    Files.createDirectories(r.resolve("data"))
+    Files.createDirectories(r.resolve("metadata"))
+    val t = new SeqTable(root)
+    val s0 = Snapshot(0L, -1L, "create", Nil, Map.empty, System.currentTimeMillis())
+    t.writeSnapshotFile(s0)
+    t.writeVersionHint(0L)
+    t
+  }
+
+  def load(root: String): SeqTable = new SeqTable(root)
+}
+
+/** Filesystem-backed snapshot table with optimistic-concurrency commits.
+  *
+  * Commit protocol (Iceberg-HadoopTableOperations style, public design): a snapshot file
+  * `metadata/v{N}.json` is created with a fail-if-exists atomic move; two writers racing to the same
+  * N → exactly one wins, the loser re-reads the new head, validates its removed files are still
+  * live, rebases its manifest edit and retries. This yields snapshot isolation: readers pin a
+  * version; writers serialize through the version counter.
+  */
+final class SeqTable(val root: String) {
+  import SeqTable.formats
+
+  private def metaDir: Path = Paths.get(root, "metadata")
+  def dataDir: Path = Paths.get(root, "data")
+
+  // ---------- snapshot access ----------
+
+  def currentVersion(): Long = {
+    val hint = metaDir.resolve("version-hint.text")
+    val hinted = if (Files.exists(hint)) Files.readString(hint).trim.toLong else 0L
+    // the hint is advisory (written after the commit); roll forward to the true head
+    var v = hinted
+    while (Files.exists(metaDir.resolve(s"v${v + 1}.json"))) v += 1
+    v
+  }
+
+  def snapshot(version: Long): Snapshot =
+    Serialization.read[Snapshot](Files.readString(metaDir.resolve(s"v$version.json")))
+
+  def currentSnapshot(): Snapshot = snapshot(currentVersion())
+
+  def snapshotVersions(): Seq[Long] =
+    Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") => s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+
+  // ---------- manifests ----------
+
+  def readManifest(rel: String): Seq[FileMeta] =
+    Files.readAllLines(metaDir.resolve(rel)).asScala.iterator
+      .filter(_.nonEmpty).map(Serialization.read[FileMeta]).toSeq
+
+  def writeManifest(metas: Seq[FileMeta]): String = {
+    val name = s"manifest-${java.util.UUID.randomUUID()}.jsonl"
+    val lines = metas.map(Serialization.write(_)).mkString("", "\n", "\n")
+    Files.writeString(metaDir.resolve(name), lines)
+    name
+  }
+
+  def liveFiles(s: Snapshot): Seq[FileMeta] = s.manifests.flatMap(readManifest)
+
+  def liveFiles(): Seq[FileMeta] = liveFiles(currentSnapshot())
+
+  def absolutePath(meta: FileMeta): String = Paths.get(root).resolve(meta.path).toString
+
+  // ---------- commit ----------
+
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Optimistically commit `added` files and remove `removedPaths`, on top of the current head.
+    * Retries with rebase on version races; throws CommitConflictException when a concurrent commit
+    * already removed (rewrote) any of our `removedPaths` — the caller must re-plan from the new
+    * snapshot (this is what makes two overlapping MERGE INTOs serialize: one wins, one replans).
+    */
+  def commit(
+      operation: String,
+      added: Seq[FileMeta],
+      removedPaths: Set[String],
+      summary: Map[String, String] = Map.empty,
+      maxRetries: Int = 20): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val base = currentSnapshot()
+      val baseLive = liveFiles(base)
+      val basePaths = baseLive.map(_.path).toSet
+      val missing = removedPaths.diff(basePaths)
+      if (missing.nonEmpty)
+        throw new CommitConflictException(
+          s"commit($operation): files already rewritten by a concurrent commit: ${missing.take(3).mkString(", ")} …")
+
+      // carry forward untouched manifests; rewrite only manifests that lost files
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      val survivors = scala.collection.mutable.ArrayBuffer.empty[FileMeta]
+      base.manifests.foreach { m =>
+        val entries = readManifest(m)
+        if (entries.forall(e => !removedPaths.contains(e.path))) kept += m
+        else survivors ++= entries.filterNot(e => removedPaths.contains(e.path))
+      }
+      val newManifests = kept.toSeq ++
+        (if (survivors.nonEmpty) Seq(writeManifest(survivors.toSeq)) else Nil) ++
+        (if (added.nonEmpty) Seq(writeManifest(added.map(_.copy(addedAt = base.version + 1)))) else Nil)
+
+      val next = Snapshot(base.version + 1, base.version, operation, newManifests,
+        summary ++ Map(
+          "added-files" -> added.size.toString,
+          "removed-files" -> removedPaths.size.toString,
+          "total-files" -> (basePaths.size - removedPaths.size + added.size).toString),
+        System.currentTimeMillis())
+      try {
+        writeSnapshotFile(next)
+        writeVersionHint(next.version)
+        return next
+      } catch {
+        case _: FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new CommitConflictException(s"commit($operation): lost the version race $maxRetries times")
+        // loop: re-read head, re-validate, rebase
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def writeSnapshotFile(s: Snapshot): Unit = {
+    val tmp = Files.createTempFile(metaDir, ".tmp-snap", ".json")
+    Files.writeString(tmp, Serialization.write(s))
+    // fail-if-exists move = the atomic compare-and-swap of the commit protocol
+    Files.move(tmp, metaDir.resolve(s"v${s.version}.json"))
+  }
+
+  private def writeVersionHint(v: Long): Unit = {
+    val tmp = Files.createTempFile(metaDir, ".tmp-hint", ".txt")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, metaDir.resolve("version-hint.text"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---------- snapshot expiry ----------
+
+  /** Drop all but the newest `keepLast` snapshots; physically delete data files and manifests
+    * reachable only from expired snapshots. Returns (expired snapshot versions, deleted data files).
+    */
+  def expireSnapshots(keepLast: Int): (Seq[Long], Seq[String]) = {
+    val versions = snapshotVersions()
+    val keep = versions.takeRight(math.max(1, keepLast)).toSet
+    val expired = versions.filterNot(keep)
+    if (expired.isEmpty) return (Nil, Nil)
+
+    val keptSnaps = keep.toSeq.sorted.map(snapshot)
+    val liveManifests = keptSnaps.flatMap(_.manifests).toSet
+    val livePaths = keptSnaps.flatMap(liveFiles).map(_.path).toSet
+
+    val deadFiles = scala.collection.mutable.LinkedHashSet.empty[String]
+    val deadManifests = scala.collection.mutable.LinkedHashSet.empty[String]
+    expired.map(snapshot).foreach { s =>
+      s.manifests.foreach { m =>
+        if (!liveManifests.contains(m)) {
+          deadManifests += m
+          readManifest(m).foreach { f => if (!livePaths.contains(f.path)) deadFiles += f.path }
+        }
+      }
+    }
+    deadFiles.foreach(p => Files.deleteIfExists(Paths.get(root).resolve(p)))
+    deadManifests.foreach(m => Files.deleteIfExists(metaDir.resolve(m)))
+    expired.foreach(v => Files.deleteIfExists(metaDir.resolve(s"v$v.json")))
+    (expired, deadFiles.toSeq)
+  }
+
+  /** Merge all live manifests into one, entries sorted by (first source, minNtok) so range scans
+    * touch contiguous manifest regions — the manifest-rewrite maintenance op.
+    */
+  def rewriteManifests(): Snapshot = {
+    val base = currentSnapshot()
+    val entries = liveFiles(base).sortBy(f => (f.sources.headOption.getOrElse(""), f.minNtok, f.path))
+    val m = writeManifest(entries)
+    val next = Snapshot(base.version + 1, base.version, "rewrite-manifests", Seq(m),
+      Map("manifests-before" -> base.manifests.size.toString, "manifests-after" -> "1",
+        "total-files" -> entries.size.toString),
+      System.currentTimeMillis())
+    writeSnapshotFile(next)
+    writeVersionHint(next.version)
+    next
+  }
+}
