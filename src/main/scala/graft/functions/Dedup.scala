@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives for training-data pipelines: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard. Column-expression implementations (codegen'd; the per-row math stays inside
+  * whole-stage codegen) with shuffle-shaped joins only where candidate pairing genuinely needs
+  * them — at 100 TB the LSH band join is the only shuffle, keyed on (band, bucket) so each bucket
+  * is a tiny group.
+  */
+object Dedup {
+
+  // scala wrappers for bit-shift by a Column amount (the SQL functions accept column shift counts;
+  // only the functions._ scala signatures are Int-restricted)
+  private[functions] def shr(c: Column, i: Column): Column = call_function("shiftright", c, i)
+  private[functions] def shl(c: Column, i: Column): Column = call_function("shiftleft", c, i)
+
+  /** Word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(trim(lower(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))), "\\s+")
+    when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+  }
+
+  /** MinHash signature (k permutations) over a shingle array: sig[i] = min over shingles of
+    * xxhash64(i, shingle) — the standard hash-family trick, one codegen'd expression.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+
+  /** LSH band keys from a signature: bands of `rowsPerBand` rows, hashed. Explode these and
+    * group/join on (band, key): near-dups (high Jaccard) collide in ≥1 band w.h.p.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))
+
+  /** 64-bit SimHash over a token/shingle array: bit i set iff Σ ±1 (sign = bit i of each
+    * element's hash) is positive.
+    */
+  def simhash(tokens: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) => acc.bitwiseOR(
+        when(
+          aggregate(tokens, lit(0L),
+            (s, t) => s + when(shr(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
+          shl(lit(1L), i)).otherwise(lit(0L))))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact Jaccard similarity ×10000 (bigint) between two shingle-array columns. */
+  def jaccardX1e4(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    round(inter / union * 10000).cast("long")
+  }
+
+  /** Candidate near-dup pairs via MinHash-LSH banding: one shuffle on (band, bucket), pairs
+    * verified with exact Jaccard ≥ `minJaccardX1e4`. `df` must have columns (id, text).
+    */
+  def minhashLshPairs(df: DataFrame, k: Int, bands: Int, shingleN: Int,
+      minJaccardX1e4: Long): DataFrame = {
+    val rows = k / bands
+    val withSig = df
+      .withColumn("_sh", shingles(col("text"), shingleN))
+      .withColumn("_sig", minhashSignature(col("_sh"), k))
+      .withColumn("_band", explode(lshBandKeys(col("_sig"), bands, rows)))
+      .select(col("id"), col("_sh"), col("_band.band"), col("_band.key"))
+    val l = withSig.select(col("id").as("id_a"), col("_sh").as("sh_a"), col("band"), col("key"))
+    val r = withSig.select(col("id").as("id_b"), col("_sh").as("sh_b"), col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccardX1e4(col("sh_a"), col("sh_b")).as("jaccard_x1e4"))
+      .distinct()
+      .filter(col("jaccard_x1e4") >= minJaccardX1e4)
+  }
+}

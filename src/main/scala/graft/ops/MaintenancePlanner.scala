@@ -78,22 +78,10 @@ object MaintenancePlanner {
       overlapAllowed: Boolean = false): Vector[Region] = {
     import spark.implicits._
     if (metas.isEmpty) return Vector.empty
-
-    // file → weighted cells → border-replicated (node, cell) pairs; cached across K′ rounds
-    val cells: Dataset[(Int, Cell)] = spark.createDataset(metas)
+    // file metadata → weighted cell points, then the shared distributed-top-k pipeline
+    val cells: Dataset[Cell] = spark.createDataset(metas)
       .flatMap(f => fileCells(f, cfg, targetRecords))
-      .flatMap(c => cfg.nodesForCell(c.x, c.y).map(n => (n, c)))
-      .persist()
-    try {
-      def runRound(kPrime: Int): Seq[NodeResult] =
-        cells.groupByKey(_._1)
-          .mapGroups { (node, it) =>
-            val (ax0, ax1, ay0, ay1) = cfg.anchorBounds(node)
-            RegionKernel.localTopK(it.map(_._2).toSeq, ax0, ax1, ay0, ay1, cfg.regionW, kPrime)
-          }
-          .collect().toSeq
-      DistributedTopK.solve(runRound, k, overlapAllowed)
-    } finally cells.unpersist()
+    GridTopK.solve(spark, cells, cfg, k, overlapAllowed)
   }
 
   /** Full plan: top regions → file-disjoint tasks above a benefit threshold. Files are claimed by
