@@ -1,24 +1,142 @@
 package graft
+
+import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.fixtures.SeqGen
+import graft.ops._
+import graft.planner.GridConfig
+import graft.state.Checkpoint
+import graft.table.SeqIO
+
+/** Per-round benchmark (driver contract): ONE JSON line with total seconds + per-query seconds.
+  *
+  * Sections:
+  *  - engine lifecycle on a synthesized tokenized-sequence table (ingest → compaction cycles →
+  *    MERGE INTO → pruned scan): the north-rule metric `maintenance_throughput_seq_per_sec`
+  *    (sequences compacted + re-clustered per second) is included as an extra JSON field
+  *  - headline operator queries from SparkEntry over the sf parquet tables
+  *
+  * `main` honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS. Run `graft.Bench scaling` to execute the
+  * identical maintenance job at local[8] and local[32] and print both throughputs + scaling
+  * efficiency (the sandbox stand-in for N vs 4N executors; see BASELINE.md).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  final case class MaintBench(
+      rows: Long, ingestSec: Double, cycleSec: Double, mergeSec: Double,
+      recordsRewritten: Long, mergeRecords: Long,
+      filesBefore: Int, filesAfter: Int,
+      scanBefore: (Int, Int), scanAfter: (Int, Int), scanSecAfter: Double) {
+    /** sequences compacted + re-clustered (incl. merge rewrite) per second of maintenance time */
+    def throughput: Double = (recordsRewritten + mergeRecords) / (cycleSec + mergeSec)
+  }
+
+  /** The identical maintenance job used for both the per-round bench and the scaling evidence. */
+  def maintenanceBench(spark: SparkSession, rows: Long, nFiles: Int): MaintBench = {
+    val root = Files.createTempDirectory("graft-bench-").toString + "/tbl"
+    val cfg = GridConfig()
+    val target = math.max(2000L, rows / 40)
+    val opts = MaintenanceOptions(k = 16, targetRecordsPerFile = target)
+
+    val ((table, metas), tIngest) = time(SeqGen.fragmentedTable(spark, root, rows, nFiles))
+    val (_, before) = SeqIO.scanPruned(spark, table, Some("src0"), Some(256), Some(1024))
+
+    val ckpt = new Checkpoint(s"$root/state")
+    var rewritten = 0L
+    val (_, tCycles) = time {
+      var go = true
+      var i = 0
+      while (go && i < 12) {
+        val r = MaintenanceRunner.runCycle(spark, table, cfg, opts, ckpt)
+        rewritten += r.recordsRewritten; go = r.tasksExecuted > 0; i += 1
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val filesAfterCompact = table.liveFiles().size
+
+    val changes = SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50)
+    val (mr, tMerge) = time(MergeInto.merge(spark, table, changes, cfg, target))
+    val mergeRecords = SeqIO.read(spark, table).count() // rows rewritten by the COW merge pass
+
+    val ((df, after), _) = time(SeqIO.scanPruned(spark, table, Some("src0"), Some(256), Some(1024)))
+    val (_, tScan) = time(df.count())
+
+    MaintBench(rows, tIngest, tCycles, tMerge, rewritten, mergeRecords,
+      metas.size, filesAfterCompact, (before.filesScanned, before.totalFiles),
+      (after.filesScanned, after.totalFiles), tScan)
+  }
+
+  private def sfOf(dir: String): Double =
+    "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.01)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val sf = sfOf(sfDir)
+    val rows = math.max(20000L, (sf * 2e6).toLong.min(500000L))
+    val nFiles = (rows / 500).toInt.max(40)
+
+    if (args.headOption.contains("scaling")) { // N vs 4N evidence → stdout table
+      val results = Seq(8, 32).map { n =>
+        val s = session(n)
+        val mb = try maintenanceBench(s, rows, nFiles) finally s.stop()
+        println(f"[scaling] cores=$n%2d rows=$rows ingest=${mb.ingestSec}%.1fs " +
+          f"cycles=${mb.cycleSec}%.1fs merge=${mb.mergeSec}%.1fs throughput=${mb.throughput}%.0f seq/s " +
+          f"files ${mb.filesBefore}->${mb.filesAfter} scan ${mb.scanAfter._1}/${mb.scanAfter._2}")
+        n -> mb.throughput
+      }
+      val eff = results(1)._2 / (results(1)._1.toDouble / results(0)._1) / results(0)._2
+      println(f"[scaling] efficiency (T8→T32, normalized /4) = $eff%.2f")
+      return
+    }
+
+    val spark = session(cpus)
+    val queries = Seq( // headline operator queries over the sf tables
+      "q01_grid_cell_agg", "q03_region_scores_w2", "q04_planner_topk_regions",
+      "q07_dedup_exact", "q09_minhash_lsh_pairs", "q11_token_counts",
+      "q16_ann_bruteforce", "q19_window_running", "q21_zorder_key",
+      "q23_stream_windowed_counts")
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    val (mb, _) = time(maintenanceBench(spark, rows, nFiles))
+    results += "m_ingest" -> mb.ingestSec
+    results += "m_compaction_cycles" -> mb.cycleSec
+    results += "m_merge_into" -> mb.mergeSec
+    results += "m_pruned_scan" -> mb.scanSecAfter
+
+    queries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val (_, sec) = time(try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () })
+      results += name -> sec
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        f""""maintenance_throughput_seq_per_sec":${mb.throughput}%.0f,""" +
+        f""""maintenance_rows":${mb.rows},"files_before":${mb.filesBefore},"files_after":${mb.filesAfter},""" +
+        f""""scan_files_before":${mb.scanBefore._1},"scan_files_total_before":${mb.scanBefore._2},""" +
+        f""""scan_files_after":${mb.scanAfter._1},"scan_files_total_after":${mb.scanAfter._2}}""")
     spark.stop()
   }
 }

@@ -11,7 +11,9 @@ final case class MaintenanceOptions(
     targetRecordsPerFile: Long = 20000L,
     hilbert: Boolean = false,
     expireKeepLast: Int = 0, // 0 = don't expire
-    rewriteManifests: Boolean = false)
+    rewriteManifests: Boolean = false,
+    batchTasks: Boolean = true) // true: all tasks of a cycle in ONE job + commit (throughput);
+                                // false: one commit per task (finer isolation/lineage)
 
 final case class CycleReport(
     cycle: Long,
@@ -77,21 +79,37 @@ object MaintenanceRunner {
     var executed = 0
     var skipped = 0
     var recordsRewritten = 0L
-    tasks.sortBy(_.taskId).foreach { t =>
-      if (alreadyDone.contains(t.taskId)) skipped += 1
-      else {
-        val files = t.filePaths.flatMap(metasByPath.get) // files may be gone if replanned; skip those
-        if (files.nonEmpty) {
-          val snap = Rewrite.compactFiles(spark, table, files, cfg, opts.targetRecordsPerFile,
-            Map("maintenance-task" -> s"$cycle/${t.taskId}"), opts.hilbert)
-          recordsRewritten += files.map(_.records).sum
+    val pending = tasks.sortBy(_.taskId).filterNot(t => alreadyDone.contains(t.taskId))
+    skipped += tasks.size - pending.size
+
+    if (opts.batchTasks && pending.nonEmpty) {
+      // one clustered rewrite job + one commit for the whole cycle: tasks are file-disjoint by
+      // construction, so batching them changes layout granularity only, never row content
+      val files = pending.flatMap(_.filePaths).distinct.flatMap(metasByPath.get)
+      if (files.nonEmpty) {
+        val snap = Rewrite.compactFiles(spark, table, files, cfg, opts.targetRecordsPerFile,
+          Map("maintenance-task" -> s"$cycle/${pending.map(_.taskId).max}",
+            "batched-tasks" -> pending.size.toString), opts.hilbert)
+        recordsRewritten += files.map(_.records).sum
+        pending.foreach { t =>
           checkpoint.append(StateEvent("TASK_COMMITTED", cycle, t.taskId, baseVersion,
-            snap.version, Seq(t.region.x, t.region.y, t.region.w), t.filePaths,
-            Map("records" -> files.map(_.records).sum.toString), now()))
-          executed += 1
-        } else skipped += 1
-        failpoint(s"task-${t.taskId}")
-      }
+            snap.version, Seq(t.region.x, t.region.y, t.region.w), t.filePaths, Map.empty, now()))
+        }
+        executed += pending.size
+      } else skipped += pending.size
+      failpoint("batch")
+    } else pending.foreach { t =>
+      val files = t.filePaths.flatMap(metasByPath.get) // files may be gone if replanned; skip those
+      if (files.nonEmpty) {
+        val snap = Rewrite.compactFiles(spark, table, files, cfg, opts.targetRecordsPerFile,
+          Map("maintenance-task" -> s"$cycle/${t.taskId}"), opts.hilbert)
+        recordsRewritten += files.map(_.records).sum
+        checkpoint.append(StateEvent("TASK_COMMITTED", cycle, t.taskId, baseVersion,
+          snap.version, Seq(t.region.x, t.region.y, t.region.w), t.filePaths,
+          Map("records" -> files.map(_.records).sum.toString), now()))
+        executed += 1
+      } else skipped += 1
+      failpoint(s"task-${t.taskId}")
     }
 
     // ---- housekeeping ----

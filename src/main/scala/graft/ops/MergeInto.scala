@@ -73,7 +73,12 @@ object MergeInto {
             coalesce(col("c_source"), col("source")).as("source"))
 
         val total = affected.map(_.records).sum + nKeys // upper bound (inserts all new)
-        val added = Rewrite.clusteredWrite(spark, table, merged, cfg, targetRecordsPerFile, total)
+        // the clustered write range-samples its input before writing; persist so the full outer
+        // join is computed once, not twice (2x merge latency otherwise)
+        val mergedP = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val added =
+          try Rewrite.clusteredWrite(spark, table, mergedP, cfg, targetRecordsPerFile, total)
+          finally { mergedP.unpersist(); () }
 
         // 3. atomic swap; on conflict, drop our orphan files and replan from the new head
         try {

@@ -49,7 +49,9 @@ object SeqIO {
     Files.deleteIfExists(tmp)
     if (moved.isEmpty) return Nil
 
-    val stats = spark.read.schema(SeqSchema.schema).parquet(moved.map(_.toString): _*)
+    // stats need only the 3 narrow columns — prunes the tokens payload (~95% of bytes) off the scan
+    val statSchema = StructType(SeqSchema.schema.filterNot(_.name == "tokens"))
+    val stats = spark.read.schema(statSchema).parquet(moved.map(_.toString): _*)
       .groupBy(input_file_name().as("file"))
       .agg(
         count(lit(1)).as("records"),

@@ -1,0 +1,105 @@
+package graft.table
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.fixtures.SeqGen
+
+class SeqTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def fresh(): String = Files.createTempDirectory("seqtable-spec-").toString + "/t"
+
+  test("create → append → read roundtrip with per-file stats") {
+    val t = SeqTable.create(fresh())
+    val df = SeqGen.table(spark, 1000, parts = 4)
+    val metas = SeqIO.writeFiles(spark, t, df)
+    t.commit("append", metas, Set.empty)
+    assert(t.currentVersion() === 1)
+    assert(metas.map(_.records).sum === 1000)
+    assert(SeqIO.read(spark, t).count() === 1000)
+    // metadata invariants: stored stats equal recomputed stats (SURVEY.md §5.3)
+    import org.apache.spark.sql.functions._
+    metas.foreach { m =>
+      val f = spark.read.parquet(t.absolutePath(m))
+      val r = f.agg(count(lit(1)), min("n_tok"), max("n_tok"), min("doc_id"), max("doc_id")).head
+      assert(r.getLong(0) === m.records)
+      assert(r.getInt(1) === m.minNtok && r.getInt(2) === m.maxNtok)
+      assert(r.getString(3) === m.minDocId && r.getString(4) === m.maxDocId)
+      val srcs = f.select("source").distinct().collect().map(_.getString(0)).sorted.toSeq
+      if (m.sources.nonEmpty) assert(srcs === m.sources.sorted)
+      else assert(srcs.size > SeqIO.MaxSourcesTracked)
+    }
+  }
+
+  test("conflicting commits: same base, same removed file → exactly one wins") {
+    val t = SeqTable.create(fresh())
+    val metas = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 200, parts = 2))
+    t.commit("append", metas, Set.empty)
+    val victim = t.liveFiles().head.path
+    // first rewrite of the victim succeeds
+    t.commit("compact", Seq(metas.last.copy(path = metas.head.path + ".new")), Set(victim))
+    // second rewrite of the SAME (now dead) file must conflict
+    val e = intercept[RuntimeException](
+      t.commit("compact", Nil, Set(victim)))
+    assert(e.getMessage.contains("concurrent"))
+  }
+
+  test("version race: concurrent non-overlapping commits both land (rebase retry)") {
+    val t = SeqTable.create(fresh())
+    val metas = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 400, parts = 4))
+    t.commit("append", metas, Set.empty)
+    val Seq(a, b, c, d) = t.liveFiles().take(4).map(_.path)
+    val th = (0 until 2).map { i =>
+      new Thread(() => {
+        val rm = if (i == 0) Set(a, b) else Set(c, d)
+        t.commit("compact", Nil, rm)
+      })
+    }
+    th.foreach(_.start()); th.foreach(_.join())
+    assert(t.currentVersion() === 3)
+    val live = t.liveFiles().map(_.path).toSet
+    assert(!live.contains(a) && !live.contains(c))
+  }
+
+  test("snapshot isolation: a reader pinned to an old version sees stable data") {
+    val t = SeqTable.create(fresh())
+    val metas = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 300, parts = 2))
+    t.commit("append", metas, Set.empty)
+    val pinned = t.snapshot(1)
+    val before = t.liveFiles(pinned).map(_.path).toSet
+    t.commit("append", SeqIO.writeFiles(spark, t, SeqGen.table(spark, 100, parts = 1)
+      .withColumn("doc_id", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("x-"),
+        org.apache.spark.sql.functions.col("doc_id"))), clustered = false), Set.empty)
+    assert(t.liveFiles(pinned).map(_.path).toSet === before) // pinned view unchanged
+    assert(t.liveFiles().size > before.size)
+  }
+
+  test("expiry deletes only unreachable files; manifest rewrite preserves the live set") {
+    val t = SeqTable.create(fresh())
+    (1 to 3).foreach { i =>
+      val m = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 100, parts = 1)
+        .withColumn("doc_id", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(s"b$i-"),
+          org.apache.spark.sql.functions.col("doc_id"))))
+      t.commit("append", m, Set.empty)
+    }
+    val liveBefore = t.liveFiles().map(_.path).toSet
+    // rewrite everything → old files dead
+    val all = t.liveFiles()
+    val newMetas = SeqIO.writeFiles(spark, t, SeqIO.readFiles(spark, t, all))
+    t.commit("compact", newMetas, liveBefore)
+
+    val s = t.rewriteManifests()
+    assert(s.manifests.size === 1)
+    assert(t.liveFiles().map(_.path).toSet === newMetas.map(_.path).toSet)
+
+    val (expired, deleted) = t.expireSnapshots(keepLast = 1)
+    assert(expired.nonEmpty)
+    assert(deleted.toSet === liveBefore) // exactly the dead files were removed from disk
+    deleted.foreach(p => assert(!Files.exists(java.nio.file.Paths.get(t.root).resolve(p))))
+    newMetas.foreach(m => assert(Files.exists(java.nio.file.Paths.get(t.absolutePath(m)))))
+    assert(SeqIO.read(spark, t).count() === 300)
+  }
+}
