@@ -257,6 +257,19 @@ object SparkEntry {
           col("fake_features"))
     }),
 
+    "q29_planner_topk_approx" -> ((s, dir) => {
+      // approximate mode (reference algo 8): overlapping winners accepted within σ of the best
+      import s.implicits._
+      val cfg = GridConfig(sourceBuckets = 8, ntokBinWidth = 100, nodeSide = 4, regionW = 2)
+      val cells = docCells(s, dir)
+        .select(col("gx").cast("int"), col("gy").cast("int"), col("cnt").cast("double"))
+        .as[(Int, Int, Double)].map { case (x, y, c) => Cell(x, y, c) }
+      val winners = GridTopK.solve(s, cells, cfg, k = 5, overlapAllowed = false, sigma = Some(0.7))
+      s.createDataset(winners).select(
+        col("x").as("ax").cast("long"), col("y").as("ay").cast("long"),
+        col("score").cast("long").as("score"))
+    }),
+
     // ---- engine lifecycle (rows-only: run on a synthesized table, emit metrics) ----
     "q25_engine_compaction" -> ((s, dir) => EngineQueries.compactionCycle(s, dir)),
     "q26_engine_merge_into" -> ((s, dir) => EngineQueries.mergeInto(s, dir)),

@@ -76,18 +76,19 @@ object DistributedTopK {
       k: Int,
       overlapAllowed: Boolean,
       kPrime0: Int = 0,
-      maxRounds: Int = 8): Vector[Region] = {
+      maxRounds: Int = 8,
+      sigma: Option[Double] = None): Vector[Region] = {
     var kPrime = if (kPrime0 > 0) kPrime0 else math.max(k, 4)
     var round = 0
     while (round < maxRounds) {
       val perNode = runRound(kPrime)
-      val (accepted, complete) = RegionKernel.mergeTopK(perNode, k, overlapAllowed)
+      val (accepted, complete) = RegionKernel.mergeTopK(perNode, k, overlapAllowed, sigma)
       if (complete) return accepted
       kPrime *= 4
       round += 1
     }
     // Fallback: final round with effectively-unbounded K′ (node grids are small by construction).
     val perNode = runRound(Int.MaxValue)
-    RegionKernel.mergeTopK(perNode, k, overlapAllowed)._1
+    RegionKernel.mergeTopK(perNode, k, overlapAllowed, sigma)._1
   }
 }

@@ -14,7 +14,8 @@ object GridTopK {
       cells: Dataset[Cell],
       cfg: GridConfig,
       k: Int,
-      overlapAllowed: Boolean): Vector[Region] = {
+      overlapAllowed: Boolean,
+      sigma: Option[Double] = None): Vector[Region] = {
     import spark.implicits._
     val keyed = cells
       .flatMap(c => cfg.nodesForCell(c.x, c.y).map(n => (n, c)))
@@ -27,7 +28,7 @@ object GridTopK {
             RegionKernel.localTopK(it.map(_._2).toSeq, ax0, ax1, ay0, ay1, cfg.regionW, kPrime)
           }
           .collect().toSeq
-      DistributedTopK.solve(runRound, k, overlapAllowed)
+      DistributedTopK.solve(runRound, k, overlapAllowed, sigma = sigma)
     } finally { keyed.unpersist(); () }
   }
 }

@@ -118,18 +118,25 @@ object RegionKernel {
     NodeResult(emitted, exhausted, minEmitted)
   }
 
-  /** Greedy non-overlapping selection over a descending candidate stream — the semantics of the
-    * reference's distinct-mode merge (`/root/reference/src/main/scala/SDL/distrib/NstepAlgo.scala:91-119`).
+  /** Greedy selection over a descending candidate stream — the semantics of the reference's
+    * distinct-mode merge (`/root/reference/src/main/scala/SDL/distrib/NstepAlgo.scala:91-119`).
+    *
+    * @param sigma approximate mode (reference algo 8, `NstepAlgoApp.scala:25-83`): an overlapping
+    *              candidate is still accepted when its score ≥ σ × the best accepted region it
+    *              overlaps. None = strict non-overlap.
     */
-  def greedySelect(sortedDesc: Iterator[Region], k: Int, overlapAllowed: Boolean): Vector[Region] = {
+  def greedySelect(sortedDesc: Iterator[Region], k: Int, overlapAllowed: Boolean,
+      sigma: Option[Double] = None): Vector[Region] = {
     val acc = Vector.newBuilder[Region]
     var n = 0
     val accepted = scala.collection.mutable.ArrayBuffer.empty[Region]
     while (n < k && sortedDesc.hasNext) {
       val r = sortedDesc.next()
-      if (overlapAllowed || !accepted.exists(_.overlaps(r))) {
-        acc += r; accepted += r; n += 1
+      val ok = overlapAllowed || {
+        val overlapping = accepted.filter(_.overlaps(r))
+        overlapping.isEmpty || sigma.exists(s => overlapping.forall(a => r.score >= s * a.score))
       }
+      if (ok) { acc += r; accepted += r; n += 1 }
     }
     acc.result()
   }
@@ -142,7 +149,8 @@ object RegionKernel {
     *
     * @return (accepted, complete) — complete=false means K′ must grow and the round repeat.
     */
-  def mergeTopK(perNode: Seq[NodeResult], k: Int, overlapAllowed: Boolean): (Vector[Region], Boolean) = {
+  def mergeTopK(perNode: Seq[NodeResult], k: Int, overlapAllowed: Boolean,
+      sigma: Option[Double] = None): (Vector[Region], Boolean) = {
     val truncatedAt = perNode.iterator.filter(n => !n.exhausted).map(_.minEmitted).toSeq
     val union = perNode.flatMap(_.candidates).sorted(RegionOrdering)
     // node X guarantees the union holds ALL its regions scoring above X's own truncation point, so
@@ -152,7 +160,7 @@ object RegionKernel {
     val safe =
       if (truncatedAt.isEmpty) union // every node emitted everything → union is the full region set
       else union.takeWhile(_.score > truncatedAt.max)
-    val accepted = greedySelect(safe.iterator, k, overlapAllowed)
+    val accepted = greedySelect(safe.iterator, k, overlapAllowed, sigma)
     val complete = accepted.size >= k || truncatedAt.isEmpty
     (accepted, complete)
   }
@@ -161,7 +169,8 @@ object RegionKernel {
     * window is non-empty, sort, greedy-select. Mirrors the role of the reference's golden outputs
     * (`/root/reference/src/main/scala/SDL/distrib/OnestepAlgoReduce.scala:110-410`).
     */
-  def bruteForceTopK(cells: Iterable[Cell], w: Int, k: Int, overlapAllowed: Boolean): Vector[Region] = {
+  def bruteForceTopK(cells: Iterable[Cell], w: Int, k: Int, overlapAllowed: Boolean,
+      sigma: Option[Double] = None): Vector[Region] = {
     if (cells.isEmpty) return Vector.empty
     val byCell = cells.groupBy(c => (c.x, c.y)).map { case (k2, v) => (k2, v.map(_.score).sum) }
     val anchors = scala.collection.mutable.Map.empty[(Int, Int), Double]
@@ -180,6 +189,6 @@ object RegionKernel {
       .filter(_._2 > 0)
       .map { case ((ax, ay), s) => Region(ax, ay, w, s) }
       .toVector.sorted(RegionOrdering)
-    greedySelect(sorted.iterator, k, overlapAllowed)
+    greedySelect(sorted.iterator, k, overlapAllowed, sigma)
   }
 }

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.Rewrite
+import graft.planner.GridConfig
+import graft.table.{SeqIO, SeqTable, Snapshot}
+
+/** Batch + streaming ingestion into a [[SeqTable]] — the engine's source connectors, replacing the
+  * reference's JDBC→CSV cache pipeline (`/root/reference/src/main/scala/SDL/main/main.java:19-46`,
+  * `Run.scala:67-68`) with committed snapshot appends.
+  */
+object Ingest {
+
+  /** Normalize an arbitrary DataFrame to the sequence schema: requires doc_id/tokens/source;
+    * derives n_tok when missing; casts token elements to int.
+    */
+  def conform(df: DataFrame): DataFrame = {
+    val withNtok =
+      if (df.columns.contains("n_tok")) df
+      else df.withColumn("n_tok", size(col("tokens")))
+    withNtok.select(
+      col("doc_id").cast("string").as("doc_id"),
+      col("tokens").cast("array<int>").as("tokens"),
+      col("n_tok").cast("int").as("n_tok"),
+      col("source").cast("string").as("source"))
+  }
+
+  /** Append a batch, curve-clustered on write (cheap insurance: appends arrive pre-sorted, so the
+    * planner rarely needs to touch them again).
+    */
+  def appendClustered(spark: SparkSession, table: SeqTable, df: DataFrame, cfg: GridConfig,
+      targetRecordsPerFile: Long): Snapshot = {
+    val conformed = conform(df)
+    val n = conformed.count()
+    val metas = Rewrite.clusteredWrite(spark, table, conformed, cfg, targetRecordsPerFile, n)
+    table.commit("append", metas, Set.empty, Map("records" -> n.toString))
+  }
+
+  /** Plain (unclustered) append — fastest path, leaves layout work to the maintenance planner. */
+  def append(spark: SparkSession, table: SeqTable, df: DataFrame): Snapshot = {
+    val metas = SeqIO.writeFiles(spark, table, conform(df))
+    table.commit("append", metas, Set.empty)
+  }
+
+  /** CSV ingest: `doc_id,tokens,source` with tokens as `;`-delimited ints — the reference's
+    * delimited-string-as-array convention (`/root/reference/src/main/scala/SDL/main/Run.scala:71-76`).
+    */
+  def fromCsv(spark: SparkSession, table: SeqTable, path: String): Snapshot = {
+    val raw = spark.read.option("header", "true").csv(path)
+    append(spark, table, raw
+      .withColumn("tokens", split(col("tokens"), ";").cast("array<int>")))
+  }
+
+  def fromParquet(spark: SparkSession, table: SeqTable, path: String): Snapshot =
+    append(spark, table, spark.read.parquet(path))
+
+  def fromJson(spark: SparkSession, table: SeqTable, path: String): Snapshot =
+    append(spark, table, spark.read.json(path))
+
+  /** Structured-streaming ingestion: every micro-batch becomes one atomic snapshot commit
+    * (transactional streaming append — readers never see a partial batch).
+    */
+  def stream(spark: SparkSession, table: SeqTable, source: DataFrame,
+      checkpointDir: String): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val metas = SeqIO.writeFiles(batch.sparkSession, table, conform(batch))
+          table.commit("stream-append", metas, Set.empty, Map("batch-id" -> batchId.toString))
+          ()
+        }
+      }
+      .start()
+
+  /** Result export sink (reference S4/S5 stdout/WKT analog): write any result DataFrame as
+    * parquet or single-header CSV.
+    */
+  def export(df: DataFrame, path: String, format: String = "parquet"): Unit = format match {
+    case "csv" => df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    case _ => df.write.mode("overwrite").parquet(path)
+  }
+}

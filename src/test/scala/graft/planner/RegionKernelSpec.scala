@@ -48,6 +48,26 @@ class RegionKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("approximate sigma mode: distributed == brute force") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 100) {
+      val w = Seq(1, 2, 3)(rnd.nextInt(3))
+      val cfg = GridConfig(sourceBuckets = 64, nodeSide = math.max(w, 8), regionW = w)
+      val cells = randomCells(rnd, 1 + rnd.nextInt(40), 1 + rnd.nextInt(100))
+      val k = 1 + rnd.nextInt(8)
+      val sigma = Some(Seq(0.5, 0.7, 0.9)(rnd.nextInt(3)))
+      def runRound(kPrime: Int): Seq[NodeResult] =
+        cells.flatMap(c => cfg.nodesForCell(c.x, c.y).map(n => (n, c)))
+          .groupBy(_._1).toSeq.map { case (node, cs) =>
+            val (ax0, ax1, ay0, ay1) = cfg.anchorBounds(node)
+            RegionKernel.localTopK(cs.map(_._2), ax0, ax1, ay0, ay1, cfg.regionW, kPrime)
+          }
+      val got = DistributedTopK.solve(runRound, k, overlapAllowed = false, sigma = sigma)
+      val want = RegionKernel.bruteForceTopK(cells, w, k, overlapAllowed = false, sigma = sigma)
+      assert(got === want, s"trial=$trial w=$w k=$k sigma=$sigma")
+    }
+  }
+
   test("non-overlapping winners are pairwise disjoint and descending") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 50) {

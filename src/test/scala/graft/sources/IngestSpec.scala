@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.fixtures.SeqGen
+import graft.planner.GridConfig
+import graft.table.{SeqIO, SeqTable}
+
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def fresh(): String = Files.createTempDirectory("ingest-spec-").toString
+
+  test("csv ingest with ;-delimited token arrays") {
+    val dir = fresh()
+    val csv = s"$dir/in.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      "doc_id,tokens,source\nd1,1;2;3,src0\nd2,7;8,src1\n")
+    val t = SeqTable.create(s"$dir/t")
+    Ingest.fromCsv(spark, t, csv)
+    val rows = SeqIO.read(spark, t).orderBy("doc_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Seq[Int]]("tokens") === Seq(1, 2, 3))
+    assert(rows(0).getAs[Int]("n_tok") === 3)
+  }
+
+  test("clustered append leaves tight per-file stats") {
+    val dir = fresh()
+    val t = SeqTable.create(s"$dir/t")
+    Ingest.appendClustered(spark, t, SeqGen.table(spark, 3000, parts = 8),
+      GridConfig(), targetRecordsPerFile = 300)
+    val files = t.liveFiles()
+    assert(files.size >= 8)
+    // curve-clustered layout: the large majority of files keep bounded source stats (a z-range can
+    // straddle many buckets at bin boundaries, so a few overflow files are fine)
+    assert(files.count(_.sources.nonEmpty) * 2 > files.size,
+      s"too many overflow files: ${files.count(_.sources.isEmpty)}/${files.size}")
+  }
+
+  test("streaming ingest: each micro-batch is one atomic snapshot commit") {
+    val dir = fresh()
+    val t = SeqTable.create(s"$dir/t")
+    val srcDir = s"$dir/incoming"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    // stage two batches of parquet input
+    SeqGen.table(spark, 100, parts = 1).write.parquet(s"$srcDir/b1")
+    SeqGen.table(spark, 80, parts = 1)
+      .withColumn("doc_id", concat(lit("x-"), col("doc_id"))).write.parquet(s"$srcDir/b2")
+    val src = spark.readStream.schema(graft.table.SeqSchema.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/b*")
+    val q = Ingest.stream(spark, t, src, s"$dir/ckpt")
+    q.awaitTermination(120000)
+    assert(SeqIO.read(spark, t).count() === 180)
+    val ops = t.snapshotVersions().map(t.snapshot).map(_.operation)
+    assert(ops.count(_ == "stream-append") >= 1)
+  }
+
+  test("export sink roundtrips csv") {
+    val dir = fresh()
+    import spark.implicits._
+    Ingest.export(Seq((1, "a"), (2, "b")).toDF("k", "v"), s"$dir/out", "csv")
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+    assert(back.count() === 2)
+  }
+}
