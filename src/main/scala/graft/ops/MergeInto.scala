@@ -17,11 +17,15 @@ final case class MergeResult(
   *  - otherwise    → update the target row, or insert when absent
   *
   * Physical plan, scale-first:
-  *  1. prune: only data files whose manifest [minDocId, maxDocId] range can contain a change key are
-  *     touched — a broadcast range-join of change keys against file stats (manifest rows, tiny);
-  *  2. full outer join of the pruned target subset with the changes on `doc_id` — Catalyst
-  *     broadcast-joins the change side when it is small, sort-merge otherwise;
-  *  3. rewrite the affected files curve-clustered, atomically swap them in one commit.
+  *  1. **prune**: only data files whose manifest [minDocId, maxDocId] range can contain a change
+  *     key are touched — a broadcast range-join of change keys against file stats;
+  *  2. **map-only update path**: the pruned target subset joins the broadcast change set and is
+  *     rewritten partition-for-partition — NO shuffle, no range sampling; the curve-sorted layout
+  *     of the affected files carries over to their replacements. (When the change set is too big
+  *     to broadcast, the join falls back to shuffle but the write still avoids re-sampling.)
+  *  3. **insert path**: change rows matching no target row are written as a small separate
+  *     curve-clustered file set;
+  *  4. one atomic commit swaps affected → rewritten ∪ inserts.
   *
   * Isolation: the commit validates that no concurrent commit rewrote our affected files; on
   * conflict the ENTIRE merge replans against the new snapshot (bounded retries). Two merges on
@@ -37,7 +41,8 @@ object MergeInto {
       changes: DataFrame,
       cfg: GridConfig,
       targetRecordsPerFile: Long,
-      maxAttempts: Int = 5): MergeResult = {
+      maxAttempts: Int = 5,
+      broadcastChanges: Boolean = true): MergeResult = {
     val hasOp = changes.columns.contains("_op")
     val ch = (if (hasOp) changes else changes.withColumn("_op", lit("U")))
       .select(
@@ -62,37 +67,41 @@ object MergeInto {
           .select("path").distinct().as[String].collect().toSet
         val affected = live.filter(f => affectedPaths.contains(f.path))
 
-        // 2. COW merge of only the affected rows
+        // 2. map-only COW update of the affected rows (partition layout preserved → no shuffle)
         val target = SeqIO.readFiles(spark, table, affected)
-        val merged = target.join(ch, col("doc_id") === col("c_doc_id"), "full_outer")
-          .filter(col("_op").isNull || col("_op") =!= "D") // deletes drop out; unmatched target rows (null _op) kept
+        val chSide = if (broadcastChanges) broadcast(ch) else ch
+        val updated = target.join(chSide, col("doc_id") === col("c_doc_id"), "left_outer")
+          .filter(col("_op").isNull || col("_op") =!= "D") // deletes drop out
           .select(
-            coalesce(col("c_doc_id"), col("doc_id")).as("doc_id"),
+            col("doc_id"),
             coalesce(col("c_tokens"), col("tokens")).as("tokens"),
             coalesce(col("c_n_tok"), col("n_tok")).as("n_tok"),
             coalesce(col("c_source"), col("source")).as("source"))
+        val rewritten =
+          if (affected.isEmpty) Nil
+          else SeqIO.writeFiles(spark, table, updated, clustered = affected.forall(_.clustered))
 
-        val total = affected.map(_.records).sum + nKeys // upper bound (inserts all new)
-        // the clustered write range-samples its input before writing; persist so the full outer
-        // join is computed once, not twice (2x merge latency otherwise)
-        val mergedP = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val added =
-          try Rewrite.clusteredWrite(spark, table, mergedP, cfg, targetRecordsPerFile, total)
-          finally { mergedP.unpersist(); () }
+        // 3. inserts: change keys present in NO target file (pruning ⇒ checking affected suffices)
+        val inserts = ch.filter(col("_op") =!= "D")
+          .join(target.select(col("doc_id")), col("c_doc_id") === col("doc_id"), "left_anti")
+          .select(col("c_doc_id").as("doc_id"), col("c_tokens").as("tokens"),
+            col("c_n_tok").as("n_tok"), col("c_source").as("source"))
+        val insertedFiles = Rewrite.clusteredWrite(
+          spark, table, inserts, cfg, targetRecordsPerFile, nKeys)
 
-        // 3. atomic swap; on conflict, drop our orphan files and replan from the new head
+        // 4. atomic swap; on conflict, drop our orphan files and replan from the new head
         try {
-          val s = table.commit("merge", added, affectedPaths,
+          val s = table.commit("merge", rewritten ++ insertedFiles, affectedPaths,
             Map("merge-attempt" -> attempt.toString))
           return MergeResult(s, affected.size, attempt)
         } catch {
           case e: table.CommitConflictException =>
-            added.foreach(f =>
+            (rewritten ++ insertedFiles).foreach(f =>
               java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(table.absolutePath(f))))
             if (attempt >= maxAttempts) throw e
         }
       }
       throw new IllegalStateException("unreachable")
-    } finally ch.unpersist()
+    } finally { ch.unpersist(); () }
   }
 }
