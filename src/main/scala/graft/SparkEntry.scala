@@ -169,7 +169,7 @@ object SparkEntry {
 
     "q17_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.lshTopK(e, e.filter(col("id") < 3), k = 5, planes = 12, tables = 4)
+      Similarity.lshTopK(e, e.filter(col("id") < 3), k = 5, planes = 8, tables = 6)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           round(col("cos") * 10000).cast("long").as("cos_x1e4"))
         .orderBy(col("query_id"), col("rank"))

@@ -120,4 +120,40 @@ object MaintenancePlanner {
       } else None
     }
   }
+
+  /** Fully-distributed plan over a manifest Dataset — the 10^12-scale path: cell scoring, region
+    * search AND file claiming all run on executors; only the winning regions (k rows) and their
+    * claimed file lists (task-sized) ever reach the driver. Winners are non-overlapping and each
+    * file has ONE centroid cell, so claims are disjoint without driver-side dedup.
+    */
+  def planCompactionDistributed(
+      spark: SparkSession,
+      metas: Dataset[FileMeta],
+      cfg: GridConfig,
+      k: Int,
+      threshold: Double,
+      targetRecords: Long): Seq[PlannedTask] = {
+    import spark.implicits._
+    val cells = metas.flatMap(f => fileCells(f, cfg, targetRecords))
+    val winners = GridTopK.solve(spark, cells, cfg, k, overlapAllowed = false)
+      .filter(_.score >= threshold)
+    if (winners.isEmpty) return Nil
+    val wb = spark.sparkContext.broadcast(winners.zipWithIndex)
+    val claims = metas.flatMap { f =>
+      val (x, y) = centroidCell(f, cfg)
+      wb.value.collectFirst {
+        case (r, i) if x >= r.x && x <= r.x + r.w - 1 && y >= r.y && y <= r.y + r.w - 1 =>
+          (i, f)
+      }
+    }.collect()
+    val byTask = claims.groupBy(_._1)
+    winners.zipWithIndex.flatMap { case (r, i) =>
+      val fs = byTask.getOrElse(i, Array.empty).map(_._2).toSeq.sortBy(_.path)
+      val total = fs.map(_.records).sum
+      val outFiles = math.max(1L, (total + targetRecords - 1) / targetRecords)
+      val useful = outFiles < fs.size ||
+        (fs.exists(f => !f.clustered && cellsOf(f, cfg).size > 1) && total >= 2 * targetRecords)
+      if (useful) Some(PlannedTask(i, r, fs.map(_.path), r.score)) else None
+    }
+  }
 }

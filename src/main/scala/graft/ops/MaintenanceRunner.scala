@@ -41,7 +41,14 @@ object MaintenanceRunner {
       failpoint: String => Unit = _ => ()): CycleReport = {
 
     val now = () => System.currentTimeMillis()
-    val metasByPath = table.liveFiles().map(f => f.path -> f).toMap
+    val debugTiming = sys.env.contains("GRAFT_TIMING")
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (debugTiming) println(f"[timing] $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    val metasByPath = timed("liveFiles")(table.liveFiles().map(f => f.path -> f).toMap)
 
     // ---- resume or plan ----
     val (cycle, baseVersion, tasks, alreadyDone) = checkpoint.openCycle() match {
@@ -61,8 +68,8 @@ object MaintenanceRunner {
         val cycle = checkpoint.lastCycle() + 1
         val base = table.currentVersion()
         val metas = metasByPath.values.toSeq
-        val planned = MaintenancePlanner.planCompaction(
-          spark, metas, cfg, opts.k, opts.threshold, opts.targetRecordsPerFile)
+        val planned = timed("plan")(MaintenancePlanner.planCompaction(
+          spark, metas, cfg, opts.k, opts.threshold, opts.targetRecordsPerFile))
         checkpoint.append(StateEvent("CYCLE_START", cycle, -1, base, -1, Nil, Nil,
           Map("live-files" -> metas.size.toString), now()))
         planned.foreach { t =>
@@ -87,9 +94,10 @@ object MaintenanceRunner {
       // construction, so batching them changes layout granularity only, never row content
       val files = pending.flatMap(_.filePaths).distinct.flatMap(metasByPath.get)
       if (files.nonEmpty) {
-        val snap = Rewrite.compactFiles(spark, table, files, cfg, opts.targetRecordsPerFile,
-          Map("maintenance-task" -> s"$cycle/${pending.map(_.taskId).max}",
-            "batched-tasks" -> pending.size.toString), opts.hilbert)
+        val snap = timed(s"batch-rewrite(${files.size}f)")(
+          Rewrite.compactFiles(spark, table, files, cfg, opts.targetRecordsPerFile,
+            Map("maintenance-task" -> s"$cycle/${pending.map(_.taskId).max}",
+              "batched-tasks" -> pending.size.toString), opts.hilbert))
         recordsRewritten += files.map(_.records).sum
         pending.foreach { t =>
           checkpoint.append(StateEvent("TASK_COMMITTED", cycle, t.taskId, baseVersion,

@@ -67,19 +67,30 @@ object MergeInto {
           .select("path").distinct().as[String].collect().toSet
         val affected = live.filter(f => affectedPaths.contains(f.path))
 
-        // 2. map-only COW update of the affected rows (partition layout preserved → no shuffle)
+        // 2. COW update of the affected rows: broadcast-join the changes (no shuffle of the
+        // target payload for the join), then ONE hash shuffle keyed on the source file to restore
+        // file granularity — the parquet reader coalesces/splits files per partition, so
+        // "partition = file" cannot be assumed. No range sampling, no double computation.
         val target = SeqIO.readFiles(spark, table, affected)
         val chSide = if (broadcastChanges) broadcast(ch) else ch
-        val updated = target.join(chSide, col("doc_id") === col("c_doc_id"), "left_outer")
+        val updated = target.withColumn("_file", input_file_name())
+          .join(chSide, col("doc_id") === col("c_doc_id"), "left_outer")
           .filter(col("_op").isNull || col("_op") =!= "D") // deletes drop out
           .select(
             col("doc_id"),
             coalesce(col("c_tokens"), col("tokens")).as("tokens"),
             coalesce(col("c_n_tok"), col("n_tok")).as("n_tok"),
-            coalesce(col("c_source"), col("source")).as("source"))
+            coalesce(col("c_source"), col("source")).as("source"),
+            col("_file"))
         val rewritten =
           if (affected.isEmpty) Nil
-          else SeqIO.writeFiles(spark, table, updated, clustered = affected.forall(_.clustered))
+          else {
+            val regrouped = Rewrite.withCurveKey(updated, cfg)
+              .repartition(math.max(1, affected.size), col("_file"))
+              .sortWithinPartitions(col("_ck"), col("doc_id"))
+              .drop("_ck", "_file")
+            SeqIO.writeFiles(spark, table, regrouped, clustered = affected.forall(_.clustered))
+          }
 
         // 3. inserts: change keys present in NO target file (pruning ⇒ checking affected suffices)
         val inserts = ch.filter(col("_op") =!= "D")

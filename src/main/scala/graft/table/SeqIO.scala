@@ -12,6 +12,19 @@ object SeqSchema {
     StructField("tokens", ArrayType(IntegerType)),
     StructField("n_tok", IntegerType),
     StructField("source", StringType)))
+
+  /** Manifest-entry schema (mirrors [[FileMeta]]) for reading manifests as a Dataset. */
+  val fileMetaSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("records", LongType),
+    StructField("bytes", LongType),
+    StructField("minNtok", IntegerType),
+    StructField("maxNtok", IntegerType),
+    StructField("minDocId", StringType),
+    StructField("maxDocId", StringType),
+    StructField("sources", ArrayType(StringType)),
+    StructField("addedAt", LongType),
+    StructField("clustered", BooleanType)))
 }
 
 /** Spark-side write/read for [[SeqTable]].
@@ -89,6 +102,19 @@ object SeqIO {
   /** Full-table read at the current snapshot. */
   def read(spark: SparkSession, table: SeqTable): DataFrame =
     readFiles(spark, table, table.liveFiles())
+
+  /** The live manifest as a distributed Dataset — the planner's input at 10^12-sequence scale
+    * (~10^7 manifest rows): metadata is scanned by executors, never materialized on the driver.
+    */
+  def fileMetaDS(spark: SparkSession, table: SeqTable): org.apache.spark.sql.Dataset[FileMeta] = {
+    import spark.implicits._
+    val snap = table.currentSnapshot()
+    if (snap.manifests.isEmpty) spark.emptyDataset[FileMeta]
+    else {
+      val paths = snap.manifests.map(m => java.nio.file.Paths.get(table.root, "metadata", m).toString)
+      spark.read.schema(SeqSchema.fileMetaSchema).json(paths: _*).as[FileMeta]
+    }
+  }
 
   final case class ScanStats(filesScanned: Int, totalFiles: Int, recordsScanned: Long)
 
