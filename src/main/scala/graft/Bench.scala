@@ -51,12 +51,22 @@ object Bench {
     def throughput: Double = (recordsRewritten + mergeRecords) / (cycleSec + mergeSec)
   }
 
-  /** The identical maintenance job used for both the per-round bench and the scaling evidence. */
-  def maintenanceBench(spark: SparkSession, rows: Long, nFiles: Int): MaintBench = {
-    val root = Files.createTempDirectory("graft-bench-").toString + "/tbl"
+  /** The identical maintenance job used for both the per-round bench and the scaling evidence.
+    * @param baseDir where the table lives; the scaling mode passes a tmpfs dir so the sandbox's
+    *                single disk (a cluster has aggregate bandwidth per executor) doesn't cap the
+    *                measured CPU scaling
+    */
+  def maintenanceBench(spark: SparkSession, rows: Long, nFiles: Int,
+      baseDir: Option[String] = None): MaintBench = {
+    val root = baseDir match {
+      case Some(d) => Files.createTempDirectory(Files.createDirectories(
+        java.nio.file.Paths.get(d)), "graft-bench-").toString + "/tbl"
+      case None => Files.createTempDirectory("graft-bench-").toString + "/tbl"
+    }
     val cfg = GridConfig()
     val target = math.max(2000L, rows / 40)
-    val opts = MaintenanceOptions(k = 16, targetRecordsPerFile = target)
+    // k=64: one planner pass claims the whole fragmented backlog (64 x-buckets / 2-wide regions)
+    val opts = MaintenanceOptions(k = 64, targetRecordsPerFile = target)
 
     val ((table, metas), tIngest) = time(SeqGen.fragmentedTable(spark, root, rows, nFiles))
     val (_, before) = SeqIO.scanPruned(spark, table, Some("src0"), Some(256), Some(1024))
@@ -98,13 +108,20 @@ object Bench {
     if (args.headOption.contains("scaling")) { // N vs 4N evidence → stdout table
       val sRows = rows * 5 / 2 // amortize fixed per-job overhead at the bigger grain
       val sFiles = nFiles * 5 / 2
+      val shm = "/dev/shm/graft-scaling"
       val results = Seq(8, 32).map { n =>
         val s = session(n)
         // warmup at 1/10 scale: JIT + codegen + classloading otherwise all land in the first run
-        maintenanceBench(s, math.max(5000L, sRows / 10), sFiles / 10 + 1)
+        maintenanceBench(s, math.max(5000L, sRows / 10), sFiles / 10 + 1, Some(shm))
         // best-of-2: the sandbox host is shared, single runs are noisy
-        val mb = try Seq.fill(2)(maintenanceBench(s, sRows, sFiles)).maxBy(_.throughput)
-        finally s.stop()
+        val mb = try Seq.fill(2)(maintenanceBench(s, sRows, sFiles, Some(shm))).maxBy(_.throughput)
+        finally {
+          s.stop()
+          // tmpfs is RAM: clean up the bench tables
+          import scala.jdk.CollectionConverters._
+          val p = java.nio.file.Paths.get(shm)
+          if (Files.exists(p)) Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        }
         println(f"[scaling] cores=$n%2d rows=$sRows ingest=${mb.ingestSec}%.1fs " +
           f"cycles=${mb.cycleSec}%.1fs merge=${mb.mergeSec}%.1fs throughput=${mb.throughput}%.0f seq/s " +
           f"files ${mb.filesBefore}->${mb.filesAfter} scan ${mb.scanAfter._1}/${mb.scanAfter._2}")

@@ -105,6 +105,24 @@ object EngineQueries {
       "disk_files_before", "disk_files_after", "rows_readable")
   }
 
+  def dedupTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = fresh("dedup")
+    val table = SeqTable.create(root)
+    // base rows + deliberate exact duplicates of every 10th row under new doc_ids
+    val base = SeqGen.table(s, 3000, parts = 8)
+    val dupes = base.filter(xxhash64(col("doc_id")) % 10 === 0)
+      .withColumn("doc_id", concat(lit("dup-"), col("doc_id")))
+    val metas = SeqIO.writeFiles(s, table, base.unionByName(dupes).repartition(12, col("doc_id")))
+    table.commit("append", metas, Set.empty)
+    val before = SeqIO.read(s, table).count()
+    val (deleted, _) = graft.ops.DedupTable.dedupExact(s, table, cfg, 1000)
+    val after = SeqIO.read(s, table)
+    val distinctPayloads = after.select(xxhash64(col("tokens")), col("n_tok")).distinct().count()
+    Seq((before, deleted, after.count(), distinctPayloads)).toDF(
+      "rows_before", "deleted", "rows_after", "distinct_payloads")
+  }
+
   def scanPruning(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows = rowsFor(dir)

@@ -274,7 +274,8 @@ object SparkEntry {
     "q25_engine_compaction" -> ((s, dir) => EngineQueries.compactionCycle(s, dir)),
     "q26_engine_merge_into" -> ((s, dir) => EngineQueries.mergeInto(s, dir)),
     "q27_engine_snapshot_expiry" -> ((s, dir) => EngineQueries.snapshotExpiry(s, dir)),
-    "q28_engine_scan_pruning" -> ((s, dir) => EngineQueries.scanPruning(s, dir))
+    "q28_engine_scan_pruning" -> ((s, dir) => EngineQueries.scanPruning(s, dir)),
+    "q30_engine_dedup_table" -> ((s, dir) => EngineQueries.dedupTable(s, dir))
   )
 
   // ---------- oracle SQL (DuckDB) ----------

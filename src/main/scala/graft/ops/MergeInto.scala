@@ -67,34 +67,41 @@ object MergeInto {
           .select("path").distinct().as[String].collect().toSet
         val affected = live.filter(f => affectedPaths.contains(f.path))
 
-        // 2. COW update of the affected rows: broadcast-join the changes (no shuffle of the
-        // target payload for the join), then ONE hash shuffle keyed on the source file to restore
-        // file granularity — the parquet reader coalesces/splits files per partition, so
-        // "partition = file" cannot be assumed. No range sampling, no double computation.
-        val target = SeqIO.readFiles(spark, table, affected)
-        val chSide = if (broadcastChanges) broadcast(ch) else ch
-        val updated = target.withColumn("_file", input_file_name())
-          .join(chSide, col("doc_id") === col("c_doc_id"), "left_outer")
-          .filter(col("_op").isNull || col("_op") =!= "D") // deletes drop out
-          .select(
-            col("doc_id"),
-            coalesce(col("c_tokens"), col("tokens")).as("tokens"),
-            coalesce(col("c_n_tok"), col("n_tok")).as("n_tok"),
-            coalesce(col("c_source"), col("source")).as("source"),
-            col("_file"))
+        // 2. map-only COW update: force the reader to one-partition-per-file (openCost = split
+        // size makes packing two files into one partition impossible), broadcast-join the
+        // changes, re-sort within partitions on the curve key, write. ZERO shuffle of the target
+        // payload, no range sampling, and file granularity — hence per-file stats tightness — is
+        // preserved exactly. (Oversized files still split → finer, tighter outputs.)
         val rewritten =
           if (affected.isEmpty) Nil
           else {
-            val regrouped = Rewrite.withCurveKey(updated, cfg)
-              .repartition(math.max(1, affected.size), col("_file"))
-              .sortWithinPartitions(col("_ck"), col("doc_id"))
-              .drop("_ck", "_file")
-            SeqIO.writeFiles(spark, table, regrouped, clustered = affected.forall(_.clustered))
+            val conf = spark.conf
+            val prevOpenCost = conf.get("spark.sql.files.openCostInBytes", "4194304")
+            conf.set("spark.sql.files.openCostInBytes",
+              conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+            try {
+              val target = SeqIO.readFiles(spark, table, affected)
+              val chSide = if (broadcastChanges) broadcast(ch) else ch
+              val updated = target
+                .join(chSide, col("doc_id") === col("c_doc_id"), "left_outer")
+                .filter(col("_op").isNull || col("_op") =!= "D") // deletes drop out
+                .select(
+                  col("doc_id"),
+                  coalesce(col("c_tokens"), col("tokens")).as("tokens"),
+                  coalesce(col("c_n_tok"), col("n_tok")).as("n_tok"),
+                  coalesce(col("c_source"), col("source")).as("source"))
+              val regrouped = Rewrite.withCurveKey(updated, cfg)
+                .sortWithinPartitions(col("_ck"), col("doc_id"))
+                .drop("_ck")
+              SeqIO.writeFiles(spark, table, regrouped, clustered = affected.forall(_.clustered))
+            } finally conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
           }
 
-        // 3. inserts: change keys present in NO target file (pruning ⇒ checking affected suffices)
+        // 3. inserts: change keys present in NO target file (pruning ⇒ checking affected suffices;
+        // narrow column-pruned re-read of just doc_id)
+        val targetKeys = SeqIO.readFiles(spark, table, affected).select(col("doc_id"))
         val inserts = ch.filter(col("_op") =!= "D")
-          .join(target.select(col("doc_id")), col("c_doc_id") === col("doc_id"), "left_anti")
+          .join(targetKeys, col("c_doc_id") === col("doc_id"), "left_anti")
           .select(col("c_doc_id").as("doc_id"), col("c_tokens").as("tokens"),
             col("c_n_tok").as("n_tok"), col("c_source").as("source"))
         val insertedFiles = Rewrite.clusteredWrite(
