@@ -67,11 +67,14 @@ object MergeInto {
           .select("path").distinct().as[String].collect().toSet
         val affected = live.filter(f => affectedPaths.contains(f.path))
 
-        // 2. map-only COW update: force the reader to one-partition-per-file (openCost = split
-        // size makes packing two files into one partition impossible), broadcast-join the
-        // changes, re-sort within partitions on the curve key, write. ZERO shuffle of the target
-        // payload, no range sampling, and file granularity — hence per-file stats tightness — is
-        // preserved exactly. (Oversized files still split → finer, tighter outputs.)
+        // 2. COW split. The merged state is exactly (target \ changedKeys) ∪ upserts:
+        //    a) SURVIVOR path — target rows whose key is untouched, rewritten map-only with one
+        //       partition per file (openCost = split size prevents file packing): a broadcast
+        //       anti-join, ZERO payload shuffle, and each output is a SUBSET of its source file,
+        //       so the file's min/max stats stay tight. Rewriting updated rows in place instead
+        //       would poison per-file stats (an update may move the row anywhere in key space).
+        //    b) UPSERT path — every non-delete change row (update or insert alike) goes through
+        //       the curve-clustered write, landing where its new (source, n_tok) says it belongs.
         val rewritten =
           if (affected.isEmpty) Nil
           else {
@@ -81,31 +84,18 @@ object MergeInto {
               conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
             try {
               val target = SeqIO.readFiles(spark, table, affected)
-              val chSide = if (broadcastChanges) broadcast(ch) else ch
-              val updated = target
-                .join(chSide, col("doc_id") === col("c_doc_id"), "left_outer")
-                .filter(col("_op").isNull || col("_op") =!= "D") // deletes drop out
-                .select(
-                  col("doc_id"),
-                  coalesce(col("c_tokens"), col("tokens")).as("tokens"),
-                  coalesce(col("c_n_tok"), col("n_tok")).as("n_tok"),
-                  coalesce(col("c_source"), col("source")).as("source"))
-              val regrouped = Rewrite.withCurveKey(updated, cfg)
-                .sortWithinPartitions(col("_ck"), col("doc_id"))
-                .drop("_ck")
-              SeqIO.writeFiles(spark, table, regrouped, clustered = affected.forall(_.clustered))
+              val keySide = if (broadcastChanges) broadcast(keys) else keys
+              val survivors = target
+                .join(keySide, col("doc_id") === col("c_doc_id"), "left_anti")
+              SeqIO.writeFiles(spark, table, survivors, clustered = affected.forall(_.clustered))
             } finally conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
           }
 
-        // 3. inserts: change keys present in NO target file (pruning ⇒ checking affected suffices;
-        // narrow column-pruned re-read of just doc_id)
-        val targetKeys = SeqIO.readFiles(spark, table, affected).select(col("doc_id"))
-        val inserts = ch.filter(col("_op") =!= "D")
-          .join(targetKeys, col("c_doc_id") === col("doc_id"), "left_anti")
+        val upserts = ch.filter(col("_op") =!= "D")
           .select(col("c_doc_id").as("doc_id"), col("c_tokens").as("tokens"),
             col("c_n_tok").as("n_tok"), col("c_source").as("source"))
         val insertedFiles = Rewrite.clusteredWrite(
-          spark, table, inserts, cfg, targetRecordsPerFile, nKeys)
+          spark, table, upserts, cfg, targetRecordsPerFile, nKeys)
 
         // 4. atomic swap; on conflict, drop our orphan files and replan from the new head
         try {
