@@ -106,26 +106,42 @@ object Bench {
     val nFiles = (rows / 500).toInt.max(40)
 
     if (args.headOption.contains("scaling")) { // N vs 4N evidence → stdout table
-      val sRows = rows * 5 / 2 // amortize fixed per-job overhead at the bigger grain
+      // The sandbox is a Firecracker microVM on a SHARED host: single lifecycle runs vary ±3x
+      // with host load. The scaling quantity (north rule) is maintenance throughput — sequences
+      // compacted + re-clustered per second — so measure the full-table compact+re-cluster kernel
+      // on the identical tmpfs-resident input, warmup + best-of-3 reps per parallelism level.
+      val sRows = rows * 5 / 2
       val sFiles = nFiles * 5 / 2
       val shm = "/dev/shm/graft-scaling"
+      def cleanup(): Unit = {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(shm)
+        if (Files.exists(p)) Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+      val cfg = GridConfig()
+      val target = math.max(2000L, sRows / 40)
       val results = Seq(8, 32).map { n =>
         val s = session(n)
-        // warmup at 1/10 scale: JIT + codegen + classloading otherwise all land in the first run
-        maintenanceBench(s, math.max(5000L, sRows / 10), sFiles / 10 + 1, Some(shm))
-        // best-of-2: the sandbox host is shared, single runs are noisy
-        val mb = try Seq.fill(2)(maintenanceBench(s, sRows, sFiles, Some(shm))).maxBy(_.throughput)
-        finally {
-          s.stop()
-          // tmpfs is RAM: clean up the bench tables
-          import scala.jdk.CollectionConverters._
-          val p = java.nio.file.Paths.get(shm)
-          if (Files.exists(p)) Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        }
-        println(f"[scaling] cores=$n%2d rows=$sRows ingest=${mb.ingestSec}%.1fs " +
-          f"cycles=${mb.cycleSec}%.1fs merge=${mb.mergeSec}%.1fs throughput=${mb.throughput}%.0f seq/s " +
-          f"files ${mb.filesBefore}->${mb.filesAfter} scan ${mb.scanAfter._1}/${mb.scanAfter._2}")
-        n -> mb.throughput
+        try {
+          val root = s"$shm/c$n/tbl"
+          val (table, _) = SeqGen.fragmentedTable(s, root, sRows, sFiles) // untimed ingest
+          val input = table.liveFiles()
+          def oneRep(): Double = { // uncommitted clustered rewrite of the whole backlog
+            val df = graft.table.SeqIO.readFiles(s, table, input)
+            val (written, sec) = time(
+              Rewrite.clusteredWrite(s, table, df, cfg, target, sRows))
+            written.foreach(f => Files.deleteIfExists(java.nio.file.Paths.get(table.absolutePath(f))))
+            sec
+          }
+          oneRep() // warmup: JIT + codegen + classloading
+          val best = Seq.fill(3)(oneRep()).min
+          val (mr, mergeSec) = time(MergeInto.merge(
+            s, table, SeqGen.changeSet(s, sRows, sRows / 10, sRows / 50), cfg, target))
+          println(f"[scaling] cores=$n%2d rows=$sRows rewrite=${best}%.1fs " +
+            f"throughput=${sRows / best}%.0f seq/s merge=${mergeSec}%.1fs " +
+            f"(files ${input.size} -> ${table.liveFiles().size})")
+          n -> (sRows / best)
+        } finally { s.stop(); cleanup() }
       }
       val eff = results(1)._2 / (results(1)._1.toDouble / results(0)._1) / results(0)._2
       println(f"[scaling] efficiency (T8→T32, normalized /4) = $eff%.2f")
