@@ -270,6 +270,19 @@ object SparkEntry {
         col("score").cast("long").as("score"))
     }),
 
+    "q31_brs_points_exact" -> ((s, dir) => {
+      // the reference's end-to-end query: exact continuous top-k best-region search
+      val pts = t(s, dir, "embeddings").select(
+        element_at(col("embedding"), 1).cast("double").as("lon"),
+        element_at(col("embedding"), 2).cast("double").as("lat"),
+        lit(1.0).as("f"))
+      graft.brs.BRS.bestRegions(pts, eps = 0.05, k = 5, scoreCol = Some("f"), distinct = true)
+        .select(col("rank").cast("long"),
+          round(col("center_lon") * 10000).cast("long").as("clon_x1e4"),
+          round(col("center_lat") * 10000).cast("long").as("clat_x1e4"),
+          col("score").cast("long").as("score"))
+    }),
+
     // ---- engine lifecycle (rows-only: run on a synthesized table, emit metrics) ----
     "q25_engine_compaction" -> ((s, dir) => EngineQueries.compactionCycle(s, dir)),
     "q26_engine_merge_into" -> ((s, dir) => EngineQueries.mergeInto(s, dir)),

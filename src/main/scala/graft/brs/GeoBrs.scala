@@ -1,0 +1,134 @@
+package graft.brs
+
+/** Continuous-coordinate Best Region Search — the reference's user-facing query: the k best
+  * eps × eps axis-aligned squares maximizing the (monotone, additive) total weight of covered
+  * points, optionally pairwise non-overlapping
+  * (`/root/reference/src/main/scala/SDL/ca/BCAIndexProgressive.java:35-177`).
+  *
+  * Exactness argument (classic): an optimal square can always be translated so its left edge sits
+  * at some point's x and its bottom edge at some point's y, so the candidate anchor set
+  * {(xi, yj)} over point coordinates is complete. The local kernel enumerates it with a sweep +
+  * prefix sums; the distributed layer is the same protocol as the discrete planner — eps-cell
+  * border replication, per-node top-K′, maxMin-thresholded merge, multi-round K′ growth.
+  */
+final case class Pt(x: Double, y: Double, w: Double)
+
+/** An eps×eps candidate anchored (lower-left) at (x, y). */
+final case class GeoRegion(x: Double, y: Double, eps: Double, score: Double) {
+  def overlaps(o: GeoRegion): Boolean =
+    x < o.x + o.eps && o.x < x + eps && y < o.y + o.eps && o.y < y + eps
+  def centerX: Double = x + eps / 2
+  def centerY: Double = y + eps / 2
+}
+
+final case class GeoNodeResult(
+    candidates: Vector[GeoRegion], exhausted: Boolean, minEmitted: Double)
+
+object GeoRegionOrdering extends Ordering[GeoRegion] {
+  def compare(a: GeoRegion, b: GeoRegion): Int = {
+    val c = java.lang.Double.compare(b.score, a.score)
+    if (c != 0) c
+    else {
+      val cx = java.lang.Double.compare(a.x, b.x)
+      if (cx != 0) cx else java.lang.Double.compare(a.y, b.y)
+    }
+  }
+}
+
+object GeoBrsKernel {
+
+  /** Exact local top-K′ over candidate anchors inside the owned box [ax0, ax1) × [ay0, ay1).
+    * `pts` must include every point within eps of the owned box on the +x/+y side (halo).
+    */
+  def localTopK(
+      pts: Seq[Pt], eps: Double, kPrime: Int,
+      ax0: Double, ax1: Double, ay0: Double, ay1: Double): GeoNodeResult = {
+    if (pts.isEmpty) return GeoNodeResult(Vector.empty, exhausted = true, Double.PositiveInfinity)
+    val byX = pts.sortBy(_.x).toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[GeoRegion]
+    var i = 0
+    var hi = 0
+    while (i < byX.length) {
+      val ax = byX(i).x
+      if (ax >= ax0 && ax < ax1 && (i == 0 || byX(i - 1).x != ax)) { // distinct anchor xs
+        // active set: points with x in [ax, ax + eps], sorted by y
+        if (hi < i) hi = i
+        while (hi < byX.length && byX(hi).x <= ax + eps) hi += 1
+        val active = java.util.Arrays.copyOfRange(byX, i, hi).sortBy(_.y)
+        // canonical anchors require the left-edge-defining point itself covered (see bruteForce
+        // scaladoc) — its ys, for the covered check per candidate ay:
+        val edgeYs = active.iterator.filter(_.x == ax).map(_.y).toArray.sorted
+        @inline def edgeCovered(ay: Double): Boolean = {
+          var lo = java.util.Arrays.binarySearch(edgeYs, ay)
+          if (lo < 0) lo = -lo - 1
+          lo < edgeYs.length && edgeYs(lo) <= ay + eps
+        }
+        // two-pointer sweep over distinct candidate ays: window = points with y in [ay, ay+eps]
+        var j = 0 // first index of the current anchor y
+        var start = 0 // first index inside the window (y >= ay)
+        var top = 0 // exclusive end of the window (y <= ay+eps)
+        var sum = 0.0
+        while (j < active.length) {
+          if (j > 0 && active(j - 1).y == active(j).y) j += 1 // skip duplicate anchor ys
+          else {
+            val ay = active(j).y
+            while (top < active.length && active(top).y <= ay + eps) { sum += active(top).w; top += 1 }
+            while (start < j) { sum -= active(start).w; start += 1 }
+            if (ay >= ay0 && ay < ay1 && sum > 0 && edgeCovered(ay)) out += GeoRegion(ax, ay, eps, sum)
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    val sorted = out.sorted(GeoRegionOrdering)
+    // candidates can repeat (same anchor from duplicate coords) — dedupe exact duplicates
+    val dedup = sorted.distinct
+    val emitted = dedup.take(kPrime).toVector
+    GeoNodeResult(emitted, dedup.size <= kPrime,
+      if (emitted.isEmpty) Double.PositiveInfinity else emitted.last.score)
+  }
+
+  def greedySelect(sortedDesc: Iterator[GeoRegion], k: Int, overlapAllowed: Boolean): Vector[GeoRegion] = {
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[GeoRegion]
+    val res = Vector.newBuilder[GeoRegion]
+    var n = 0
+    while (n < k && sortedDesc.hasNext) {
+      val r = sortedDesc.next()
+      if (overlapAllowed || !accepted.exists(_.overlaps(r))) { res += r; accepted += r; n += 1 }
+    }
+    res.result()
+  }
+
+  /** maxMin-thresholded merge — same argument as the discrete planner's. */
+  def mergeTopK(perNode: Seq[GeoNodeResult], k: Int, overlapAllowed: Boolean): (Vector[GeoRegion], Boolean) = {
+    val truncatedAt = perNode.iterator.filter(n => !n.exhausted).map(_.minEmitted).toSeq
+    val union = perNode.flatMap(_.candidates).sorted(GeoRegionOrdering).distinct
+    val safe =
+      if (truncatedAt.isEmpty) union
+      else union.takeWhile(_.score > truncatedAt.max)
+    val accepted = greedySelect(safe.iterator, k, overlapAllowed)
+    (accepted, accepted.size >= k || truncatedAt.isEmpty)
+  }
+
+  /** Test oracle: enumerate the canonical anchor set and greedy-select.
+    *
+    * Canonical form: any square can be translated right until its left edge rests on the leftmost
+    * covered point, then up until its bottom edge rests on the lowest covered point — neither move
+    * loses coverage. So it suffices to enumerate anchors (xi, yj) where BOTH edge-defining points
+    * are themselves covered; this is also exactly what border replication can guarantee to
+    * deliver to the owning node (covered points live within the region's ≤2×2 cell footprint).
+    */
+  def bruteForce(pts: Seq[Pt], eps: Double, k: Int, overlapAllowed: Boolean): Vector[GeoRegion] = {
+    val regions = for {
+      xi <- pts.map(_.x).distinct
+      active = pts.filter(p => p.x >= xi && p.x <= xi + eps)
+      yj <- active.map(_.y).distinct
+      covered = active.filter(p => p.y >= yj && p.y <= yj + eps)
+      if covered.exists(_.x == xi) // left-edge point covered (canonical)
+      s = covered.map(_.w).sum
+      if s > 0
+    } yield GeoRegion(xi, yj, eps, s)
+    greedySelect(regions.sorted(GeoRegionOrdering).distinct.iterator, k, overlapAllowed)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.brs
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class GeoBrsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def randomPts(rnd: scala.util.Random, n: Int, extent: Double): Seq[Pt] = {
+    val centers = Seq.fill(3)((rnd.nextDouble() * extent, rnd.nextDouble() * extent))
+    (1 to n).map { _ =>
+      if (rnd.nextBoolean()) {
+        val (cx, cy) = centers(rnd.nextInt(3))
+        Pt(cx + rnd.nextGaussian(), cy + rnd.nextGaussian(), 1 + rnd.nextInt(5))
+      } else Pt(rnd.nextDouble() * extent, rnd.nextDouble() * extent, 1 + rnd.nextInt(5))
+    }
+  }
+
+  /** local simulation of the distributed protocol (no Spark): replicate → kernel per node → merge */
+  private def simulated(pts: Seq[Pt], eps: Double, k: Int, distinct: Boolean, nodeSide: Int): Vector[GeoRegion] = {
+    val minX = pts.map(_.x).min; val minY = pts.map(_.y).min
+    val grid = GeoGrid(minX, minY, eps, nodeSide)
+    def runRound(kPrime: Int): Seq[GeoNodeResult] =
+      pts.flatMap(p => grid.nodesForPoint(p.x, p.y).map(n => (n, p)))
+        .groupBy(_._1).toSeq.map { case (node, ps) =>
+          val (ax0, ax1, ay0, ay1) = grid.anchorBox(node)
+          GeoBrsKernel.localTopK(ps.map(_._2), eps, kPrime, ax0, ax1, ay0, ay1)
+        }
+    var kPrime = math.max(k, 4)
+    var res = Vector.empty[GeoRegion]
+    var done = false
+    var round = 0
+    while (!done && round < 8) {
+      val (acc, complete) = GeoBrsKernel.mergeTopK(runRound(kPrime), k, overlapAllowed = !distinct)
+      res = acc; done = complete; kPrime *= 4; round += 1
+    }
+    if (!done) res = GeoBrsKernel.mergeTopK(runRound(Int.MaxValue), k, overlapAllowed = !distinct)._1
+    res
+  }
+
+  test("distributed protocol == brute force on random clustered points (both modes)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 120) {
+      val pts = randomPts(rnd, 5 + rnd.nextInt(60), extent = 10 + rnd.nextInt(20))
+      val eps = 0.5 + rnd.nextDouble() * 3
+      val k = 1 + rnd.nextInt(6)
+      val nodeSide = 1 + rnd.nextInt(8)
+      for (distinct <- Seq(true, false)) {
+        val got = simulated(pts, eps, k, distinct, nodeSide)
+        val want = GeoBrsKernel.bruteForce(pts, eps, k, overlapAllowed = !distinct)
+        assert(got === want, s"trial=$trial eps=$eps k=$k distinct=$distinct nodeSide=$nodeSide")
+      }
+    }
+  }
+
+  test("end-to-end Spark BRS finds the dense cluster and respects keyword filters") {
+    import spark.implicits._
+    // 50 points at (10±.1, 10±.1) tagged 'cafe', 200 scattered far away tagged 'park'
+    val rnd = new scala.util.Random(7)
+    val dense = (1 to 50).map(i =>
+      (10.0 + rnd.nextDouble() * 0.2, 10.0 + rnd.nextDouble() * 0.2, "cafe;food", 1.0))
+    val sparse = (1 to 200).map(i =>
+      (rnd.nextDouble() * 5, rnd.nextDouble() * 5, "park;green", 1.0))
+    val df = (dense ++ sparse).toDF("lon", "lat", "keywords", "f")
+
+    val top = BRS.bestRegions(df, eps = 1.0, k = 3, scoreCol = Some("f"),
+      keywordFilters = Seq("keywords" -> Seq("cafe")), distinct = true)
+    val rows = top.collect()
+    assert(rows.length >= 1)
+    val best = rows.minBy(_.getAs[Int]("rank"))
+    assert(best.getAs[Double]("score") === 50.0) // the whole dense cluster fits in one eps-square
+    assert(math.abs(best.getAs[Double]("center_lon") - 10.1) < 1.0)
+    // distinct mode: winners pairwise non-overlapping
+    val regs = rows.map(r => GeoRegion(r.getAs[Double]("center_lon") - 0.5,
+      r.getAs[Double]("center_lat") - 0.5, 1.0, r.getAs[Double]("score")))
+    regs.combinations(2).foreach { case Array(a, b) => assert(!a.overlaps(b)) }
+  }
+
+  test("empty input and all-filtered input return empty results") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Double)].toDF("lon", "lat")
+    assert(BRS.bestRegions(empty, 1.0, 3).count() === 0)
+    val df = Seq((1.0, 1.0, "a"), (2.0, 2.0, "b")).toDF("lon", "lat", "kw")
+    assert(BRS.bestRegions(df, 1.0, 3,
+      keywordFilters = Seq("kw" -> Seq("nope"))).count() === 0)
+  }
+}
