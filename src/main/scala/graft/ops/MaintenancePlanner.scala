@@ -84,19 +84,16 @@ object MaintenancePlanner {
     GridTopK.solve(spark, cells, cfg, k, overlapAllowed)
   }
 
-  /** Full plan: top regions → file-disjoint tasks above a benefit threshold. Files are claimed by
-    * centroid cell, and winning regions are pairwise non-overlapping (the planner's distinct mode),
-    * so no file is ever claimed twice — the file-level analog of the reference's safe/unsafe
-    * disjointness protocol (`/root/reference/src/main/scala/SDL/DependencyGraph.scala:36-142`).
+  /** Winning regions → file-disjoint tasks. Files are claimed by centroid cell, and winning
+    * regions are pairwise non-overlapping (the planner's distinct mode), so no file is ever
+    * claimed twice — the file-level analog of the reference's safe/unsafe disjointness protocol
+    * (`/root/reference/src/main/scala/SDL/DependencyGraph.scala:36-142`).
     */
-  def planCompaction(
-      spark: SparkSession,
+  def claimTasks(
+      winners: Seq[Region],
       metas: Seq[FileMeta],
       cfg: GridConfig,
-      k: Int,
-      threshold: Double,
       targetRecords: Long): Seq[PlannedTask] = {
-    val winners = topRegions(spark, metas, cfg, k, targetRecords).filter(_.score >= threshold)
     val withCentroid = metas.map(f => (f, centroidCell(f, cfg)))
     val claimed = scala.collection.mutable.HashSet.empty[String]
     winners.zipWithIndex.flatMap { case (r, i) =>
@@ -119,6 +116,70 @@ object MaintenancePlanner {
         Some(PlannedTask(i, r, fs.map(_.path), r.score))
       } else None
     }
+  }
+
+  def planCompaction(
+      spark: SparkSession,
+      metas: Seq[FileMeta],
+      cfg: GridConfig,
+      k: Int,
+      threshold: Double,
+      targetRecords: Long): Seq[PlannedTask] = {
+    val winners = topRegions(spark, metas, cfg, k, targetRecords).filter(_.score >= threshold)
+    claimTasks(winners, metas, cfg, targetRecords)
+  }
+
+  /** Incremental plan (reference algo 6, partial recompute): per-node kernel results are cached in
+    * [[PlannerState]]; only nodes whose cells changed since the cached base version are re-run
+    * (exact manifest diff between the two snapshots). Exactly equivalent to a full replan — clean
+    * nodes' inputs are unchanged and the kernel is deterministic.
+    */
+  def planIncremental(
+      spark: SparkSession,
+      table: graft.table.SeqTable,
+      cfg: GridConfig,
+      k: Int,
+      threshold: Double,
+      targetRecords: Long,
+      prev: Option[PlannerState]): (Seq[PlannedTask], PlannerState) = {
+    import spark.implicits._
+    val version = table.currentVersion()
+    val metas = table.liveFiles()
+
+    def nodesOf(fs: Seq[FileMeta]): Set[Int] =
+      fs.flatMap(f => fileCells(f, cfg, targetRecords))
+        .flatMap(c => cfg.nodesForCell(c.x, c.y)).toSet
+
+    val allNodes = nodesOf(metas)
+    // dirty = nodes touched by files added OR removed since the cached base (exact manifest diff;
+    // falls back to all-dirty when the base snapshot has been expired)
+    val dirty: Set[Int] = prev match {
+      case Some(st) if table.snapshotVersions().contains(st.baseVersion) =>
+        val prevLive = table.liveFiles(table.snapshot(st.baseVersion))
+        val nowPaths = metas.map(_.path).toSet
+        val prevPaths = prevLive.map(_.path).toSet
+        nodesOf(metas.filterNot(f => prevPaths.contains(f.path))) ++
+          nodesOf(prevLive.filterNot(f => nowPaths.contains(f.path)))
+      case _ => allNodes
+    }
+
+    val cells = spark.createDataset(metas).flatMap(f => fileCells(f, cfg, targetRecords)).persist()
+    try {
+      def runNodes(nodes: Set[Int], kPrime: Int): Map[Int, NodeResult] =
+        if (nodes.isEmpty) Map.empty
+        else cells
+          .flatMap(c => cfg.nodesForCell(c.x, c.y).filter(nodes.contains).map(n => (n, c)))
+          .groupByKey(_._1)
+          .mapGroups { (node, it) =>
+            val (ax0, ax1, ay0, ay1) = cfg.anchorBounds(node)
+            node -> RegionKernel.localTopK(it.map(_._2).toSeq, ax0, ax1, ay0, ay1, cfg.regionW, kPrime)
+          }
+          .collect().toMap
+
+      val (winners, newState) = IncrementalTopK.solve(
+        runNodes, allNodes, dirty, prev, version, k, overlapAllowed = false)
+      (claimTasks(winners.filter(_.score >= threshold), metas, cfg, targetRecords), newState)
+    } finally { cells.unpersist(); () }
   }
 
   /** Fully-distributed plan over a manifest Dataset — the 10^12-scale path: cell scoring, region

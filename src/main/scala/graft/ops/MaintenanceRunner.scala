@@ -12,8 +12,9 @@ final case class MaintenanceOptions(
     hilbert: Boolean = false,
     expireKeepLast: Int = 0, // 0 = don't expire
     rewriteManifests: Boolean = false,
-    batchTasks: Boolean = true) // true: all tasks of a cycle in ONE job + commit (throughput);
+    batchTasks: Boolean = true, // true: all tasks of a cycle in ONE job + commit (throughput);
                                 // false: one commit per task (finer isolation/lineage)
+    incremental: Boolean = false) // cache per-node planner results; re-run only dirtied nodes
 
 final case class CycleReport(
     cycle: Long,
@@ -68,8 +69,14 @@ object MaintenanceRunner {
         val cycle = checkpoint.lastCycle() + 1
         val base = table.currentVersion()
         val metas = metasByPath.values.toSeq
-        val planned = timed("plan")(MaintenancePlanner.planCompaction(
-          spark, metas, cfg, opts.k, opts.threshold, opts.targetRecordsPerFile))
+        val planned = timed("plan")(
+          if (opts.incremental) {
+            val (tasks, st) = MaintenancePlanner.planIncremental(spark, table, cfg,
+              opts.k, opts.threshold, opts.targetRecordsPerFile, checkpoint.loadPlannerState())
+            checkpoint.savePlannerState(st)
+            tasks
+          } else MaintenancePlanner.planCompaction(
+            spark, metas, cfg, opts.k, opts.threshold, opts.targetRecordsPerFile))
         checkpoint.append(StateEvent("CYCLE_START", cycle, -1, base, -1, Nil, Nil,
           Map("live-files" -> metas.size.toString), now()))
         planned.foreach { t =>

@@ -52,8 +52,38 @@ final class Checkpoint(dir: String) {
     val ended = ev.filter(_.event == "CYCLE_END").map(_.cycle).toSet
     started.filterNot(ended).maxOption.map(c => ev.filter(_.cycle == c))
   }
+
+  // ---- cached incremental-planner state (JSON cannot hold +Infinity → -1 sentinel) ----
+
+  import Checkpoint.{NodeEntry, StateFile}
+  private val statePath = Paths.get(dir, "planner-state.json")
+
+  def savePlannerState(st: graft.planner.PlannerState): Unit = {
+    val dto = StateFile(st.kPrime, st.baseVersion, st.nodes.toList.map { case (n, r) =>
+      NodeEntry(n, r.candidates.toList, r.exhausted,
+        if (r.minEmitted.isPosInfinity) -1.0 else r.minEmitted)
+    })
+    val tmp = Files.createTempFile(Paths.get(dir), ".tmp-pstate", ".json")
+    Files.writeString(tmp, Serialization.write(dto))
+    Files.move(tmp, statePath, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def loadPlannerState(): Option[graft.planner.PlannerState] =
+    if (!Files.exists(statePath)) None
+    else {
+      val dto = Serialization.read[StateFile](Files.readString(statePath))
+      Some(graft.planner.PlannerState(dto.kPrime, dto.baseVersion,
+        dto.nodes.map(e => e.node -> graft.planner.NodeResult(
+          e.candidates.toVector, e.exhausted,
+          if (e.minEmitted == -1.0) Double.PositiveInfinity else e.minEmitted)).toMap))
+    }
 }
 
 object Checkpoint {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)
+  // top-level (no $outer) so json4s can reflectively construct them
+  private[state] final case class NodeEntry(node: Int, candidates: List[graft.planner.Region],
+      exhausted: Boolean, minEmitted: Double)
+  private[state] final case class StateFile(kPrime: Int, baseVersion: Long, nodes: List[NodeEntry])
 }
