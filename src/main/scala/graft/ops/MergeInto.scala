@@ -42,30 +42,69 @@ object MergeInto {
       cfg: GridConfig,
       targetRecordsPerFile: Long,
       maxAttempts: Int = 5,
-      broadcastChanges: Boolean = true): MergeResult = {
+      broadcastChanges: Boolean = true,
+      mor: Boolean = false): MergeResult = {
     val hasOp = changes.columns.contains("_op")
     val ch = (if (hasOp) changes else changes.withColumn("_op", lit("U")))
       .select(
         col("doc_id").as("c_doc_id"), col("tokens").as("c_tokens"),
         col("n_tok").as("c_n_tok"), col("source").as("c_source"), col("_op"))
       .persist()
+    val debugTiming = sys.env.contains("GRAFT_TIMING")
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (debugTiming) println(f"[timing] merge/$tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
     try {
       val keys = ch.select(col("c_doc_id")).distinct().persist()
-      val nKeys = keys.count() // materialize once; reused every attempt
+      val nKeys = timed("materialize-changes")(keys.count()) // once; reused every attempt
       var attempt = 0
       while (true) {
         attempt += 1
         val snap = table.currentSnapshot()
         val live = table.liveFiles(snap)
 
+        if (mor) {
+          // merge-on-read: write ONLY the upserts + one equality-delete manifest (seq = the commit
+          // version, hiding every older version of the changed keys); no target file is touched.
+          // Latency ∝ change-set size, not affected-file size. Deletes are applied at read time
+          // (SeqIO.applyDeletes) and physically removed by compaction / MaterializeDeletes.
+          val upserts = ch.filter(col("_op") =!= "D")
+            .select(col("c_doc_id").as("doc_id"), col("c_tokens").as("tokens"),
+              col("c_n_tok").as("n_tok"), col("c_source").as("source"))
+          val added = timed("mor-upsert-write")(
+            Rewrite.clusteredWrite(spark, table, upserts, cfg, targetRecordsPerFile, nKeys))
+          val seq = snap.version + 1
+          import scala.jdk.CollectionConverters._
+          val dm = table.writeDeleteManifest(
+            keys.toLocalIterator().asScala.map(_.getString(0)), seq)
+          try {
+            val s = table.commit("merge-mor", added, Set.empty,
+              Map("merge-attempt" -> attempt.toString, "delete-seq" -> seq.toString),
+              maxRetries = 0, addedDeleteManifests = Seq(dm),
+              expectedBase = Some(snap.version)) // seq is baked into the manifest: no silent rebase
+            return MergeResult(s, 0, attempt)
+          } catch {
+            case e: table.CommitConflictException =>
+              added.foreach(f => java.nio.file.Files.deleteIfExists(
+                java.nio.file.Paths.get(table.absolutePath(f))))
+              java.nio.file.Files.deleteIfExists(
+                java.nio.file.Paths.get(table.deleteManifestPath(dm)))
+              if (attempt >= maxAttempts) throw e
+          }
+        } else {
+
         // 1. manifest pruning: files whose doc_id range may contain a change key
         import spark.implicits._
         val fileRanges = spark.createDataset(live.map(f => (f.path, f.minDocId, f.maxDocId)))
           .toDF("path", "min_doc", "max_doc")
-        val affectedPaths = fileRanges
+        val affectedPaths = timed("prune")(fileRanges
           .join(broadcast(keys), col("c_doc_id").between(col("min_doc"), col("max_doc")))
-          .select("path").distinct().as[String].collect().toSet
+          .select("path").distinct().as[String].collect().toSet)
         val affected = live.filter(f => affectedPaths.contains(f.path))
+        val snapDeletes = snap // pre-existing MoR deletes must not resurrect via this rewrite
 
         // 2. COW split. The merged state is exactly (target \ changedKeys) ∪ upserts:
         //    a) SURVIVOR path — target rows whose key is untouched, rewritten map-only with one
@@ -83,19 +122,21 @@ object MergeInto {
             conf.set("spark.sql.files.openCostInBytes",
               conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
             try {
-              val target = SeqIO.readFiles(spark, table, affected)
+              val target = SeqIO.applyDeletes(spark, table, snapDeletes, affected,
+                SeqIO.readFiles(spark, table, affected))
               val keySide = if (broadcastChanges) broadcast(keys) else keys
               val survivors = target
                 .join(keySide, col("doc_id") === col("c_doc_id"), "left_anti")
-              SeqIO.writeFiles(spark, table, survivors, clustered = affected.forall(_.clustered))
+              timed("survivor-rewrite")(
+                SeqIO.writeFiles(spark, table, survivors, clustered = affected.forall(_.clustered)))
             } finally conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
           }
 
         val upserts = ch.filter(col("_op") =!= "D")
           .select(col("c_doc_id").as("doc_id"), col("c_tokens").as("tokens"),
             col("c_n_tok").as("n_tok"), col("c_source").as("source"))
-        val insertedFiles = Rewrite.clusteredWrite(
-          spark, table, upserts, cfg, targetRecordsPerFile, nKeys)
+        val insertedFiles = timed("upsert-write")(Rewrite.clusteredWrite(
+          spark, table, upserts, cfg, targetRecordsPerFile, nKeys))
 
         // 4. atomic swap; on conflict, drop our orphan files and replan from the new head
         try {
@@ -108,6 +149,7 @@ object MergeInto {
               java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(table.absolutePath(f))))
             if (attempt >= maxAttempts) throw e
         }
+        } // end cow branch
       }
       throw new IllegalStateException("unreachable")
     } finally { ch.unpersist(); () }

@@ -99,9 +99,34 @@ object SeqIO {
     if (metas.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], SeqSchema.schema)
     else spark.read.schema(SeqSchema.schema).parquet(metas.map(table.absolutePath): _*)
 
-  /** Full-table read at the current snapshot. */
-  def read(spark: SparkSession, table: SeqTable): DataFrame =
-    readFiles(spark, table, table.liveFiles())
+  /** Apply merge-on-read equality deletes to a DataFrame read from `metas`: a delete with
+    * sequence s hides rows of files with addedAt < s. One broadcast anti-join, skipped entirely
+    * when the snapshot carries no deletes.
+    */
+  def applyDeletes(spark: SparkSession, table: SeqTable, snap: Snapshot,
+      metas: Seq[FileMeta], df: DataFrame): DataFrame = {
+    if (snap.deleteManifests.isEmpty || metas.isEmpty) return df
+    import spark.implicits._
+    val dels = snap.deleteManifests.map { m =>
+      spark.read.textFile(table.deleteManifestPath(m))
+        .select(col("value").as("_del_key"), lit(table.deleteManifestSeq(m)).as("_del_seq"))
+    }.reduce(_ unionByName _)
+    // file name → addedAt (uuid-named files: the name alone is unique)
+    val fileAge = spark.createDataset(metas.map(f =>
+      (java.nio.file.Paths.get(f.path).getFileName.toString, f.addedAt))).toDF("_fname", "_added")
+    df.withColumn("_fname", element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(fileAge), Seq("_fname"), "left")
+      .join(broadcast(dels),
+        col("doc_id") === col("_del_key") && col("_del_seq") > col("_added"), "left_anti")
+      .drop("_fname", "_added")
+  }
+
+  /** Full-table read at the current snapshot (merge-on-read deletes applied). */
+  def read(spark: SparkSession, table: SeqTable): DataFrame = {
+    val snap = table.currentSnapshot()
+    val metas = table.liveFiles(snap)
+    applyDeletes(spark, table, snap, metas, readFiles(spark, table, metas))
+  }
 
   /** The live manifest as a distributed Dataset — the planner's input at 10^12-sequence scale
     * (~10^7 manifest rows): metadata is scanned by executors, never materialized on the driver.
@@ -135,7 +160,8 @@ object SeqIO {
       val hiOk = ntokMin.forall(lo => f.maxNtok >= lo)
       srcOk && loOk && hiOk
     }
-    var df = readFiles(spark, table, selected)
+    var df = applyDeletes(spark, table, table.currentSnapshot(), selected,
+      readFiles(spark, table, selected))
     source.foreach(s => df = df.filter(col("source") === s))
     ntokMin.foreach(lo => df = df.filter(col("n_tok") >= lo))
     ntokMax.foreach(hi => df = df.filter(col("n_tok") <= hi))

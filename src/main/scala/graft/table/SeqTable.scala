@@ -35,7 +35,8 @@ final case class Snapshot(
     operation: String,
     manifests: Seq[String],
     summary: Map[String, String],
-    ts: Long
+    ts: Long,
+    deleteManifests: Seq[String] = Nil // merge-on-read equality-delete key files (seq in filename)
 )
 
 object SeqTable {
@@ -98,6 +99,22 @@ final class SeqTable(val root: String) {
     Files.readAllLines(metaDir.resolve(rel)).asScala.iterator
       .filter(_.nonEmpty).map(Serialization.read[FileMeta]).toSeq
 
+  /** Equality-delete manifest: one doc_id per line; the sequence number (commit version the
+    * deletes belong to) is encoded in the filename — a delete applies to rows of data files with
+    * `addedAt < seq` only, so upserts committed together with their delete set never erase
+    * themselves (Iceberg's sequence-number rule, public design).
+    */
+  def writeDeleteManifest(keys: Iterator[String], seq: Long): String = {
+    val name = s"delete-$seq-${java.util.UUID.randomUUID()}.keys"
+    val w = Files.newBufferedWriter(metaDir.resolve(name))
+    try keys.foreach { k => w.write(k); w.write('\n') } finally w.close()
+    name
+  }
+
+  def deleteManifestSeq(name: String): Long = name.split("-")(1).toLong
+
+  def deleteManifestPath(name: String): String = metaDir.resolve(name).toString
+
   def writeManifest(metas: Seq[FileMeta]): String = {
     val name = s"manifest-${java.util.UUID.randomUUID()}.jsonl"
     val lines = metas.map(Serialization.write(_)).mkString("", "\n", "\n")
@@ -125,10 +142,19 @@ final class SeqTable(val root: String) {
       added: Seq[FileMeta],
       removedPaths: Set[String],
       summary: Map[String, String] = Map.empty,
-      maxRetries: Int = 20): Snapshot = {
+      maxRetries: Int = 20,
+      addedDeleteManifests: Seq[String] = Nil,
+      removedDeleteManifests: Set[String] = Set.empty,
+      expectedBase: Option[Long] = None): Snapshot = {
     var attempt = 0
     while (true) {
       val base = currentSnapshot()
+      // sequence-sensitive commits (MoR deletes embed seq = base+1) must not silently rebase
+      expectedBase.foreach { v =>
+        if (base.version != v)
+          throw new CommitConflictException(
+            s"commit($operation): expected base v$v but head is v${base.version}")
+      }
       val baseLive = liveFiles(base)
       val basePaths = baseLive.map(_.path).toSet
       val missing = removedPaths.diff(basePaths)
@@ -153,7 +179,8 @@ final class SeqTable(val root: String) {
           "added-files" -> added.size.toString,
           "removed-files" -> removedPaths.size.toString,
           "total-files" -> (basePaths.size - removedPaths.size + added.size).toString),
-        System.currentTimeMillis())
+        System.currentTimeMillis(),
+        base.deleteManifests.filterNot(removedDeleteManifests) ++ addedDeleteManifests)
       try {
         writeSnapshotFile(next)
         writeVersionHint(next.version)
@@ -172,8 +199,11 @@ final class SeqTable(val root: String) {
   private def writeSnapshotFile(s: Snapshot): Unit = {
     val tmp = Files.createTempFile(metaDir, ".tmp-snap", ".json")
     Files.writeString(tmp, Serialization.write(s))
-    // fail-if-exists move = the atomic compare-and-swap of the commit protocol
-    Files.move(tmp, metaDir.resolve(s"v${s.version}.json"))
+    // the commit's compare-and-swap: hard-link creation is EEXIST-atomic (POSIX), unlike
+    // Files.move without REPLACE_EXISTING whose exists-check+rename is a TOCTOU race — two
+    // concurrent committers could both "win" and one commit would be silently lost
+    try Files.createLink(metaDir.resolve(s"v${s.version}.json"), tmp)
+    finally Files.deleteIfExists(tmp)
   }
 
   private def writeVersionHint(v: Long): Unit = {
@@ -196,6 +226,7 @@ final class SeqTable(val root: String) {
 
     val keptSnaps = keep.toSeq.sorted.map(snapshot)
     val liveManifests = keptSnaps.flatMap(_.manifests).toSet
+    val liveDeleteManifests = keptSnaps.flatMap(_.deleteManifests).toSet
     val livePaths = keptSnaps.flatMap(liveFiles).map(_.path).toSet
 
     val deadFiles = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -207,6 +238,7 @@ final class SeqTable(val root: String) {
           readManifest(m).foreach { f => if (!livePaths.contains(f.path)) deadFiles += f.path }
         }
       }
+      s.deleteManifests.foreach { d => if (!liveDeleteManifests.contains(d)) deadManifests += d }
     }
     deadFiles.foreach(p => Files.deleteIfExists(Paths.get(root).resolve(p)))
     deadManifests.foreach(m => Files.deleteIfExists(metaDir.resolve(m)))
@@ -224,7 +256,7 @@ final class SeqTable(val root: String) {
     val next = Snapshot(base.version + 1, base.version, "rewrite-manifests", Seq(m),
       Map("manifests-before" -> base.manifests.size.toString, "manifests-after" -> "1",
         "total-files" -> entries.size.toString),
-      System.currentTimeMillis())
+      System.currentTimeMillis(), base.deleteManifests)
     writeSnapshotFile(next)
     writeVersionHint(next.version)
     next

@@ -62,6 +62,20 @@ class SeqTableSpec extends AnyFunSuite {
     assert(!live.contains(a) && !live.contains(c))
   }
 
+  test("commit hammer: no commit is ever silently lost under contention") {
+    val t = SeqTable.create(fresh())
+    val threads = 6; val each = 8
+    val th = (0 until threads).map { i =>
+      new Thread(() => (0 until each).foreach { j =>
+        t.commit("append", Nil, Set.empty, Map("who" -> s"$i/$j"), maxRetries = 1000)
+      })
+    }
+    th.foreach(_.start()); th.foreach(_.join())
+    assert(t.currentVersion() === threads * each)
+    val whos = t.snapshotVersions().drop(1).map(t.snapshot).flatMap(_.summary.get("who"))
+    assert(whos.distinct.size === threads * each, "every commit must appear exactly once")
+  }
+
   test("snapshot isolation: a reader pinned to an old version sees stable data") {
     val t = SeqTable.create(fresh())
     val metas = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 300, parts = 2))
