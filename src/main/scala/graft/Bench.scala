@@ -43,7 +43,7 @@ object Bench {
   }
 
   final case class MaintBench(
-      rows: Long, ingestSec: Double, cycleSec: Double, mergeSec: Double,
+      rows: Long, ingestSec: Double, cycleSec: Double, mergeSec: Double, morMergeSec: Double,
       recordsRewritten: Long, mergeRecords: Long,
       filesBefore: Int, filesAfter: Int,
       scanBefore: (Int, Int), scanAfter: (Int, Int), scanSecAfter: Double) {
@@ -90,7 +90,12 @@ object Bench {
     val ((df, after), _) = time(SeqIO.scanPruned(spark, table, Some("src0"), Some(256), Some(1024)))
     val (_, tScan) = time(df.count())
 
-    MaintBench(rows, tIngest, tCycles, tMerge, rewritten, mergeRecords,
+    // MoR merge last (it leaves delete manifests outstanding; scan metrics above are pure-COW)
+    val changes2 = SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50)
+      .withColumn("source", org.apache.spark.sql.functions.lit("src3"))
+    val (_, tMergeMor) = time(MergeInto.merge(spark, table, changes2, cfg, target, mor = true))
+
+    MaintBench(rows, tIngest, tCycles, tMerge, tMergeMor, rewritten, mergeRecords,
       metas.size, filesAfterCompact, (before.filesScanned, before.totalFiles),
       (after.filesScanned, after.totalFiles), tScan)
   }
@@ -160,6 +165,7 @@ object Bench {
     results += "m_ingest" -> mb.ingestSec
     results += "m_compaction_cycles" -> mb.cycleSec
     results += "m_merge_into" -> mb.mergeSec
+    results += "m_merge_into_mor" -> mb.morMergeSec
     results += "m_pruned_scan" -> mb.scanSecAfter
 
     queries.foreach { name =>

@@ -105,6 +105,30 @@ object EngineQueries {
       "disk_files_before", "disk_files_after", "rows_readable")
   }
 
+  def mergeMor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = rowsFor(dir)
+    val root = fresh("mor")
+    val (table, _) = SeqGen.fragmentedTable(s, root, rows, (rows / 500).toInt.max(10))
+    val before = SeqIO.read(s, table).persist()
+    val changes = SeqGen.changeSet(s, rows, changes = rows / 10, deletes = rows / 50).persist()
+    val mr = MergeInto.merge(s, table, changes, cfg, math.max(1000L, rows / 25), mor = true)
+    val after = SeqIO.read(s, table).persist()
+    val upserts = changes.filter(col("_op") =!= "D")
+    val expected = before.join(changes.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(upserts.select("doc_id", "tokens", "n_tok", "source"))
+    val bad = mismatches(expected, after)
+    // then materialize and re-check: physical == logical
+    graft.ops.MaterializeDeletes.run(s, table, cfg, math.max(1000L, rows / 25))
+    val bad2 = mismatches(expected, SeqIO.read(s, table))
+    val out = Seq((rows, changes.count(), mr.filesRewritten.toLong, after.count(),
+      bad, bad2, table.currentSnapshot().deleteManifests.size.toLong)).toDF(
+      "rows", "changes", "files_rewritten", "rows_after",
+      "mor_mismatches", "materialized_mismatches", "delete_manifests_left")
+    before.unpersist(); changes.unpersist(); after.unpersist()
+    out
+  }
+
   def dedupTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = fresh("dedup")

@@ -288,7 +288,8 @@ object SparkEntry {
     "q26_engine_merge_into" -> ((s, dir) => EngineQueries.mergeInto(s, dir)),
     "q27_engine_snapshot_expiry" -> ((s, dir) => EngineQueries.snapshotExpiry(s, dir)),
     "q28_engine_scan_pruning" -> ((s, dir) => EngineQueries.scanPruning(s, dir)),
-    "q30_engine_dedup_table" -> ((s, dir) => EngineQueries.dedupTable(s, dir))
+    "q30_engine_dedup_table" -> ((s, dir) => EngineQueries.dedupTable(s, dir)),
+    "q32_engine_merge_mor" -> ((s, dir) => EngineQueries.mergeMor(s, dir))
   )
 
   // ---------- oracle SQL (DuckDB) ----------

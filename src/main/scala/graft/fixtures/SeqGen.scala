@@ -47,22 +47,26 @@ object SeqGen {
 
   /** T-merge: a change set against a table of `n` rows — half updates (existing ids, new tokens),
     * half inserts (new ids), plus `deletes` deletions of existing ids.
+    *
+    * Duplicate keys (hash collisions across the three sub-sets) are resolved with a DETERMINISTIC
+    * tie-break — `dropDuplicates` keeps whichever row it meets first, which varies between
+    * re-executions of the same plan (spill/partition order), breaking lazy-DataFrame oracles.
     */
   def changeSet(spark: SparkSession, n: Long, changes: Long, deletes: Long = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val upd = table(spark, changes / 2, parts = 8)
       .withColumn("doc_id", format_string("doc-%010d", (xxhash64(col("doc_id")) % n + n) % n))
       .withColumn("tokens", transform(col("tokens"), t => t + 1)) // visibly-new payload
       .withColumn("_op", lit("U"))
-      .dropDuplicates("doc_id")
     val ins = table(spark, changes - changes / 2, parts = 8)
       .withColumn("doc_id", format_string("new-%010d", xxhash64(col("doc_id")).bitwiseAND(lit(Long.MaxValue))))
       .withColumn("_op", lit("U"))
-      .dropDuplicates("doc_id")
     val del = table(spark, deletes, parts = 4)
       .withColumn("doc_id", format_string("doc-%010d", (xxhash64(col("doc_id"), lit(7)) % n + n) % n))
       .withColumn("_op", lit("D"))
-      .dropDuplicates("doc_id")
-    upd.unionByName(ins).unionByName(if (deletes > 0) del else del.limit(0))
-      .dropDuplicates("doc_id")
+    val all = upd.unionByName(ins).unionByName(if (deletes > 0) del else del.limit(0))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("_op"), xxhash64(col("tokens")), col("n_tok"), col("source"))
+    all.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 }

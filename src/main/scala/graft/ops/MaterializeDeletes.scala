@@ -39,8 +39,7 @@ object MaterializeDeletes {
     val added =
       if (candidates.isEmpty) Nil
       else {
-        val df = SeqIO.applyDeletes(spark, table, snap, candidates,
-          SeqIO.readFiles(spark, table, candidates))
+        val df = SeqIO.readWithDeletes(spark, table, snap, candidates)
         Rewrite.clusteredWrite(spark, table, df, cfg, targetRecordsPerFile,
           candidates.map(_.records).sum)
       }

@@ -122,8 +122,7 @@ object MergeInto {
             conf.set("spark.sql.files.openCostInBytes",
               conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
             try {
-              val target = SeqIO.applyDeletes(spark, table, snapDeletes, affected,
-                SeqIO.readFiles(spark, table, affected))
+              val target = SeqIO.readWithDeletes(spark, table, snapDeletes, affected)
               val keySide = if (broadcastChanges) broadcast(keys) else keys
               val survivors = target
                 .join(keySide, col("doc_id") === col("c_doc_id"), "left_anti")

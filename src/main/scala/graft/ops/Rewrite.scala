@@ -60,7 +60,7 @@ object Rewrite {
     // apply outstanding merge-on-read deletes while rewriting — a raw rewrite would resurrect
     // deleted rows (new files outlive the deletes' sequence numbers)
     val snap = table.currentSnapshot()
-    val df = SeqIO.applyDeletes(spark, table, snap, files, SeqIO.readFiles(spark, table, files))
+    val df = SeqIO.readWithDeletes(spark, table, snap, files)
     val total = files.map(_.records).sum
     val added = clusteredWrite(spark, table, df, cfg, targetRecordsPerFile, total, hilbert)
     table.commit("compact", added, files.map(_.path).toSet,

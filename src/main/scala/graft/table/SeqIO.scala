@@ -73,6 +73,8 @@ object SeqIO {
         slice(sort_array(collect_set("source")), 1, MaxSourcesTracked + 1).as("sources"))
       .collect()
 
+    require(stats.forall(_.getString(0).nonEmpty),
+      "input_file_name() evaluated empty during stats collection — plan rearranged off the scan")
     val rootP = Paths.get(table.root).toAbsolutePath.normalize
     // drop physically-empty part files (no stats row → no manifest entry → would be orphans)
     val statPaths = stats.map(r => Paths.get(java.net.URI.create(r.getString(0)).getPath).toAbsolutePath.normalize).toSet
@@ -99,33 +101,40 @@ object SeqIO {
     if (metas.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], SeqSchema.schema)
     else spark.read.schema(SeqSchema.schema).parquet(metas.map(table.absolutePath): _*)
 
-  /** Apply merge-on-read equality deletes to a DataFrame read from `metas`: a delete with
-    * sequence s hides rows of files with addedAt < s. One broadcast anti-join, skipped entirely
-    * when the snapshot carries no deletes.
+  /** Delete-aware read of `metas`: merge-on-read equality deletes with sequence s hide rows of
+    * files with addedAt < s. Files are read in per-addedAt groups carrying a literal sequence
+    * column (NOT input_file_name(), which legally evaluates to "" once the optimizer detaches the
+    * projection from the scan), then one broadcast anti-join. No-join fast path when the snapshot
+    * carries no deletes.
     */
-  def applyDeletes(spark: SparkSession, table: SeqTable, snap: Snapshot,
-      metas: Seq[FileMeta], df: DataFrame): DataFrame = {
-    if (snap.deleteManifests.isEmpty || metas.isEmpty) return df
-    import spark.implicits._
+  def readWithDeletes(spark: SparkSession, table: SeqTable, snap: Snapshot,
+      metas: Seq[FileMeta]): DataFrame = {
+    if (snap.deleteManifests.isEmpty || metas.isEmpty) return readFiles(spark, table, metas)
     val dels = snap.deleteManifests.map { m =>
       spark.read.textFile(table.deleteManifestPath(m))
         .select(col("value").as("_del_key"), lit(table.deleteManifestSeq(m)).as("_del_seq"))
     }.reduce(_ unionByName _)
-    // file name → addedAt (uuid-named files: the name alone is unique)
-    val fileAge = spark.createDataset(metas.map(f =>
-      (java.nio.file.Paths.get(f.path).getFileName.toString, f.addedAt))).toDF("_fname", "_added")
-    df.withColumn("_fname", element_at(split(input_file_name(), "/"), -1))
-      .join(broadcast(fileAge), Seq("_fname"), "left")
+    val byAge = metas.groupBy(_.addedAt).toSeq.sortBy(_._1).map { case (age, fs) =>
+      readFiles(spark, table, fs).withColumn("_added", lit(age))
+    }.reduce(_ unionByName _)
+    byAge
       .join(broadcast(dels),
         col("doc_id") === col("_del_key") && col("_del_seq") > col("_added"), "left_anti")
-      .drop("_fname", "_added")
+      .drop("_added")
   }
+
+  /** @deprecated shim — delete application now needs to build the read itself (see
+    * [[readWithDeletes]]); `df` is ignored.
+    */
+  def applyDeletes(spark: SparkSession, table: SeqTable, snap: Snapshot,
+      metas: Seq[FileMeta], df: DataFrame): DataFrame =
+    if (snap.deleteManifests.isEmpty || metas.isEmpty) df
+    else readWithDeletes(spark, table, snap, metas)
 
   /** Full-table read at the current snapshot (merge-on-read deletes applied). */
   def read(spark: SparkSession, table: SeqTable): DataFrame = {
     val snap = table.currentSnapshot()
-    val metas = table.liveFiles(snap)
-    applyDeletes(spark, table, snap, metas, readFiles(spark, table, metas))
+    readWithDeletes(spark, table, snap, table.liveFiles(snap))
   }
 
   /** The live manifest as a distributed Dataset — the planner's input at 10^12-sequence scale
@@ -160,8 +169,7 @@ object SeqIO {
       val hiOk = ntokMin.forall(lo => f.maxNtok >= lo)
       srcOk && loOk && hiOk
     }
-    var df = applyDeletes(spark, table, table.currentSnapshot(), selected,
-      readFiles(spark, table, selected))
+    var df = readWithDeletes(spark, table, table.currentSnapshot(), selected)
     source.foreach(s => df = df.filter(col("source") === s))
     ntokMin.foreach(lo => df = df.filter(col("n_tok") >= lo))
     ntokMax.foreach(hi => df = df.filter(col("n_tok") <= hi))
