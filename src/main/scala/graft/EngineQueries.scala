@@ -1,164 +1,242 @@
 package graft
 
 import java.nio.file.Files
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.fixtures.SeqGen
 import graft.ops._
 import graft.planner.GridConfig
 import graft.state.Checkpoint
 import graft.table.{SeqIO, SeqTable}
 
-/** Engine-lifecycle queries for the driver harness: each synthesizes a deterministic tokenized-
-  * sequence table (FIXTURES.md §1; no external data), runs a maintenance operator end-to-end, and
-  * returns a one-row metrics DataFrame incl. hard correctness bits (anti-join mismatch counts),
-  * so the rows-only check still observes real invariants.
+/** Portable synthesized tokenized-sequence input: every value is a pure ANSI-SQL-expressible
+  * function of `documents.parquet` (ascii codes of text prefixes), so the DuckDB oracle can
+  * recompute the EXPECTED post-maintenance table content and the driver's hash compare becomes a
+  * full content-equality proof for the engine lifecycle ops (FIXTURES.md §2; no external data).
+  *
+  * Row (doc, rep): doc_id = d%09d(docnum), tokens[j] = ascii(text[j]) + rep%7 for j in
+  * 1..(16 + docnum%25), n_tok = len(tokens), source = documents.source, docnum = doc_id*reps+rep.
+  * Every document text is ≥44 chars (all sf), so the 16..40-token prefix always exists.
+  */
+object PortableSeq {
+
+  /** Replicas per document row — CONSTANT so the oracle SQL (dumped once, dir-independent) always
+    * describes the same table the query built: sf0.01 (500 docs) → 20k rows.
+    */
+  def repsFor(dir: String): Int = 40
+
+  /** Columns: doc_id (string), tokens (array<int>), n_tok (int), source (string), docnum (long). */
+  def df(s: SparkSession, dir: String, reps: Int): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val docnum = col("doc_id") * reps + col("rep")
+    val len = (lit(16) + pmod(docnum, lit(25))).cast("int")
+    docs
+      .select(col("doc_id"), col("text"), col("source"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .select(
+        format_string("d%09d", docnum).as("doc_id"),
+        transform(sequence(lit(1), len),
+          j => ascii(col("text").substr(j, lit(1))) + pmod(col("rep"), lit(7))).as("tokens"),
+        len.as("n_tok"),
+        col("source"),
+        docnum.cast("long").as("docnum"))
+  }
+
+  /** DuckDB equivalent of [[df]] (same column names incl. docnum). */
+  def sql(reps: Int): String =
+    s"""SELECT printf('d%09d', doc_id*$reps + rep) AS doc_id,
+       |  list_transform(generate_series(1, 16 + (doc_id*$reps+rep)%25),
+       |    j -> ascii(substring(text, j::INT, 1)) + (rep%7)::INT) AS tokens,
+       |  (16 + (doc_id*$reps+rep)%25) AS n_tok, source, (doc_id*$reps+rep) AS docnum
+       |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, ${reps - 1})) AS rep) _r""".stripMargin
+
+  /** Canonical content projection: array payload reduced to a hashable scalar so the driver's
+    * pandas-based compare can sort every column (arrays broke r01's q24).
+    */
+  def content(df: DataFrame): DataFrame = df.select(
+    col("doc_id"),
+    col("n_tok").cast("long").as("n_tok"),
+    col("source"),
+    md5(concat_ws(",", transform(col("tokens"), _.cast("string")))).as("tok_md5"))
+
+  val contentColsSql: String =
+    "doc_id, n_tok::BIGINT AS n_tok, source, md5(array_to_string(tokens, ',')) AS tok_md5"
+
+  // ---- the portable change set (used by the MERGE queries and their oracles) ----
+  // updates: docnum%10=3 (tokens+1 each, source → 'upd'); deletes: docnum%10=7;
+  // inserts: new keys n%09d(docnum) for docnum%10=5, tokens reversed.
+
+  def changes(port: DataFrame): DataFrame = {
+    val upd = port.filter(pmod(col("docnum"), lit(10)) === 3)
+      .select(col("doc_id"), transform(col("tokens"), _ + 1).as("tokens"),
+        col("n_tok"), lit("upd").as("source"), lit("U").as("_op"))
+    val ins = port.filter(pmod(col("docnum"), lit(10)) === 5)
+      .select(format_string("n%09d", col("docnum")).as("doc_id"),
+        reverse(col("tokens")).as("tokens"), col("n_tok"), col("source"), lit("U").as("_op"))
+    val del = port.filter(pmod(col("docnum"), lit(10)) === 7)
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"), lit("D").as("_op"))
+    upd.unionByName(ins).unionByName(del)
+  }
+
+  /** Expected post-merge content (DuckDB): (port \ updated \ deleted) ∪ updates' ∪ inserts'. */
+  def mergedContentSql(reps: Int): String =
+    s"""WITH port AS (${sql(reps)})
+       |SELECT $contentColsSql FROM port WHERE docnum%10 NOT IN (3, 7)
+       |UNION ALL
+       |SELECT doc_id, n_tok::BIGINT, 'upd',
+       |  md5(array_to_string(list_transform(tokens, t -> t+1), ','))
+       |FROM port WHERE docnum%10 = 3
+       |UNION ALL
+       |SELECT printf('n%09d', docnum), n_tok::BIGINT, source,
+       |  md5(array_to_string(list_reverse(tokens), ','))
+       |FROM port WHERE docnum%10 = 5""".stripMargin
+
+  def portContentSql(reps: Int): String =
+    s"WITH port AS (${sql(reps)}) SELECT $contentColsSql FROM port"
+}
+
+/** Engine-lifecycle queries for the driver harness: each synthesizes the PORTABLE deterministic
+  * tokenized-sequence table, runs a maintenance operator end-to-end, and returns the resulting
+  * table CONTENT — hash-verified against a DuckDB oracle that computes the expected content
+  * independently. Engine invariants that the content hash can't see (file counts shrinking,
+  * snapshots expiring) are enforced with hard `require`s inside the query, so a violation turns
+  * the row red rather than passing silently.
   */
 object EngineQueries {
 
   private def cfg = GridConfig()
 
-  private def sfOf(dir: String): Double =
-    "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.01)
-
   private def fresh(tag: String): String =
     Files.createTempDirectory(s"graft-$tag-").toString + "/tbl"
 
-  /** rows for engine queries, scaled gently with sf */
-  private def rowsFor(dir: String): Long = math.max(5000L, (sfOf(dir) * 2e6).toLong.min(200000L))
+  private def targetFor(n: Long): Long = math.max(500L, n / 25)
 
-  /** Both-ways anti-join mismatch count on (doc_id, tokens) — the byte-identity invariant. */
-  private def mismatches(a: DataFrame, b: DataFrame): Long = {
-    val l = a.select(col("doc_id"), col("tokens"))
-    val r = b.select(col("doc_id"), col("tokens"))
-    l.join(r, Seq("doc_id", "tokens"), "left_anti").count() +
-      r.join(l, Seq("doc_id", "tokens"), "left_anti").count()
+  /** Build a deliberately fragmented table from the portable input. */
+  private def fragmented(s: SparkSession, root: String, port: DataFrame, nFiles: Int): SeqTable = {
+    val t = SeqTable.create(root)
+    val metas = SeqIO.writeFiles(s, t,
+      port.select("doc_id", "tokens", "n_tok", "source").repartition(nFiles, col("doc_id")))
+    t.commit("append", metas, Set.empty)
+    t
   }
 
   def compactionCycle(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val rows = rowsFor(dir)
-    val nFiles = (rows / 250).toInt.max(20)
-    val root = fresh("compact")
-    val (table, metas) = SeqGen.fragmentedTable(s, root, rows, nFiles)
-    val before = SeqIO.read(s, table).persist()
-    val opts = MaintenanceOptions(k = 16, targetRecordsPerFile = math.max(1000L, rows / 25))
-    val ckpt = new Checkpoint(s"$root/state")
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("compact"), port, (n / 250).toInt.max(20))
+    val filesBefore = table.liveFiles().size
+    val opts = MaintenanceOptions(k = 16, targetRecordsPerFile = targetFor(n))
+    val ckpt = new Checkpoint(s"${table.root}/state")
     var cycles = 0
-    var rewritten = 0L
     var go = true
     while (go && cycles < 12) {
       val r = MaintenanceRunner.runCycle(s, table, cfg, opts, ckpt)
-      cycles += 1; rewritten += r.recordsRewritten; go = r.tasksExecuted > 0
+      cycles += 1; go = r.tasksExecuted > 0
     }
-    val after = SeqIO.read(s, table)
-    val bad = mismatches(before, after)
-    val out = Seq((rows, metas.size.toLong, table.liveFiles().size.toLong, cycles.toLong,
-      rewritten, bad)).toDF(
-      "rows", "files_before", "files_after", "cycles", "records_rewritten", "antijoin_mismatches")
-    before.unpersist()
-    out
+    require(table.liveFiles().size < filesBefore,
+      s"compaction did not reduce files: $filesBefore -> ${table.liveFiles().size}")
+    PortableSeq.content(SeqIO.read(s, table)) // compaction must preserve content byte-for-byte
   }
 
   def mergeInto(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val rows = rowsFor(dir)
-    val root = fresh("merge")
-    val (table, _) = SeqGen.fragmentedTable(s, root, rows, (rows / 500).toInt.max(10))
-    val before = SeqIO.read(s, table).persist()
-    val changes = SeqGen.changeSet(s, rows, changes = rows / 10, deletes = rows / 50).persist()
-    val mr = MergeInto.merge(s, table, changes, cfg, math.max(1000L, rows / 25))
-    val after = SeqIO.read(s, table).persist()
-
-    // semantic check: expected = (target \ deletedKeys \ updatedKeys) ∪ upserts
-    val upserts = changes.filter(col("_op") =!= "D")
-    val expected = before.join(changes.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .unionByName(upserts.select("doc_id", "tokens", "n_tok", "source"))
-    val bad = mismatches(expected, after)
-    val out = Seq((rows, changes.count(), mr.filesRewritten.toLong, mr.attempts.toLong,
-      after.count(), bad)).toDF(
-      "rows", "changes", "files_rewritten", "attempts", "rows_after", "antijoin_mismatches")
-    before.unpersist(); changes.unpersist(); after.unpersist()
-    out
-  }
-
-  def snapshotExpiry(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val root = fresh("expire")
-    val table = SeqTable.create(root)
-    // five appends → five snapshots, then one compacting rewrite, then expire to the last 2
-    (1 to 5).foreach { i =>
-      val metas = SeqIO.writeFiles(s, table, SeqGen.table(s, 500, parts = 2)
-        .withColumn("doc_id", concat(lit(s"b$i-"), col("doc_id"))))
-      table.commit("append", metas, Set.empty)
-    }
-    val all = table.liveFiles()
-    Rewrite.compactFiles(s, table, all, cfg, 10000L)
-    val versionsBefore = table.snapshotVersions().size.toLong
-    val dataFilesOnDiskBefore = Files.list(table.dataDir).count()
-    val (expired, deleted) = table.expireSnapshots(keepLast = 1)
-    val dataFilesOnDiskAfter = Files.list(table.dataDir).count()
-    val readable = SeqIO.read(s, table).count() // current snapshot still fully readable
-    Seq((versionsBefore, table.snapshotVersions().size.toLong, expired.size.toLong,
-      deleted.size.toLong, dataFilesOnDiskBefore, dataFilesOnDiskAfter, readable)).toDF(
-      "versions_before", "versions_after", "snapshots_expired", "data_files_deleted",
-      "disk_files_before", "disk_files_after", "rows_readable")
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("merge"), port, (n / 500).toInt.max(10))
+    MergeInto.merge(s, table, PortableSeq.changes(port), cfg, targetFor(n))
+    PortableSeq.content(SeqIO.read(s, table))
   }
 
   def mergeMor(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val rows = rowsFor(dir)
-    val root = fresh("mor")
-    val (table, _) = SeqGen.fragmentedTable(s, root, rows, (rows / 500).toInt.max(10))
-    val before = SeqIO.read(s, table).persist()
-    val changes = SeqGen.changeSet(s, rows, changes = rows / 10, deletes = rows / 50).persist()
-    val mr = MergeInto.merge(s, table, changes, cfg, math.max(1000L, rows / 25), mor = true)
-    val after = SeqIO.read(s, table).persist()
-    val upserts = changes.filter(col("_op") =!= "D")
-    val expected = before.join(changes.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .unionByName(upserts.select("doc_id", "tokens", "n_tok", "source"))
-    val bad = mismatches(expected, after)
-    // then materialize and re-check: physical == logical
-    graft.ops.MaterializeDeletes.run(s, table, cfg, math.max(1000L, rows / 25))
-    val bad2 = mismatches(expected, SeqIO.read(s, table))
-    val out = Seq((rows, changes.count(), mr.filesRewritten.toLong, after.count(),
-      bad, bad2, table.currentSnapshot().deleteManifests.size.toLong)).toDF(
-      "rows", "changes", "files_rewritten", "rows_after",
-      "mor_mismatches", "materialized_mismatches", "delete_manifests_left")
-    before.unpersist(); changes.unpersist(); after.unpersist()
-    out
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("mor"), port, (n / 500).toInt.max(10))
+    val mr = MergeInto.merge(s, table, PortableSeq.changes(port), cfg, targetFor(n), mor = true)
+    require(mr.filesRewritten == 0, "MoR merge must not rewrite data files")
+    require(table.currentSnapshot().deleteManifests.nonEmpty, "MoR merge must add a delete manifest")
+    // content read through the merge-on-read delete-application path (before materialization)
+    PortableSeq.content(SeqIO.read(s, table))
   }
 
-  def dedupTable(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val root = fresh("dedup")
-    val table = SeqTable.create(root)
-    // base rows + deliberate exact duplicates of every 10th row under new doc_ids
-    val base = SeqGen.table(s, 3000, parts = 8)
-    val dupes = base.filter(xxhash64(col("doc_id")) % 10 === 0)
-      .withColumn("doc_id", concat(lit("dup-"), col("doc_id")))
-    val metas = SeqIO.writeFiles(s, table, base.unionByName(dupes).repartition(12, col("doc_id")))
-    table.commit("append", metas, Set.empty)
-    val before = SeqIO.read(s, table).count()
-    val (deleted, _) = graft.ops.DedupTable.dedupExact(s, table, cfg, 1000)
-    val after = SeqIO.read(s, table)
-    val distinctPayloads = after.select(xxhash64(col("tokens")), col("n_tok")).distinct().count()
-    Seq((before, deleted, after.count(), distinctPayloads)).toDF(
-      "rows_before", "deleted", "rows_after", "distinct_payloads")
+  def snapshotExpiry(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps).persist()
+    val table = SeqTable.create(fresh("expire"))
+    // five appends (rep-range batches) → five snapshots, then one compacting rewrite, then expiry
+    val bounds = (0 to 5).map(i => i * reps / 5)
+    bounds.sliding(2).foreach { case Seq(lo, hi) =>
+      val batch = port.filter(pmod(col("docnum"), lit(reps)) >= lo &&
+        pmod(col("docnum"), lit(reps)) < hi)
+      val metas = SeqIO.writeFiles(s, table,
+        batch.select("doc_id", "tokens", "n_tok", "source").repartition(4))
+      table.commit("append", metas, Set.empty)
+      ()
+    }
+    Rewrite.compactFiles(s, table, table.liveFiles(), cfg, targetFor(port.count()))
+    val versionsBefore = table.snapshotVersions().size
+    val diskBefore = Files.list(table.dataDir).count()
+    table.expireSnapshots(keepLast = 1)
+    val diskAfter = Files.list(table.dataDir).count()
+    require(table.snapshotVersions().size < versionsBefore, "expiry removed no snapshots")
+    require(diskAfter < diskBefore, "expiry deleted no unreachable data files")
+    port.unpersist()
+    PortableSeq.content(SeqIO.read(s, table)) // current snapshot content intact after expiry
   }
 
   def scanPruning(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val rows = rowsFor(dir)
-    val root = fresh("prune")
-    val (table, _) = SeqGen.fragmentedTable(s, root, rows, (rows / 250).toInt.max(20))
-    val (_, before) = SeqIO.scanPruned(s, table, Some("src0"), Some(256), Some(1024))
-    // global re-cluster: rewrite everything curve-sorted (what the planner converges to)
-    Rewrite.compactFiles(s, table, table.liveFiles(), cfg, math.max(500L, rows / 50))
-    val (df, after) = SeqIO.scanPruned(s, table, Some("src0"), Some(256), Some(1024))
-    val matched = df.count()
-    Seq((before.filesScanned.toLong, before.totalFiles.toLong, after.filesScanned.toLong,
-      after.totalFiles.toLong, matched)).toDF(
-      "files_scanned_before", "files_before", "files_scanned_after", "files_after", "rows_matched")
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("prune"), port, (n / 250).toInt.max(20))
+    val (_, before) = SeqIO.scanPruned(s, table, Some("src0"), Some(20), Some(30))
+    Rewrite.compactFiles(s, table, table.liveFiles(), cfg, math.max(200L, n / 50))
+    val (df, after) = SeqIO.scanPruned(s, table, Some("src0"), Some(20), Some(30))
+    require(after.filesScanned < after.totalFiles,
+      s"clustered scan pruned nothing: ${after.filesScanned}/${after.totalFiles}")
+    require(after.filesScanned.toDouble / after.totalFiles <
+      before.filesScanned.toDouble / before.totalFiles,
+      "clustering did not improve pruning ratio")
+    PortableSeq.content(df) // pruned scan returns exactly the predicate's rows
+  }
+
+  def dedupTable(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    // deliberate duplicates of every docnum%10=2 row under a doc_id that sorts AFTER the original
+    val dupes = port.filter(pmod(col("docnum"), lit(10)) === 2)
+      .withColumn("doc_id", format_string("x%09d", col("docnum")))
+    val all = port.unionByName(dupes)
+    val table = fragmented(s, fresh("dedup"), all, 12)
+    val (deleted, _) = DedupTable.dedupExact(s, table, cfg, targetFor(port.count()))
+    require(deleted > 0, "dedup found no duplicates despite injected ones")
+    PortableSeq.content(SeqIO.read(s, table)) // survivors = min doc_id per distinct payload
+  }
+
+  // ---------- DuckDB oracles ----------
+
+  def oracleSql: Map[String, String] = {
+    val reps = PortableSeq.repsFor("")
+    import PortableSeq._
+    Map(
+      "q25_engine_compaction" -> portContentSql(reps),
+      "q26_engine_merge_into" -> mergedContentSql(reps),
+      "q32_engine_merge_mor" -> mergedContentSql(reps),
+      "q27_engine_snapshot_expiry" -> portContentSql(reps),
+      "q28_engine_scan_pruning" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT $contentColsSql FROM port
+           |WHERE source = 'src0' AND n_tok BETWEEN 20 AND 30""".stripMargin,
+      "q30_engine_dedup_table" ->
+        s"""WITH port AS (${sql(reps)}),
+           |u AS (
+           |  SELECT doc_id, tokens, n_tok, source FROM port
+           |  UNION ALL
+           |  SELECT printf('x%09d', docnum), tokens, n_tok, source FROM port WHERE docnum%10 = 2),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY md5(array_to_string(tokens, ',')) ORDER BY doc_id) AS rn FROM u)
+           |SELECT $contentColsSql FROM ranked WHERE rn = 1""".stripMargin
+    )
   }
 }

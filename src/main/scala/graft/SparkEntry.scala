@@ -123,13 +123,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    "q10_simhash" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        Dedup.simhash(Dedup.shingles(col("text"), 2)).as("simhash64"),
-        Dedup.hamming(
-          Dedup.simhash(Dedup.shingles(col("text"), 2)),
-          Dedup.simhash(Dedup.shingles(concat(col("text"), lit(" zz qq")), 2))).as("twin_dist"))),
+    "q10_simhash" -> ((s, dir) => {
+      // the PORTABLE simhash (md5 bit family) so DuckDB can recompute it exactly; the xxhash64
+      // fast variant (Dedup.simhash) keeps parity coverage in DedupSpec. md5 arrays are
+      // materialized in their own projection so the 64 bit-votes reuse them.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          transform(Dedup.shingles(col("text"), 2), x => md5(x)).as("ha"),
+          transform(Dedup.shingles(concat(col("text"), lit(" zz qq")), 2), x => md5(x)).as("hb"))
+        .select(col("doc_id"),
+          Dedup.simhashFromMd5(col("ha")).as("simhash64"),
+          Dedup.hamming(
+            Dedup.simhashFromMd5(col("ha")), Dedup.simhashFromMd5(col("hb"))).as("twin_dist"))
+    }),
 
     // ---- text analysis family ----
     "q11_token_counts" -> ((s, dir) =>
@@ -244,17 +250,17 @@ object SparkEntry {
     "q24_multimodal_features" -> ((s, dir) => {
       import s.implicits._
       // binary payload column + partition-wise batch "decode" (stub: deterministic pseudo-decode —
-      // image/audio libs absent in this container; the schema/partitioning/batching is the real part)
+      // image/audio libs absent in this container; the schema/partitioning/batching is the real
+      // part). Features are SCALAR columns (f0..f3), not an array: the driver's pandas compare
+      // must be able to sort every output column (r01's array column crashed it).
       t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
-          val feat = Array.tabulate(4)(i => bytes.slice(i * 8, i * 8 + 8).map(_.toInt).sum)
-          (id, bytes.length, feat)
+          val f = Array.tabulate(4)(i => bytes.slice(i * 8, i * 8 + 8).map(_.toInt).sum.toLong)
+          (id, bytes.length.toLong, f(0), f(1), f(2), f(3))
         })
-        .toDF("doc_id", "payload_bytes", "fake_features")
-        .select(col("doc_id"), col("payload_bytes").cast("long").as("payload_bytes"),
-          col("fake_features"))
+        .toDF("doc_id", "payload_bytes", "f0", "f1", "f2", "f3")
     }),
 
     "q29_planner_topk_approx" -> ((s, dir) => {
@@ -297,6 +303,126 @@ object SparkEntry {
   private val zTermsSql: String = (0 until 8).flatMap(i => Seq(
     s"((gx >> $i) & 1) * ${1L << (2 * i)}",
     s"((gy >> $i) & 1) * ${1L << (2 * i + 1)}")).mkString(" + ")
+
+  /** Unrolled greedy top-k over a (ax, ay, score) region set — mirrors RegionKernel.greedySelect
+    * exactly: rank by (score desc, ax, ay); accept a region unless it overlaps an earlier pick
+    * (2×2 windows overlap iff |Δax| < 2 ∧ |Δay| < 2); σ-mode accepts an overlapping region whose
+    * score ≥ σ × every overlapping pick. k is small, so k chained CTEs beat a recursive CTE.
+    */
+  private def greedyDiscreteSql(regionsSql: String, k: Int, sigma: Option[Double]): String = {
+    def ov(p: String) = s"(abs(r.ax - $p.ax) < 2 AND abs(r.ay - $p.ay) < 2)"
+    def cond(p: String) = sigma match {
+      case None => s"NOT ${ov(p)}"
+      case Some(sg) => s"(NOT ${ov(p)} OR r.score >= $sg * $p.score)"
+    }
+    val picks = (1 to k).map { i =>
+      if (i == 1) "p1 AS (SELECT * FROM r ORDER BY rn LIMIT 1)"
+      else {
+        val prev = (1 until i).map(j => s"p$j").mkString(", ")
+        // greedy consumes the ranked stream once, so pick i sits strictly after pick i-1 (this
+        // also stops a σ-mode pick from re-selecting itself — it satisfies its own σ condition)
+        val conds = (1 until i).map(j => cond(s"p$j")).mkString(" AND ")
+        s"p$i AS (SELECT r.* FROM r, $prev WHERE r.rn > p${i - 1}.rn AND $conds ORDER BY r.rn LIMIT 1)"
+      }
+    }.mkString(",\n")
+    val union = (1 to k)
+      .map(i => s"SELECT ax::BIGINT AS ax, ay::BIGINT AS ay, score::BIGINT AS score FROM p$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH regions AS ($regionsSql),
+       |r AS (SELECT ax, ay, score, row_number() OVER (ORDER BY score DESC, ax, ay) AS rn
+       |      FROM regions WHERE score > 0),
+       |$picks
+       |$union""".stripMargin
+  }
+
+  /** All positive 2×2 window sums over the documents grid (the q03/q04 region enumeration). */
+  private val regionSumsSql: String =
+    s"""SELECT gx - dx AS ax, gy - dy AS ay, sum(cnt) AS score
+       |FROM ($docCellsSql) cells, (VALUES (0,0),(0,1),(1,0),(1,1)) o(dx, dy)
+       |WHERE gx - dx >= 0 AND gy - dy >= 0 GROUP BY 1, 2""".stripMargin
+
+  /** Unrolled xy2d Hilbert walk (order levels of the rotate-and-accumulate recurrence) applied to
+    * a base relation with columns (doc_id, gx, gy). Distinct column names per level avoid DuckDB's
+    * lateral-alias capture.
+    */
+  private def hilbertSql(baseSql: String, order: Int): String = {
+    val levels = (1 to order).map { step =>
+      val s = 1 << (order - step)
+      val px = s"x${step - 1}"; val py = s"y${step - 1}"; val pd = s"d${step - 1}"
+      s"""h$step AS (SELECT doc_id,
+         |  CASE WHEN ($py & $s) != 0 THEN $px WHEN ($px & $s) != 0 THEN $s - 1 - $py ELSE $py END AS x$step,
+         |  CASE WHEN ($py & $s) != 0 THEN $py WHEN ($px & $s) != 0 THEN $s - 1 - $px ELSE $px END AS y$step,
+         |  $pd + ${s.toLong * s} * xor(3 * (CASE WHEN ($px & $s) != 0 THEN 1 ELSE 0 END),
+         |    (CASE WHEN ($py & $s) != 0 THEN 1 ELSE 0 END)) AS d$step
+         |FROM h${step - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (SELECT doc_id, gx AS x0, gy AS y0, 0::BIGINT AS d0 FROM ($baseSql)),
+       |$levels
+       |SELECT doc_id, d$order::BIGINT AS hkey FROM h$order""".stripMargin
+  }
+
+  /** Word n-gram shingles of SQL expression `txt` — DuckDB twin of Dedup.shingles. */
+  private def shinglesSqlN(txt: String, n: Int): String = {
+    val w = s"string_split_regex(trim(lower(regexp_replace($txt, '[^A-Za-z0-9\\s]', '', 'g'))), '\\s+')"
+    s"""(CASE WHEN len($w) < $n THEN [array_to_string($w, ' ')]
+       |ELSE list_transform(generate_series(1, len($w) - ${n - 1}),
+       |  i -> array_to_string(($w)[i:i+${n - 1}], ' ')) END)""".stripMargin
+  }
+
+  /** 64-bit SimHash over a pre-md5'd shingle list expression `hs` — DuckDB twin of
+    * Dedup.simhashFromMd5: bit i's vote = bit (i%4) of hex digit (i/4) of each digest.
+    */
+  private def simhashSql(hs: String): String = (0 until 64).map { i =>
+    val digit = s"(strpos('0123456789abcdef', substring(h, ${i / 4 + 1}, 1)) - 1)"
+    val bitVal = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+    s"(CASE WHEN list_sum(list_transform($hs, h -> (($digit >> ${i % 4}) & 1) * 2 - 1)) > 0 " +
+      s"THEN $bitVal ELSE 0 END)"
+  }.mkString("(", " + ", ")")
+
+  /** Brute-force continuous BRS (mirrors GeoBrsKernel.bruteForce): canonical anchors = (xi, yj)
+    * over point coordinates with the left-edge point covered; greedy non-overlapping top-k.
+    */
+  private def brsBruteForceSql(eps: Double, k: Int): String = {
+    def ov(p: String) = s"(abs(r.ax - $p.ax) < $eps AND abs(r.ay - $p.ay) < $eps)"
+    val picks = (1 to k).map { i =>
+      if (i == 1) "p1 AS (SELECT * FROM r ORDER BY rn LIMIT 1)"
+      else {
+        val prev = (1 until i).map(j => s"p$j").mkString(", ")
+        val conds = (1 until i).map(j => s"NOT ${ov(s"p$j")}").mkString(" AND ")
+        s"p$i AS (SELECT r.* FROM r, $prev WHERE r.rn > p${i - 1}.rn AND $conds ORDER BY r.rn LIMIT 1)"
+      }
+    }.mkString(",\n")
+    val union = (1 to k).map(i =>
+      s"SELECT $i AS rank, cast(round((ax + ${eps / 2}) * 10000) AS BIGINT) AS clon_x1e4, " +
+        s"cast(round((ay + ${eps / 2}) * 10000) AS BIGINT) AS clat_x1e4, " +
+        s"score::BIGINT AS score FROM p$i").mkString("\nUNION ALL\n")
+    s"""WITH pts AS (
+       |  SELECT embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y FROM embeddings
+       |  WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL),
+       |anchors AS (
+       |  SELECT DISTINCT a.x AS ax, e.y AS ay
+       |  FROM (SELECT DISTINCT x FROM pts) a
+       |  JOIN pts e ON e.x >= a.x AND e.x <= a.x + $eps),
+       |scored AS (
+       |  SELECT an.ax, an.ay, count(*)::DOUBLE AS score,
+       |    max(CASE WHEN p.x = an.ax THEN 1 ELSE 0 END) AS edge
+       |  FROM anchors an JOIN pts p
+       |    ON p.x BETWEEN an.ax AND an.ax + $eps AND p.y BETWEEN an.ay AND an.ay + $eps
+       |  GROUP BY 1, 2),
+       |r AS (SELECT ax, ay, score, row_number() OVER (ORDER BY score DESC, ax, ay) AS rn
+       |      FROM scored WHERE edge = 1 AND score > 0),
+       |$picks
+       |$union""".stripMargin
+  }
+
+  /** q24 pseudo-decode twin: text is ASCII in the testdata, so byte i == ascii(char i). */
+  private val multimodalSql: String = {
+    val feats = (0 until 4).map { i =>
+      s"list_sum(list_transform(generate_series(${i * 8 + 1}, ${i * 8 + 8}), " +
+        s"j -> CASE WHEN j <= strlen(text) THEN ascii(substring(text, j::INT, 1)) ELSE 0 END))::BIGINT AS f$i"
+    }.mkString(", ")
+    s"SELECT doc_id, strlen(text)::BIGINT AS payload_bytes, $feats FROM documents"
+  }
 
   private val normSql =
     "regexp_replace(trim(lower(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))), '\\s+', ' ', 'g')"
@@ -425,6 +551,27 @@ object SparkEntry {
     "q23_stream_windowed_counts" ->
       """SELECT cast(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start, event_type,
         |  count(*) AS cnt
-        |FROM events GROUP BY 1, 2""".stripMargin
-  )
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q05_planner_topk_distinct" -> greedyDiscreteSql(regionSumsSql, 5, sigma = None),
+
+    "q29_planner_topk_approx" -> greedyDiscreteSql(regionSumsSql, 5, sigma = Some(0.7)),
+
+    "q22_hilbert_key" -> hilbertSql(
+      s"SELECT doc_id, $bucket8Sql AS gx, cast(floor(n_chars/64.0) AS BIGINT) AS gy FROM documents",
+      order = 16),
+
+    "q10_simhash" -> {
+      val ha = s"list_transform(${shinglesSqlN("text", 2)}, s -> md5(s))"
+      val hb = s"list_transform(${shinglesSqlN("text || ' zz qq'", 2)}, s -> md5(s))"
+      s"""WITH h AS (SELECT doc_id, $ha AS ha, $hb AS hb FROM documents),
+         |sh AS (SELECT doc_id, ${simhashSql("ha")} AS simhash64, ${simhashSql("hb")} AS twin
+         |       FROM h)
+         |SELECT doc_id, simhash64, bit_count(xor(simhash64, twin))::INT AS twin_dist FROM sh""".stripMargin
+    },
+
+    "q24_multimodal_features" -> multimodalSql,
+
+    "q31_brs_points_exact" -> brsBruteForceSql(eps = 0.05, k = 5)
+  ) ++ EngineQueries.oracleSql
 }

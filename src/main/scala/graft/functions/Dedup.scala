@@ -55,6 +55,24 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** 64-bit SimHash from a PRE-HASHED shingle array (md5 hex digests): bit i's vote per shingle is
+    * bit (i%4) of hex digit (i/4) of its digest. The md5 bit family is exactly reproducible in
+    * ANSI SQL, so a DuckDB oracle can hash-verify the whole simhash pipeline (unlike xxhash64).
+    * Callers should materialize `transform(shingles, md5)` in a separate projection first so the
+    * md5 work isn't repeated per bit.
+    */
+  def simhashFromMd5(md5s: Column): Column =
+    (0 until 64).map { i =>
+      val votes = aggregate(md5s, lit(0L), (acc, h) =>
+        acc + shr(conv(substring(h, i / 4 + 1, 1), 16, 10).cast("long"), lit(i % 4))
+          .bitwiseAND(lit(1L)) * 2L - 1L)
+      when(votes > 0, shl(lit(1L), lit(i))).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Portable SimHash of a shingle-array column (see [[simhashFromMd5]]). */
+  def simhashPortable(shingleCol: Column): Column =
+    simhashFromMd5(transform(shingleCol, s => md5(s)))
+
   /** Exact Jaccard similarity ×10000 (bigint) between two shingle-array columns. */
   def jaccardX1e4(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

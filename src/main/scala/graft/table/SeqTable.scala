@@ -136,6 +136,14 @@ final class SeqTable(val root: String) {
     * Retries with rebase on version races; throws CommitConflictException when a concurrent commit
     * already removed (rewrote) any of our `removedPaths` — the caller must re-plan from the new
     * snapshot (this is what makes two overlapping MERGE INTOs serialize: one wins, one replans).
+    *
+    * @param plannedDeleteManifests REQUIRED from every committer that REWRITES existing rows
+    *   (COW merge, compaction, delete materialization): the delete manifests of the snapshot the
+    *   rewrite was planned from. Rewritten files get `addedAt = base+1`, which outranks every
+    *   delete sequence number — so if a concurrent MoR merge added a delete manifest after the
+    *   plan, silently rebasing over it would RESURRECT the rows it deleted inside our rewritten
+    *   files (Iceberg's `validateNoNewDeleteFiles` guard, public design). We conflict instead and
+    *   the caller replans with the new deletes applied.
     */
   def commit(
       operation: String,
@@ -145,7 +153,8 @@ final class SeqTable(val root: String) {
       maxRetries: Int = 20,
       addedDeleteManifests: Seq[String] = Nil,
       removedDeleteManifests: Set[String] = Set.empty,
-      expectedBase: Option[Long] = None): Snapshot = {
+      expectedBase: Option[Long] = None,
+      plannedDeleteManifests: Option[Set[String]] = None): Snapshot = {
     var attempt = 0
     while (true) {
       val base = currentSnapshot()
@@ -154,6 +163,13 @@ final class SeqTable(val root: String) {
         if (base.version != v)
           throw new CommitConflictException(
             s"commit($operation): expected base v$v but head is v${base.version}")
+      }
+      plannedDeleteManifests.foreach { planned =>
+        val appeared = base.deleteManifests.toSet -- planned -- addedDeleteManifests
+        if (appeared.nonEmpty)
+          throw new CommitConflictException(
+            s"commit($operation): concurrent delete manifests appeared since the plan " +
+              s"(${appeared.take(3).mkString(", ")}); rewriting now would resurrect deleted rows")
       }
       val baseLive = liveFiles(base)
       val basePaths = baseLive.map(_.path).toSet
@@ -248,17 +264,35 @@ final class SeqTable(val root: String) {
 
   /** Merge all live manifests into one, entries sorted by (first source, minNtok) so range scans
     * touch contiguous manifest regions — the manifest-rewrite maintenance op.
+    *
+    * Runs through the same optimistic retry loop as [[commit]]: losing the version race to a
+    * concurrent commit re-reads the new head and rebuilds from ITS manifests (a raw
+    * writeSnapshotFile would surface the race as FileAlreadyExistsException — or worse, clobber a
+    * commit's file edits with a stale manifest union).
     */
-  def rewriteManifests(): Snapshot = {
-    val base = currentSnapshot()
-    val entries = liveFiles(base).sortBy(f => (f.sources.headOption.getOrElse(""), f.minNtok, f.path))
-    val m = writeManifest(entries)
-    val next = Snapshot(base.version + 1, base.version, "rewrite-manifests", Seq(m),
-      Map("manifests-before" -> base.manifests.size.toString, "manifests-after" -> "1",
-        "total-files" -> entries.size.toString),
-      System.currentTimeMillis(), base.deleteManifests)
-    writeSnapshotFile(next)
-    writeVersionHint(next.version)
-    next
+  def rewriteManifests(maxRetries: Int = 20): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val base = currentSnapshot()
+      val entries = liveFiles(base).sortBy(f => (f.sources.headOption.getOrElse(""), f.minNtok, f.path))
+      val m = writeManifest(entries)
+      val next = Snapshot(base.version + 1, base.version, "rewrite-manifests", Seq(m),
+        Map("manifests-before" -> base.manifests.size.toString, "manifests-after" -> "1",
+          "total-files" -> entries.size.toString),
+        System.currentTimeMillis(), base.deleteManifests)
+      try {
+        writeSnapshotFile(next)
+        writeVersionHint(next.version)
+        return next
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(metaDir.resolve(m))
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new CommitConflictException(
+              s"rewriteManifests: lost the version race $maxRetries times")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }
