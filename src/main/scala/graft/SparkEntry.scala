@@ -119,7 +119,7 @@ object SparkEntry {
       val twins = docs.filter(col("doc_id") % 5 === 0) // 20% near-dup twins by construction
         .select((col("doc_id") * 2 + 1).as("id"), concat(col("text"), lit(" zz qq")).as("text"))
       Dedup.minhashLshPairs(base.unionByName(twins), k = 32, bands = 8, shingleN = 3,
-        minJaccardX1e4 = 6000L)
+        minJaccardX1e4 = 6000L, portable = true) // md5 hash family → DuckDB oracle recomputes it
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -572,6 +572,63 @@ object SparkEntry {
 
     "q24_multimodal_features" -> multimodalSql,
 
-    "q31_brs_points_exact" -> brsBruteForceSql(eps = 0.05, k = 5)
+    "q31_brs_points_exact" -> brsBruteForceSql(eps = 0.05, k = 5),
+
+    // full algorithm oracle: portable md5 minhash family → signatures, band buckets, hot-bucket
+    // cap, distinct pairs, exact-jaccard verification — every stage recomputed in SQL
+    "q09_minhash_lsh_pairs" ->
+      s"""WITH u AS (
+         |  SELECT doc_id*2 AS id, ${shinglesSqlN("text", 3)} AS sh FROM documents
+         |  UNION ALL
+         |  SELECT doc_id*2+1 AS id, ${shinglesSqlN("text || ' zz qq'", 3)} AS sh
+         |  FROM documents WHERE doc_id%5 = 0),
+         |sigs AS (SELECT id, list_transform(generate_series(0, 31),
+         |  i -> list_min(list_transform(sh,
+         |    s -> ('0x' || substring(md5(i::VARCHAR || ':' || s), 1, 12))::BIGINT))) AS sig
+         |  FROM u),
+         |bk AS (SELECT id, b, array_to_string(sig[b*4+1 : b*4+4], '_') AS key
+         |       FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b) _b),
+         |capped AS (SELECT * FROM (
+         |  SELECT id, b, key, count(*) OVER (PARTITION BY b, key) AS bn FROM bk) WHERE bn <= 1024),
+         |pairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+         |          FROM capped l JOIN capped r ON l.b = r.b AND l.key = r.key AND l.id < r.id),
+         |j AS (SELECT id_a, id_b,
+         |  cast(round(len(list_intersect(list_distinct(a.sh), list_distinct(b2.sh))) * 10000.0
+         |    / len(list_distinct(list_cat(a.sh, b2.sh)))) AS BIGINT) AS jaccard_x1e4
+         |  FROM pairs JOIN u a ON a.id = pairs.id_a JOIN u b2 ON b2.id = pairs.id_b)
+         |SELECT id_a, id_b, jaccard_x1e4 FROM j WHERE jaccard_x1e4 >= 6000
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // full algorithm oracle: the LCG hyperplane family (Similarity.planeSign) recomputed in SQL →
+    // per-table buckets → candidate pairs → exact cosine re-rank
+    "q17_ann_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT t, p, d,
+         |    CASE WHEN ((1103515245::BIGINT*(t*521 + p*67 + d) + 12345) % 2147483648 >> 14) & 1 = 1
+         |         THEN 1.0 ELSE -1.0 END AS s
+         |  FROM (SELECT unnest(generate_series(0, 5)) AS t) _t,
+         |       (SELECT unnest(generate_series(0, 7)) AS p) _p,
+         |       (SELECT unnest(generate_series(0, 63)) AS d) _d),
+         |flat AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         |         unnest(embedding)::DOUBLE AS e FROM embeddings),
+         |proj AS (SELECT vec_id, t, p, sum(e*s) AS dot
+         |         FROM flat JOIN planes USING (d) GROUP BY 1, 2, 3),
+         |buckets AS (SELECT vec_id, t,
+         |  sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY 1, 2),
+         |cands AS (SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS neighbor_id
+         |  FROM (SELECT * FROM buckets WHERE vec_id < 3) q
+         |  JOIN buckets i ON i.t = q.t AND i.bucket = q.bucket AND i.vec_id <> q.vec_id),
+         |dots AS (SELECT c.query_id, c.neighbor_id,
+         |  sum(a.e*b.e) / (sqrt(sum(a.e*a.e)) * sqrt(sum(b.e*b.e))) AS cos
+         |  FROM cands c
+         |  JOIN flat a ON a.vec_id = c.query_id
+         |  JOIN flat b ON b.vec_id = c.neighbor_id AND b.d = a.d
+         |  GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank, cos
+         |  FROM dots)
+         |SELECT query_id, neighbor_id, rank, cast(round(cos * 10000) AS BIGINT) AS cos_x1e4
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   ) ++ EngineQueries.oracleSql
 }

@@ -80,23 +80,64 @@ object Dedup {
     round(inter / union * 10000).cast("long")
   }
 
-  /** Candidate near-dup pairs via MinHash-LSH banding: one shuffle on (band, bucket), pairs
-    * verified with exact Jaccard ≥ `minJaccardX1e4`. `df` must have columns (id, text).
+  /** 48-bit PORTABLE hash of shingle `s` for permutation `i`: top 12 hex digits of md5("i:s").
+    * Exactly reproducible in ANSI SQL (`('0x' || substring(md5(...), 1, 12))::BIGINT`).
+    */
+  def md5Hash48(i: Column, s: Column): Column =
+    conv(substring(md5(concat(i.cast("string"), lit(":"), s)), 1, 12), 16, 10).cast("long")
+
+  /** Portable MinHash signature (md5 hash family) — slower than [[minhashSignature]] (xxhash64),
+    * use where the oracle must recompute the signature.
+    */
+  def minhashSignaturePortable(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol, s => md5Hash48(i, s))))
+
+  /** Band keys as joined strings (no second-level hash → portable and collision-free). */
+  def lshBandKeysPortable(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        concat_ws("_", transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast("string"))).as("key")))
+
+  /** Candidate near-dup pairs via MinHash-LSH banding, scale-shaped:
+    *
+    *  - the (band, bucket) shuffle carries ONLY (id, band, key) — shingle payloads are re-attached
+    *    by id to the surviving DISTINCT pairs (r01 shipped both full shingle arrays through the
+    *    band join: the payload crossed the wire twice, multiplied by band count);
+    *  - hot buckets above `maxBucket` members are dropped before pairing — one viral boilerplate
+    *    cluster would otherwise go quadratic; such clusters are exact-dedup work, not near-dup
+    *    work (and exact dedup catches them upstream);
+    *  - `portable = true` switches to the md5 hash family so an ANSI-SQL oracle can recompute the
+    *    full pipeline.
+    *
+    * `df` must have columns (id, text). Pairs are verified with exact Jaccard ≥ `minJaccardX1e4`.
     */
   def minhashLshPairs(df: DataFrame, k: Int, bands: Int, shingleN: Int,
-      minJaccardX1e4: Long): DataFrame = {
+      minJaccardX1e4: Long, maxBucket: Int = 1024, portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rows = k / bands
-    val withSig = df
-      .withColumn("_sh", shingles(col("text"), shingleN))
-      .withColumn("_sig", minhashSignature(col("_sh"), k))
-      .withColumn("_band", explode(lshBandKeys(col("_sig"), bands, rows)))
-      .select(col("id"), col("_sh"), col("_band.band"), col("_band.key"))
-    val l = withSig.select(col("id").as("id_a"), col("_sh").as("sh_a"), col("band"), col("key"))
-    val r = withSig.select(col("id").as("id_b"), col("_sh").as("sh_b"), col("band"), col("key"))
-    l.join(r, Seq("band", "key"))
+    val withSh = df.withColumn("_sh", shingles(col("text"), shingleN))
+    val sig =
+      if (portable) minhashSignaturePortable(col("_sh"), k) else minhashSignature(col("_sh"), k)
+    val bandKeys =
+      if (portable) lshBandKeysPortable(sig, bands, rows) else lshBandKeys(sig, bands, rows)
+    val keyed = withSh
+      .withColumn("_band", explode(bandKeys))
+      .select(col("id"), col("_band.band").as("band"), col("_band.key").as("key"))
+    val capped = keyed
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("_bn") <= maxBucket)
+    val pairs = capped.select(col("id").as("id_a"), col("band"), col("key"))
+      .join(capped.select(col("id").as("id_b"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccardX1e4(col("sh_a"), col("sh_b")).as("jaccard_x1e4"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val sh = withSh.select(col("id"), col("_sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("_sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("_sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccardX1e4(col("sh_a"), col("sh_b")).as("jaccard_x1e4"))
       .filter(col("jaccard_x1e4") >= minJaccardX1e4)
   }
 }

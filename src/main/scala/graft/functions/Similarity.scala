@@ -32,37 +32,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH sketch: bit p = sign of <vec, plane_p>, planes ±1-valued from a
-    * deterministic hash of (plane, dim). Vectors close in cosine share sketch prefixes/buckets.
+  /** Deterministic ±1 hyperplane family: sign(t, p, d) from a 31-bit LCG — plain integer
+    * arithmetic, so the identical formula runs inside the DuckDB oracle, and the planes
+    * materialize ONCE as literal arrays. r01 hashed (plane, dim) per ROW per DIM (xxhash64 on the
+    * hot path); literal planes cost k·dims multiply-adds per row and nothing else.
     */
-  /** signed projection of `vec` onto the ±1-valued pseudo-random plane indexed by `p`. */
-  private def planeDot(vec: Column, p: Column): Column =
-    aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, d) => x.cast("double") *
-          when(shiftright(xxhash64(p, d), 7).bitwiseAND(lit(1L)) === 1L, 1.0).otherwise(-1.0)),
-      lit(0.0), _ + _)
+  def planeSign(table: Int, plane: Int, dim: Int): Double = {
+    val h = (1103515245L * (table * 521 + plane * 67 + dim) + 12345L) % 2147483648L
+    if (((h >> 14) & 1L) == 1L) 1.0 else -1.0
+  }
 
-  def hyperplaneSketch(vec: Column, planes: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(planes - 1)),
-      lit(0L),
-      (acc, p) => acc.bitwiseOR(
-        when(planeDot(vec, p) > 0, Dedup.shl(lit(1L), p)).otherwise(lit(0L))))
+  private def litPlane(t: Int, p: Int, dims: Int): Column =
+    array((0 until dims).map(d => lit(planeSign(t, p, d))): _*)
+
+  /** LSH bucket of `vec` for table `t`: bit p = sign of <vec, plane(t, p)>. */
+  def hyperplaneSketch(vec: Column, planes: Int, dims: Int, t: Int = 0): Column =
+    (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, litPlane(t, p, dims), (x, s) => x.cast("double") * s), lit(0.0), _ + _)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
 
   /** Approximate top-k: candidates = pairs sharing an LSH bucket (multi-probe over `tables`
-    * independent sketches), then exact cosine re-rank within candidates.
+    * independent sketches), then exact cosine re-rank within candidates. `dims` must match the
+    * embedding width (planes are compile-time literals).
     */
-  def lshTopK(items: DataFrame, queries: DataFrame, k: Int, planes: Int, tables: Int): DataFrame = {
+  def lshTopK(items: DataFrame, queries: DataFrame, k: Int, planes: Int, tables: Int,
+      dims: Int = 64): DataFrame = {
     def sketched(df: DataFrame, idName: String, vecName: String): DataFrame =
       df.select(col("id").as(idName), col("vec").as(vecName)) // rename first (no lateral aliases)
-        .withColumn("sk", explode(transform(sequence(lit(0), lit(tables - 1)),
-          t => struct(t.as("table"),
-            // per-table sketch: offset the plane index space so tables are independent
-            aggregate(sequence(t * planes, (t + 1) * planes - 1), lit(0L),
-              (acc, p) => acc.bitwiseOR(
-                when(planeDot(col(vecName), p) > 0, Dedup.shl(lit(1L), p % planes))
-                  .otherwise(lit(0L)))).as("bucket")))))
+        .withColumn("sk", explode(array((0 until tables).map(t =>
+          struct(lit(t).as("table"),
+            hyperplaneSketch(col(vecName), planes, dims, t).as("bucket"))): _*)))
         .select(col(idName), col(vecName), col("sk.table"), col("sk.bucket"))
     val it = sketched(items, "neighbor_id", "vec")
     val qs = sketched(queries, "query_id", "qvec")
