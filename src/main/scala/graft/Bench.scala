@@ -85,7 +85,7 @@ object Bench {
 
     val changes = SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50)
     val (mr, tMerge) = time(MergeInto.merge(spark, table, changes, cfg, target))
-    val mergeRecords = SeqIO.read(spark, table).count() // rows rewritten by the COW merge pass
+    val mergeRecords = mr.recordsWritten // rows THIS merge physically wrote (survivors + upserts)
 
     val ((df, after), _) = time(SeqIO.scanPruned(spark, table, Some("src0"), Some(256), Some(1024)))
     val (_, tScan) = time(df.count())
@@ -176,12 +176,18 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(
+    val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         f""""maintenance_throughput_seq_per_sec":${mb.throughput}%.0f,""" +
         f""""maintenance_rows":${mb.rows},"files_before":${mb.filesBefore},"files_after":${mb.filesAfter},""" +
         f""""scan_files_before":${mb.scanBefore._1},"scan_files_total_before":${mb.scanBefore._2},""" +
-        f""""scan_files_after":${mb.scanAfter._1},"scan_files_total_after":${mb.scanAfter._2}}""")
+        f""""scan_files_after":${mb.scanAfter._1},"scan_files_total_after":${mb.scanAfter._2}}"""
+    println(json)
+    // also land the JSON at a stable path: r01's metrics line hid under sbt's [info] prefix and
+    // the driver's parse came back null
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH/last_bench.json")
+    try Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -8,17 +8,33 @@ import graft.table.{SeqIO, SeqTable}
 /** Table-level deduplication as a maintenance operation: detect duplicate sequences and remove
   * them through the transactional MERGE INTO delete path (one atomic snapshot, full lineage).
   *
-  * Exact mode keys on the token payload itself (`xxhash64(tokens)` + length — collision-checked by
-  * grouping on the hash AND n_tok); the winner per group is the smallest doc_id, everything else
-  * is deleted. One shuffle on the content hash; the payload never moves (hash computed at scan).
+  * Exact mode is a two-phase plan so it is BOTH payload-exact and cheap at 10^12 rows:
+  *  1. candidate pass — shuffle only (doc_id, hash, n_tok); rows whose (hash, n_tok) group has a
+  *     single member (the overwhelming majority) never move their token payload at all;
+  *  2. verify pass — candidate rows re-grouped by the TOKEN PAYLOAD itself. Deleting on hash
+  *     equality alone would silently destroy a distinct document on a 64-bit collision — a
+  *     birthday-bound certainty at 10^12 rows, unacceptable for a destructive op.
+  * The winner per payload group is the smallest doc_id, everything else is deleted.
   */
 object DedupTable {
 
-  /** Duplicate doc_ids to remove (exact content duplicates, keep-min-doc_id policy). */
-  def exactDuplicates(spark: SparkSession, table: SeqTable): DataFrame = {
-    SeqIO.read(spark, table)
-      .select(col("doc_id"), xxhash64(col("tokens")).as("h"), col("n_tok"))
-      .groupBy(col("h"), col("n_tok"))
+  /** Duplicate doc_ids to remove (exact content duplicates, keep-min-doc_id policy).
+    * @param hashBits width of the candidate hash (< 64 forces collisions — test hook proving
+    *                 colliding-but-distinct payloads survive)
+    */
+  def exactDuplicates(spark: SparkSession, table: SeqTable, hashBits: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = SeqIO.read(spark, table)
+    val h =
+      if (hashBits >= 64) xxhash64(col("tokens"))
+      else pmod(xxhash64(col("tokens")), lit(1L << hashBits))
+    val candIds = rows
+      .select(col("doc_id"), h.as("h"), col("n_tok"))
+      .withColumn("_gn", count(lit(1)).over(Window.partitionBy(col("h"), col("n_tok"))))
+      .filter(col("_gn") > 1)
+      .select(col("doc_id"))
+    rows.join(candIds, Seq("doc_id"), "left_semi") // payload moves only for candidate rows
+      .groupBy(col("n_tok"), col("tokens"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(slice(col("ids"), 2, Int.MaxValue)).as("doc_id")) // all but the min survive → delete
@@ -26,8 +42,8 @@ object DedupTable {
 
   /** Run the dedup: returns (#deleted, merge result). No-op commit is skipped. */
   def dedupExact(spark: SparkSession, table: SeqTable, cfg: GridConfig,
-      targetRecordsPerFile: Long): (Long, Option[MergeResult]) = {
-    val dupes = exactDuplicates(spark, table).persist()
+      targetRecordsPerFile: Long, hashBits: Int = 64): (Long, Option[MergeResult]) = {
+    val dupes = exactDuplicates(spark, table, hashBits).persist()
     val n = dupes.count()
     val res =
       if (n == 0) None

@@ -8,7 +8,8 @@ import graft.table.{SeqIO, SeqTable, Snapshot}
 final case class MergeResult(
     snapshot: Snapshot,
     filesRewritten: Int,
-    attempts: Int)
+    attempts: Int,
+    recordsWritten: Long = 0L) // rows physically written by THIS merge (survivors + upserts)
 
 /** Copy-on-write MERGE INTO with optimistic snapshot-isolation.
   *
@@ -77,21 +78,21 @@ object MergeInto {
           val added = timed("mor-upsert-write")(
             Rewrite.clusteredWrite(spark, table, upserts, cfg, targetRecordsPerFile, nKeys))
           val seq = snap.version + 1
-          import scala.jdk.CollectionConverters._
-          val dm = table.writeDeleteManifest(
-            keys.toLocalIterator().asScala.map(_.getString(0)), seq)
+          // distributed manifest write: executors emit the key files, no driver funnel
+          val dms = timed("mor-delete-manifests")(
+            SeqIO.writeDeleteManifests(spark, table, keys, seq, nKeys))
           try {
             val s = table.commit("merge-mor", added, Set.empty,
               Map("merge-attempt" -> attempt.toString, "delete-seq" -> seq.toString),
-              maxRetries = 0, addedDeleteManifests = Seq(dm),
+              maxRetries = 0, addedDeleteManifests = dms,
               expectedBase = Some(snap.version)) // seq is baked into the manifest: no silent rebase
-            return MergeResult(s, 0, attempt)
+            return MergeResult(s, 0, attempt, added.map(_.records).sum)
           } catch {
             case e: table.CommitConflictException =>
               added.foreach(f => java.nio.file.Files.deleteIfExists(
                 java.nio.file.Paths.get(table.absolutePath(f))))
-              java.nio.file.Files.deleteIfExists(
-                java.nio.file.Paths.get(table.deleteManifestPath(dm)))
+              dms.foreach(dm => java.nio.file.Files.deleteIfExists(
+                java.nio.file.Paths.get(table.deleteManifestPath(dm))))
               if (attempt >= maxAttempts) throw e
           }
         } else {
@@ -137,11 +138,15 @@ object MergeInto {
         val insertedFiles = timed("upsert-write")(Rewrite.clusteredWrite(
           spark, table, upserts, cfg, targetRecordsPerFile, nKeys))
 
-        // 4. atomic swap; on conflict, drop our orphan files and replan from the new head
+        // 4. atomic swap; on conflict (incl. a delete manifest added by a concurrent MoR merge
+        //    since our plan — our rewritten files would escape its deletes), drop our orphan
+        //    files and replan from the new head
         try {
           val s = table.commit("merge", rewritten ++ insertedFiles, affectedPaths,
-            Map("merge-attempt" -> attempt.toString))
-          return MergeResult(s, affected.size, attempt)
+            Map("merge-attempt" -> attempt.toString),
+            plannedDeleteManifests = Some(snap.deleteManifests.toSet))
+          return MergeResult(s, affected.size, attempt,
+            (rewritten ++ insertedFiles).map(_.records).sum)
         } catch {
           case e: table.CommitConflictException =>
             (rewritten ++ insertedFiles).foreach(f =>

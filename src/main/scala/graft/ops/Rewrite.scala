@@ -56,14 +56,30 @@ object Rewrite {
       cfg: GridConfig,
       targetRecordsPerFile: Long,
       summary: Map[String, String] = Map.empty,
-      hilbert: Boolean = false): graft.table.Snapshot = {
-    // apply outstanding merge-on-read deletes while rewriting — a raw rewrite would resurrect
-    // deleted rows (new files outlive the deletes' sequence numbers)
-    val snap = table.currentSnapshot()
-    val df = SeqIO.readWithDeletes(spark, table, snap, files)
-    val total = files.map(_.records).sum
-    val added = clusteredWrite(spark, table, df, cfg, targetRecordsPerFile, total, hilbert)
-    table.commit("compact", added, files.map(_.path).toSet,
-      summary ++ Map("records" -> total.toString))
+      hilbert: Boolean = false,
+      maxAttempts: Int = 3): graft.table.Snapshot = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      // apply outstanding merge-on-read deletes while rewriting — a raw rewrite would resurrect
+      // deleted rows (new files outlive the deletes' sequence numbers). The commit validates that
+      // no NEW delete manifest appeared since this plan (same resurrection hazard, concurrent
+      // flavor) — on conflict we re-read and re-apply the newer deletes.
+      val snap = table.currentSnapshot()
+      val df = SeqIO.readWithDeletes(spark, table, snap, files)
+      val total = files.map(_.records).sum
+      val added = clusteredWrite(spark, table, df, cfg, targetRecordsPerFile, total, hilbert)
+      try {
+        return table.commit("compact", added, files.map(_.path).toSet,
+          summary ++ Map("records" -> total.toString),
+          plannedDeleteManifests = Some(snap.deleteManifests.toSet))
+      } catch {
+        case e: table.CommitConflictException =>
+          added.foreach(f => java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(table.absolutePath(f))))
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

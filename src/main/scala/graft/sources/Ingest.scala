@@ -61,20 +61,38 @@ object Ingest {
 
   /** Structured-streaming ingestion: every micro-batch becomes one atomic snapshot commit
     * (transactional streaming append — readers never see a partial batch).
+    *
+    * IDEMPOTENT across micro-batch replay: a crash between `table.commit` and Spark's offset
+    * commit redelivers the same batchId on restart. Each commit stamps its batch id (keyed by a
+    * per-checkpoint tag, so several streams can share one table) into the snapshot summary — the
+    * same atomic write as the data — and the high-water mark is recovered from the summaries once
+    * per restart; replayed batches at or below it are skipped.
     */
   def stream(spark: SparkSession, table: SeqTable, source: DataFrame,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    val tag = Integer.toHexString(checkpointDir.hashCode)
+    val key = s"stream-batch-$tag"
+    val hwm = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val recovered = new java.util.concurrent.atomic.AtomicBoolean(false)
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (recovered.compareAndSet(false, true)) {
+          val committed = table.snapshotVersions().map(table.snapshot)
+            .flatMap(_.summary.get(key)).map(_.toLong)
+          hwm.set(if (committed.isEmpty) Long.MinValue else committed.max)
+        }
+        if (batchId > hwm.get && !batch.isEmpty) {
           val metas = SeqIO.writeFiles(batch.sparkSession, table, conform(batch))
-          table.commit("stream-append", metas, Set.empty, Map("batch-id" -> batchId.toString))
+          table.commit("stream-append", metas, Set.empty,
+            Map("batch-id" -> batchId.toString, key -> batchId.toString))
+          hwm.set(batchId)
           ()
         }
       }
       .start()
+  }
 
   /** Result export sink (reference S4/S5 stdout/WKT analog): write any result DataFrame as
     * parquet or single-header CSV.

@@ -101,26 +101,80 @@ object SeqIO {
     if (metas.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], SeqSchema.schema)
     else spark.read.schema(SeqSchema.schema).parquet(metas.map(table.absolutePath): _*)
 
+  /** Broadcast ceiling for the delete-key side of the MoR anti-join; larger delete sets fall back
+    * to a shuffle join (a 100-TB merge batch can carry more keys than any executor should hold).
+    */
+  val DeleteBroadcastMaxBytes: Long = 64L * 1024 * 1024
+
+  /** One relation holding every outstanding equality-delete key of `snap`:
+    * (_del_key, _del_seq) — ONE multi-path text scan; the sequence number is parsed from the
+    * manifest file name via the scan-attached `_metadata.file_path` column.
+    */
+  def deletesDF(spark: SparkSession, table: SeqTable, snap: Snapshot): DataFrame = {
+    val paths = snap.deleteManifests.map(table.deleteManifestPath)
+    spark.read.textFile(paths: _*)
+      .select(col("value").as("_del_key"),
+        regexp_extract(col("_metadata.file_path"), "delete-([0-9]+)-", 1)
+          .cast("long").as("_del_seq"))
+  }
+
   /** Delete-aware read of `metas`: merge-on-read equality deletes with sequence s hide rows of
-    * files with addedAt < s. Files are read in per-addedAt groups carrying a literal sequence
-    * column (NOT input_file_name(), which legally evaluates to "" once the optimizer detaches the
-    * projection from the scan), then one broadcast anti-join. No-join fast path when the snapshot
-    * carries no deletes.
+    * files with addedAt < s.
+    *
+    * ONE parquet scan over all files (r01 built one scan per addedAt group, so plan size grew with
+    * every MoR commit and file packing within a scan was lost); each row's addedAt is re-attached
+    * by joining the scan-attached `_metadata.file_path` basename against the manifest entries —
+    * metadata columns cannot be detached from their scan (unlike input_file_name()). Delete keys
+    * broadcast below [[DeleteBroadcastMaxBytes]], else shuffle anti-join. No-join fast path when
+    * the snapshot carries no deletes.
     */
   def readWithDeletes(spark: SparkSession, table: SeqTable, snap: Snapshot,
-      metas: Seq[FileMeta]): DataFrame = {
+      metas: Seq[FileMeta], maxBroadcastBytes: Long = DeleteBroadcastMaxBytes): DataFrame = {
     if (snap.deleteManifests.isEmpty || metas.isEmpty) return readFiles(spark, table, metas)
-    val dels = snap.deleteManifests.map { m =>
-      spark.read.textFile(table.deleteManifestPath(m))
-        .select(col("value").as("_del_key"), lit(table.deleteManifestSeq(m)).as("_del_seq"))
-    }.reduce(_ unionByName _)
-    val byAge = metas.groupBy(_.addedAt).toSeq.sortBy(_._1).map { case (age, fs) =>
-      readFiles(spark, table, fs).withColumn("_added", lit(age))
-    }.reduce(_ unionByName _)
-    byAge
-      .join(broadcast(dels),
-        col("doc_id") === col("_del_key") && col("_del_seq") > col("_added"), "left_anti")
-      .drop("_added")
+    import spark.implicits._
+    val dels0 = deletesDF(spark, table, snap)
+    val delBytes = snap.deleteManifests
+      .map(m => Files.size(Paths.get(table.deleteManifestPath(m)))).sum
+    val dels = if (delBytes <= maxBroadcastBytes) broadcast(dels0) else dels0
+    val ages = broadcast(
+      spark.createDataset(metas.map(m => (fileBasename(m.path), m.addedAt))).toDF("_fn", "_added"))
+    readFiles(spark, table, metas)
+      .withColumn("_fn", element_at(split(col("_metadata.file_path"), "/"), -1))
+      .join(ages, Seq("_fn"))
+      .join(dels, col("doc_id") === col("_del_key") && col("_del_seq") > col("_added"), "left_anti")
+      .select("doc_id", "tokens", "n_tok", "source")
+  }
+
+  private def fileBasename(path: String): String = path.substring(path.lastIndexOf('/') + 1)
+
+  /** Target keys per delete-manifest file (sizes the executor-side write parallelism). */
+  val DeleteManifestKeysPerFile: Long = 10L * 1000 * 1000
+
+  /** Distributed delete-manifest write: the key DataFrame (one string column) is written by
+    * executors as text parts and each non-empty part becomes its own manifest — no driver funnel,
+    * so the change-set size is unbounded (r01 pulled every key through toLocalIterator). Parts are
+    * coalesced to ~[[DeleteManifestKeysPerFile]] keys each so small merges land one manifest, not
+    * one per shuffle partition.
+    */
+  def writeDeleteManifests(spark: SparkSession, table: SeqTable, keys: DataFrame,
+      seq: Long, nKeys: Long = -1L): Seq[String] = {
+    val metaDir = Paths.get(table.root, "metadata")
+    val tmp = metaDir.resolve(s".tmp-del-${java.util.UUID.randomUUID().toString.take(8)}")
+    val parts0 =
+      if (nKeys < 0) 1
+      else math.max(1L, (nKeys + DeleteManifestKeysPerFile - 1) / DeleteManifestKeysPerFile).toInt
+    keys.toDF("value").coalesce(parts0).write.mode("overwrite").text(tmp.toString)
+    val parts = Files.list(tmp).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") && Files.size(p) > 0)
+      .toSeq.sortBy(_.getFileName.toString)
+    val names = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"delete-$seq-${java.util.UUID.randomUUID().toString.take(8)}$i.keys"
+      Files.move(p, metaDir.resolve(name))
+      name
+    }
+    Files.list(tmp).iterator().asScala.foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(tmp)
+    names
   }
 
   /** @deprecated shim — delete application now needs to build the read itself (see

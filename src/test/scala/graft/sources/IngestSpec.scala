@@ -57,6 +57,35 @@ class IngestSpec extends AnyFunSuite {
     assert(ops.count(_ == "stream-append") >= 1)
   }
 
+  test("streaming ingest is idempotent across micro-batch replay") {
+    val dir = fresh()
+    val t = SeqTable.create(s"$dir/t")
+    val srcDir = s"$dir/incoming"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    SeqGen.table(spark, 120, parts = 1).write.parquet(s"$srcDir/b1")
+    def run(): Unit = {
+      val src = spark.readStream.schema(graft.table.SeqSchema.schema).parquet(s"$srcDir/b*")
+      val q = Ingest.stream(spark, t, src, s"$dir/ckpt")
+      q.awaitTermination(120000)
+      q.stop() // deregister from the session's active-query registry before re-running
+      ()
+    }
+    run()
+    assert(SeqIO.read(spark, t).count() === 120)
+    // crash window: Spark wrote its offsets but not its commit marker → restart redelivers the
+    // same batchId. Simulate by dropping the newest commit marker and re-running.
+    import scala.jdk.CollectionConverters._
+    val commits = java.nio.file.Paths.get(s"$dir/ckpt/commits")
+    val newest = Files.list(commits).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.forall(_.isDigit)).maxBy(_.getFileName.toString.toInt)
+    Files.delete(newest)
+    // drop Hadoop's checksum sidecar too, or the re-written marker's rename fails
+    Files.deleteIfExists(commits.resolve(s".${newest.getFileName}.crc"))
+    run()
+    assert(SeqIO.read(spark, t).count() === 120,
+      "replayed micro-batch must not append duplicate rows")
+  }
+
   test("export sink roundtrips csv") {
     val dir = fresh()
     import spark.implicits._
