@@ -161,7 +161,18 @@ object Bench {
       "q23_stream_windowed_counts")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    val (mb, _) = time(maintenanceBench(spark, rows, nFiles))
+    // tmpfs, same rationale as the scaling mode: the sandbox's single shared disk swings identical
+    // 1 GB rewrites 7s→70s with host load; a cluster has aggregate bandwidth per executor, so the
+    // CPU-bound number is the transferable one
+    val shm = "/dev/shm/graft-bench-life"
+    def cleanupShm(): Unit = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(shm)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    cleanupShm()
+    val (mb, _) = time(maintenanceBench(spark, rows, nFiles, baseDir = Some(shm)))
     results += "m_ingest" -> mb.ingestSec
     results += "m_compaction_cycles" -> mb.cycleSec
     results += "m_merge_into" -> mb.mergeSec
@@ -188,6 +199,7 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH/last_bench.json")
     try Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case _: Throwable => () }
+    cleanupShm()
     spark.stop()
   }
 }

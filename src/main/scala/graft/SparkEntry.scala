@@ -582,10 +582,12 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT doc_id*2+1 AS id, ${shinglesSqlN("text || ' zz qq'", 3)} AS sh
          |  FROM documents WHERE doc_id%5 = 0),
-         |sigs AS (SELECT id, list_transform(generate_series(0, 31),
-         |  i -> list_min(list_transform(sh,
-         |    s -> ('0x' || substring(md5(i::VARCHAR || ':' || s), 1, 12))::BIGINT))) AS sig
-         |  FROM u),
+         |hs AS (SELECT id, list_transform(sh,
+         |  s -> ('0x' || substring(md5(s), 1, 12))::BIGINT) AS h48 FROM u),
+         |sigs AS (SELECT id, [${(0 until 32).map(i =>
+                      s"list_min(list_transform(h48, h -> (h*${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % ${Dedup.AffineMod}))")
+                      .mkString(", ")}] AS sig
+         |  FROM hs),
          |bk AS (SELECT id, b, array_to_string(sig[b*4+1 : b*4+4], '_') AS key
          |       FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b) _b),
          |capped AS (SELECT * FROM (
@@ -593,9 +595,9 @@ object SparkEntry {
          |pairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
          |          FROM capped l JOIN capped r ON l.b = r.b AND l.key = r.key AND l.id < r.id),
          |j AS (SELECT id_a, id_b,
-         |  cast(round(len(list_intersect(list_distinct(a.sh), list_distinct(b2.sh))) * 10000.0
-         |    / len(list_distinct(list_cat(a.sh, b2.sh)))) AS BIGINT) AS jaccard_x1e4
-         |  FROM pairs JOIN u a ON a.id = pairs.id_a JOIN u b2 ON b2.id = pairs.id_b)
+         |  cast(round(len(list_intersect(list_distinct(a.h48), list_distinct(b2.h48))) * 10000.0
+         |    / len(list_distinct(list_cat(a.h48, b2.h48)))) AS BIGINT) AS jaccard_x1e4
+         |  FROM pairs JOIN hs a ON a.id = pairs.id_a JOIN hs b2 ON b2.id = pairs.id_b)
          |SELECT id_a, id_b, jaccard_x1e4 FROM j WHERE jaccard_x1e4 >= 6000
          |ORDER BY id_a, id_b""".stripMargin,
 

@@ -80,18 +80,26 @@ object Dedup {
     round(inter / union * 10000).cast("long")
   }
 
-  /** 48-bit PORTABLE hash of shingle `s` for permutation `i`: top 12 hex digits of md5("i:s").
-    * Exactly reproducible in ANSI SQL (`('0x' || substring(md5(...), 1, 12))::BIGINT`).
+  /** 48-bit PORTABLE base hash of a shingle: top 12 hex digits of md5(s). Exactly reproducible in
+    * ANSI SQL (`('0x' || substring(md5(s), 1, 12))::BIGINT`).
     */
-  def md5Hash48(i: Column, s: Column): Column =
-    conv(substring(md5(concat(i.cast("string"), lit(":"), s)), 1, 12), 16, 10).cast("long")
+  def md5Hash48(s: Column): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
 
-  /** Portable MinHash signature (md5 hash family) — slower than [[minhashSignature]] (xxhash64),
-    * use where the oracle must recompute the signature.
+  /** Affine permutation family over the 48-bit base hash: h_i(x) = (a_i·x + b_i) mod 2^48 —
+    * the classic universal-hash minhash trick, ONE md5 per shingle total (hashing k times per
+    * shingle made the portable path 30× slower than xxhash64; the affine family closes that).
+    * a_i odd < 2^15 keeps a_i·x inside signed 64-bit in both engines.
     */
-  def minhashSignaturePortable(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, s => md5Hash48(i, s))))
+  def affineA(i: Int): Long = ((1103515245L * i + 12345L) % 32768L) | 1L
+  def affineB(i: Int): Long = (69069L * i + 1L) % 2147483648L
+  val AffineMod: Long = 1L << 48
+
+  /** Portable MinHash signature over a PRE-HASHED 48-bit shingle array (see [[md5Hash48]]). */
+  def minhashSignaturePortable(md48s: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(md48s, h => (h * affineA(i) + affineB(i)) % AffineMod))
+    }: _*)
 
   /** Band keys as joined strings (no second-level hash → portable and collision-free). */
   def lshBandKeysPortable(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -102,14 +110,20 @@ object Dedup {
 
   /** Candidate near-dup pairs via MinHash-LSH banding, scale-shaped:
     *
-    *  - the (band, bucket) shuffle carries ONLY (id, band, key) — shingle payloads are re-attached
-    *    by id to the surviving DISTINCT pairs (r01 shipped both full shingle arrays through the
-    *    band join: the payload crossed the wire twice, multiplied by band count);
+    *  - shingles are computed ONCE and immediately reduced to 48-bit hashes; the narrow (id, h48)
+    *    projection is persisted (MEMORY_AND_DISK — spills, never recomputes), because the plan
+    *    consumes it three times (signatures, and both sides of the pair re-attach). Profiling at
+    *    sf0.1 put shingle GENERATION at ~50% of the whole query, so recomputation dominates
+    *    everything else;
+    *  - the (band, bucket) shuffle carries ONLY (id, band, key) — payloads are re-attached by id
+    *    to the surviving DISTINCT pairs, and the payload is the hashed array (8× smaller than the
+    *    shingle strings r01 shipped through the band join);
+    *  - exact-Jaccard verification runs on the hashed shingle sets (a 2^-48 collision shifts a
+    *    ratio negligibly, and the oracle computes the identical hashes);
     *  - hot buckets above `maxBucket` members are dropped before pairing — one viral boilerplate
     *    cluster would otherwise go quadratic; such clusters are exact-dedup work, not near-dup
     *    work (and exact dedup catches them upstream);
-    *  - `portable = true` switches to the md5 hash family so an ANSI-SQL oracle can recompute the
-    *    full pipeline.
+    *  - `portable = true` uses the md5-derived base hash (ANSI-SQL-reproducible), else xxhash64.
     *
     * `df` must have columns (id, text). Pairs are verified with exact Jaccard ≥ `minJaccardX1e4`.
     */
@@ -117,13 +131,16 @@ object Dedup {
       minJaccardX1e4: Long, maxBucket: Int = 1024, portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = k / bands
-    val withSh = df.withColumn("_sh", shingles(col("text"), shingleN))
+    val base: Column => Column = if (portable) md5Hash48 else (s => xxhash64(s))
+    val hashed = df
+      .select(col("id"), transform(shingles(col("text"), shingleN), base).as("_h48"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig =
-      if (portable) minhashSignaturePortable(col("_sh"), k) else minhashSignature(col("_sh"), k)
-    val bandKeys =
-      if (portable) lshBandKeysPortable(sig, bands, rows) else lshBandKeys(sig, bands, rows)
-    val keyed = withSh
-      .withColumn("_band", explode(bandKeys))
+      if (portable) minhashSignaturePortable(col("_h48"), k)
+      else array((0 until k).map(i => array_min(transform(col("_h48"),
+        h => xxhash64(lit(i), h)))): _*)
+    val keyed = hashed
+      .withColumn("_band", explode(lshBandKeysPortable(sig, bands, rows)))
       .select(col("id"), col("_band.band").as("band"), col("_band.key").as("key"))
     val capped = keyed
       .withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
@@ -133,10 +150,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val sh = withSh.select(col("id"), col("_sh"))
     pairs
-      .join(sh.select(col("id").as("id_a"), col("_sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("_sh").as("sh_b")), Seq("id_b"))
+      .join(hashed.select(col("id").as("id_a"), col("_h48").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("_h48").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccardX1e4(col("sh_a"), col("sh_b")).as("jaccard_x1e4"))
       .filter(col("jaccard_x1e4") >= minJaccardX1e4)
   }

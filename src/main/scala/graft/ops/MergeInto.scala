@@ -36,6 +36,14 @@ final case class MergeResult(
   */
 object MergeInto {
 
+  /** @param mor  force merge-on-read (delete manifests, no target rewrite)
+    * @param auto pick the physical strategy per attempt from the prune result: when the affected
+    *             files hold more than `autoMorFraction` of the table's records, a COW rewrite
+    *             degenerates toward a full-table rewrite (with ~10^3-row-per-key density, every
+    *             file contains SOME changed key — no pruning scheme beats that physics), so the
+    *             merge routes to MoR and leaves physical cleanup to compaction/materialization;
+    *             sparse change sets keep the read-optimal COW path
+    */
   def merge(
       spark: SparkSession,
       table: SeqTable,
@@ -44,7 +52,9 @@ object MergeInto {
       targetRecordsPerFile: Long,
       maxAttempts: Int = 5,
       broadcastChanges: Boolean = true,
-      mor: Boolean = false): MergeResult = {
+      mor: Boolean = false,
+      auto: Boolean = false,
+      autoMorFraction: Double = 0.3): MergeResult = {
     val hasOp = changes.columns.contains("_op")
     val ch = (if (hasOp) changes else changes.withColumn("_op", lit("U")))
       .select(
@@ -67,7 +77,21 @@ object MergeInto {
         val snap = table.currentSnapshot()
         val live = table.liveFiles(snap)
 
-        if (mor) {
+        // 1. manifest pruning: files whose doc_id range may contain a change key (also drives the
+        //    auto COW-vs-MoR routing, so it runs before the branch; pure metadata × keys)
+        import spark.implicits._
+        val fileRanges = spark.createDataset(live.map(f => (f.path, f.minDocId, f.maxDocId)))
+          .toDF("path", "min_doc", "max_doc")
+        val affectedPaths = timed("prune")(fileRanges
+          .join(broadcast(keys), col("c_doc_id").between(col("min_doc"), col("max_doc")))
+          .select("path").distinct().as[String].collect().toSet)
+        val affected = live.filter(f => affectedPaths.contains(f.path))
+
+        val liveRecords = live.map(_.records).sum
+        val useMor = mor || (auto && liveRecords > 0 &&
+          affected.map(_.records).sum > autoMorFraction * liveRecords)
+
+        if (useMor) {
           // merge-on-read: write ONLY the upserts + one equality-delete manifest (seq = the commit
           // version, hiding every older version of the changed keys); no target file is touched.
           // Latency ∝ change-set size, not affected-file size. Deletes are applied at read time
@@ -97,14 +121,6 @@ object MergeInto {
           }
         } else {
 
-        // 1. manifest pruning: files whose doc_id range may contain a change key
-        import spark.implicits._
-        val fileRanges = spark.createDataset(live.map(f => (f.path, f.minDocId, f.maxDocId)))
-          .toDF("path", "min_doc", "max_doc")
-        val affectedPaths = timed("prune")(fileRanges
-          .join(broadcast(keys), col("c_doc_id").between(col("min_doc"), col("max_doc")))
-          .select("path").distinct().as[String].collect().toSet)
-        val affected = live.filter(f => affectedPaths.contains(f.path))
         val snapDeletes = snap // pre-existing MoR deletes must not resurrect via this rewrite
 
         // 2. COW split. The merged state is exactly (target \ changedKeys) ∪ upserts:
