@@ -69,28 +69,79 @@ object BRS {
         .toDF("rank", "center_lon", "center_lat", "score")
     val grid = GeoGrid(bbox.getDouble(0), bbox.getDouble(1), eps, nodeSide)
 
-    val keyed = pts.flatMap(p => grid.nodesForPoint(p.x, p.y).map(n => (n, p))).persist()
+    val keyed = pts.flatMap(p => grid.nodesForPoint(p.x, p.y).map(n => (n, p)))
+      .toDF("node", "pt").persist()
     try {
-      def runRound(kPrime: Int): Seq[GeoNodeResult] =
-        keyed.groupByKey(_._1).mapGroups { (node, it) =>
-          val (ax0, ax1, ay0, ay1) = grid.anchorBox(node)
-          GeoBrsKernel.localTopK(it.map(_._2).toSeq, eps, kPrime, ax0, ax1, ay0, ay1)
-        }.collect().toSeq
+      // STREAMING per-node kernel: repartition by node + secondary sort on x, then one pass with
+      // an eps-strip window — per-task memory is O(strip), not O(node) (r01 materialized whole
+      // nodes: the reference's documented hot-node OOM). Nodes whose previous round was EXHAUSTED
+      // already emitted every candidate — their results are valid at any K′ and are not re-run.
+      def runRound(kPrime: Int, cached: Map[Long, GeoNodeResult]): Map[Long, GeoNodeResult] = {
+        val skip = spark.sparkContext.broadcast(cached.keySet)
+        val fresh = keyed
+          .as[(Long, Pt)]
+          .filter(kv => !skip.value.contains(kv._1))
+          .toDF("node", "pt")
+          .repartition(col("node"))
+          .sortWithinPartitions(col("node"), col("pt.x"))
+          .as[(Long, Pt)]
+          .mapPartitions { it =>
+            val buf = it.buffered
+            new Iterator[(Long, GeoNodeResult)] {
+              def hasNext: Boolean = buf.hasNext
+              def next(): (Long, GeoNodeResult) = {
+                val node = buf.head._1
+                val run = new Iterator[Pt] {
+                  def hasNext: Boolean = buf.hasNext && buf.head._1 == node
+                  def next(): Pt = buf.next()._2
+                }
+                val (ax0, ax1, ay0, ay1) = grid.anchorBox(node)
+                val r = GeoBrsKernel.localTopKStreaming(run, eps, kPrime, ax0, ax1, ay0, ay1)
+                while (run.hasNext) run.next() // kernel drains, but never trust an invariant twice
+                (node, r)
+              }
+            }
+          }
+          .collect().toMap
+        cached ++ fresh
+      }
 
       var kPrime = math.max(k, 4)
       var round = 0
       var answer = Vector.empty[GeoRegion]
       var done = false
+      var cache = Map.empty[Long, GeoNodeResult]
       while (!done && round < maxRounds) {
-        val (acc, complete) = GeoBrsKernel.mergeTopK(runRound(kPrime), k, overlapAllowed = !distinct)
-        answer = acc; done = complete; kPrime *= 4; round += 1
+        val results = runRound(kPrime, cache)
+        val (acc, complete) = GeoBrsKernel.mergeTopK(results.values.toSeq, k, overlapAllowed = !distinct)
+        answer = acc; done = complete
+        cache = results.filter(_._2.exhausted) // complete at any K′ — carried to the next round
+        kPrime *= 4; round += 1
       }
       if (!done)
-        answer = GeoBrsKernel.mergeTopK(runRound(Int.MaxValue), k, overlapAllowed = !distinct)._1
+        answer = GeoBrsKernel.mergeTopK(
+          runRound(Int.MaxValue, cache).values.toSeq, k, overlapAllowed = !distinct)._1
 
       answer.zipWithIndex.map { case (r, i) =>
         (i + 1, r.centerX, r.centerY, r.score)
       }.toDF("rank", "center_lon", "center_lat", "score")
     } finally { keyed.unpersist(); () }
+  }
+
+  /** Render a [[bestRegions]] result in the reference's exact REST/S4 output shape — the cached
+    * answer format in `/root/reference/executable/buffer.tmp`:
+    * `[\n{\n"rank":1,\n"center":[lon,lat],\n"score":25\n},…]` (integral scores unadorned).
+    * The reference's input tables live in a remote Proteus DB (credentials scrubbed from
+    * conf.txt), so its golden answers can't be re-derived — the output CONTRACT is what we pin.
+    */
+  def renderJson(df: DataFrame): String = {
+    val rows = df.orderBy(col("rank")).collect()
+    rows.map { r =>
+      val sc = r.getAs[Double]("score")
+      val s = if (sc == math.floor(sc) && !sc.isInfinite) sc.toLong.toString else sc.toString
+      "{\n\"rank\":" + r.getAs[Int]("rank") +
+        ",\n\"center\":[" + r.getAs[Double]("center_lon") + "," + r.getAs[Double]("center_lat") +
+        "],\n\"score\":" + s + "\n}"
+    }.mkString("[\n", ",\n", "\n]")
   }
 }

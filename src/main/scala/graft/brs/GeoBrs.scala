@@ -22,7 +22,8 @@ final case class GeoRegion(x: Double, y: Double, eps: Double, score: Double) {
 }
 
 final case class GeoNodeResult(
-    candidates: Vector[GeoRegion], exhausted: Boolean, minEmitted: Double)
+    candidates: Vector[GeoRegion], exhausted: Boolean, minEmitted: Double,
+    peakWindow: Int = 0) // max points resident in the streaming kernel's eps-strip window
 
 object GeoRegionOrdering extends Ordering[GeoRegion] {
   def compare(a: GeoRegion, b: GeoRegion): Int = {
@@ -87,6 +88,70 @@ object GeoBrsKernel {
     val emitted = dedup.take(kPrime).toVector
     GeoNodeResult(emitted, dedup.size <= kPrime,
       if (emitted.isEmpty) Double.PositiveInfinity else emitted.last.score)
+  }
+
+  /** Memory-bounded exact kernel over an x-SORTED point stream: resident state is only the
+    * eps-wide x-strip window plus a K′-bounded candidate heap — never the whole node. r01
+    * materialized every node point into a Seq (`it.map(_._2).toSeq`), which is precisely the
+    * reference's documented OOM failure mode on hot nodes
+    * (`/root/reference/executable/hs_err_pid12888.log`, whole-group ListBuffers).
+    *
+    * Same candidate set as [[localTopK]]: distinct anchor xs inside the owned box; per anchor, a
+    * y-sweep over the strip with the left-edge-covered canonicality check.
+    */
+  def localTopKStreaming(
+      sortedByX: Iterator[Pt], eps: Double, kPrime: Int,
+      ax0: Double, ax1: Double, ay0: Double, ay1: Double): GeoNodeResult = {
+    // worst candidate on top, so the heap evicts it when a better one arrives
+    val heap = new scala.collection.mutable.PriorityQueue[GeoRegion]()(GeoRegionOrdering)
+    var dropped = false
+    def offer(r: GeoRegion): Unit =
+      if (kPrime == Int.MaxValue || heap.size < kPrime) heap.enqueue(r)
+      else if (GeoRegionOrdering.compare(r, heap.head) < 0) { heap.dequeue(); heap.enqueue(r); dropped = true }
+      else dropped = true
+
+    val it = sortedByX.buffered
+    val window = new scala.collection.mutable.ArrayDeque[Pt]() // x ∈ [ax, ax+eps], arrival order
+    var peak = 0
+    var lastAx = Double.NaN
+    var any = false
+    while (it.hasNext || window.nonEmpty) {
+      // next anchor = smallest unprocessed point x; the window head is the oldest still-relevant
+      val ax =
+        if (window.nonEmpty) window.head.x
+        else { window.append(it.next()); window.head.x }
+      // fill the strip [ax, ax+eps]
+      while (it.hasNext && it.head.x <= ax + eps) window.append(it.next())
+      peak = math.max(peak, window.size)
+      any = true
+      if (ax >= ax0 && ax < ax1 && (lastAx.isNaN || ax != lastAx)) {
+        val active = window.toArray.sortBy(_.y)
+        val edgeYs = active.iterator.filter(_.x == ax).map(_.y).toArray.sorted
+        @inline def edgeCovered(ay: Double): Boolean = {
+          var lo = java.util.Arrays.binarySearch(edgeYs, ay)
+          if (lo < 0) lo = -lo - 1
+          lo < edgeYs.length && edgeYs(lo) <= ay + eps
+        }
+        var j = 0; var start = 0; var top = 0; var sum = 0.0
+        while (j < active.length) {
+          if (j > 0 && active(j - 1).y == active(j).y) j += 1
+          else {
+            val ay = active(j).y
+            while (top < active.length && active(top).y <= ay + eps) { sum += active(top).w; top += 1 }
+            while (start < j) { sum -= active(start).w; start += 1 }
+            if (ay >= ay0 && ay < ay1 && sum > 0 && edgeCovered(ay)) offer(GeoRegion(ax, ay, eps, sum))
+            j += 1
+          }
+        }
+      }
+      lastAx = ax
+      // retire every point at the current anchor x (their anchors are done)
+      while (window.nonEmpty && window.head.x == ax) window.removeHead()
+    }
+    if (!any) return GeoNodeResult(Vector.empty, exhausted = true, Double.PositiveInfinity)
+    val emitted = heap.dequeueAll.reverse.toVector // worst-first queue → best-first list
+    GeoNodeResult(emitted, exhausted = !dropped,
+      if (emitted.isEmpty) Double.PositiveInfinity else emitted.last.score, peak)
   }
 
   def greedySelect(sortedDesc: Iterator[GeoRegion], k: Int, overlapAllowed: Boolean): Vector[GeoRegion] = {

@@ -26,8 +26,18 @@ object Rewrite {
     df.withColumn("_ck", key)
   }
 
-  /** Cluster `df` along the curve and write it as ~`totalRecords / targetRecordsPerFile` files.
-    * Returns the manifest entries (not yet committed).
+  /** Cluster `df` and write it as ~`totalRecords / targetRecordsPerFile` files. Returns the
+    * manifest entries (not yet committed).
+    *
+    * Layouts:
+    *  - curve (default): range-partition + sort on (curveKey, doc_id) — tight (source, n_tok)
+    *    stats per file → scan pruning; doc_id is the skew salt. Merge pruning on doc_id cannot
+    *    work here: every file spans nearly the whole key domain.
+    *  - docMajor: range-partition + sort on doc_id — tight [minDocId, maxDocId] per file → a
+    *    sparse MERGE INTO touches only the files actually holding its keys. The Iceberg-style
+    *    sort-order choice for merge-heavy tables (scan pruning on (source, n_tok) is what you
+    *    give up; with ~10^3 rows-per-key-density change sets no per-file structure can prune, so
+    *    this is the ONLY layout under which sparse COW merges stay sub-linear).
     */
   def clusteredWrite(
       spark: SparkSession,
@@ -36,12 +46,17 @@ object Rewrite {
       cfg: GridConfig,
       targetRecordsPerFile: Long,
       totalRecords: Long,
-      hilbert: Boolean = false): Seq[FileMeta] = {
+      hilbert: Boolean = false,
+      docMajor: Boolean = false): Seq[FileMeta] = {
     val nFiles = math.max(1L, (totalRecords + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-    val clustered = withCurveKey(df, cfg, hilbert)
-      .repartitionByRange(nFiles, col("_ck"), col("doc_id")) // doc_id = skew salt
-      .sortWithinPartitions(col("_ck"), col("doc_id"))
-      .drop("_ck")
+    val clustered =
+      if (docMajor)
+        df.repartitionByRange(nFiles, col("doc_id")).sortWithinPartitions(col("doc_id"))
+      else
+        withCurveKey(df, cfg, hilbert)
+          .repartitionByRange(nFiles, col("_ck"), col("doc_id")) // doc_id = skew salt
+          .sortWithinPartitions(col("_ck"), col("doc_id"))
+          .drop("_ck")
     SeqIO.writeFiles(spark, table, clustered, clustered = true)
   }
 

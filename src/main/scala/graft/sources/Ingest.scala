@@ -14,12 +14,18 @@ import graft.table.{SeqIO, SeqTable, Snapshot}
 object Ingest {
 
   /** Normalize an arbitrary DataFrame to the sequence schema: requires doc_id/tokens/source;
-    * derives n_tok when missing; casts token elements to int.
+    * derives n_tok when missing; casts token elements to int; a string tokens column (the
+    * reference's `;`-delimited convention, from CSV or JDBC) is split first.
     */
-  def conform(df: DataFrame): DataFrame = {
+  def conform(df0: DataFrame): DataFrame = {
+    val df = df0.toDF(df0.columns.map(_.toLowerCase): _*) // JDBC dialects (derby…) uppercase names
+    val split0 =
+      if (df.schema("tokens").dataType == org.apache.spark.sql.types.StringType)
+        df.withColumn("tokens", split(col("tokens"), ";"))
+      else df
     val withNtok =
-      if (df.columns.contains("n_tok")) df
-      else df.withColumn("n_tok", size(col("tokens")))
+      if (split0.columns.contains("n_tok")) split0
+      else split0.withColumn("n_tok", size(col("tokens")))
     withNtok.select(
       col("doc_id").cast("string").as("doc_id"),
       col("tokens").cast("array<int>").as("tokens"),
@@ -55,6 +61,17 @@ object Ingest {
 
   def fromParquet(spark: SparkSession, table: SeqTable, path: String): Snapshot =
     append(spark, table, spark.read.parquet(path))
+
+  /** JDBC ingest — the reference's actual source (`/root/reference/src/main/scala/SDL/main/
+    * main.java:19-46` pulls Proteus tables over JDBC into its CSV cache). Partitioned reads are
+    * the caller's choice via `options` (partitionColumn/lowerBound/upperBound/numPartitions).
+    */
+  def fromJdbc(spark: SparkSession, table: SeqTable, url: String, dbtable: String,
+      options: Map[String, String] = Map.empty): Snapshot = {
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    append(spark, table, spark.read.jdbc(url, dbtable, props))
+  }
 
   def fromJson(spark: SparkSession, table: SeqTable, path: String): Snapshot =
     append(spark, table, spark.read.json(path))

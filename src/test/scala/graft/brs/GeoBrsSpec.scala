@@ -53,6 +53,35 @@ class GeoBrsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming kernel == in-memory kernel on random nodes, with bounded resident window") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 120) {
+      val pts = randomPts(rnd, 5 + rnd.nextInt(120), extent = 10 + rnd.nextInt(20))
+      val eps = 0.5 + rnd.nextDouble() * 3
+      val kPrime = 1 + rnd.nextInt(8)
+      val (ax0, ax1) = (2.0, 2.0 + rnd.nextDouble() * 20)
+      val (ay0, ay1) = (2.0, 2.0 + rnd.nextDouble() * 20)
+      val a = GeoBrsKernel.localTopK(pts, eps, kPrime, ax0, ax1, ay0, ay1)
+      val b = GeoBrsKernel.localTopKStreaming(pts.sortBy(_.x).iterator, eps, kPrime, ax0, ax1, ay0, ay1)
+      assert(a.candidates === b.candidates, s"trial=$trial eps=$eps kPrime=$kPrime")
+      assert(a.exhausted === b.exhausted, s"trial=$trial (exhausted)")
+      assert(a.minEmitted === b.minEmitted, s"trial=$trial (minEmitted)")
+    }
+  }
+
+  test("hot node: resident window stays O(eps-strip), not O(node)") {
+    // 100k points spread across x∈[0,100] with eps=0.5 → any strip holds ~0.5% of the node;
+    // r01's kernel materialized all 100k per node
+    val rnd = new scala.util.Random(5)
+    val n = 100000
+    val pts = (1 to n).map(_ => Pt(rnd.nextDouble() * 100, rnd.nextDouble() * 100, 1.0))
+    val r = GeoBrsKernel.localTopKStreaming(
+      pts.sortBy(_.x).iterator, eps = 0.5, kPrime = 10, 0.0, 100.0, 0.0, 100.0)
+    assert(r.candidates.nonEmpty)
+    assert(r.peakWindow < n / 50,
+      s"resident window ${r.peakWindow} is not bounded by the eps-strip (n=$n)")
+  }
+
   test("end-to-end Spark BRS finds the dense cluster and respects keyword filters") {
     import spark.implicits._
     // 50 points at (10±.1, 10±.1) tagged 'cafe', 200 scattered far away tagged 'park'

@@ -1,0 +1,63 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.fixtures.SeqGen
+import graft.planner.GridConfig
+import graft.table.{SeqIO, SeqTable}
+
+/** COW-merge pruning + auto strategy routing. */
+class MergePruneSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val cfg = GridConfig()
+
+  /** doc-major table: 2000 rows across ~100 files with TIGHT doc_id ranges. */
+  private def docMajorTable(): SeqTable = {
+    val root = Files.createTempDirectory("prune-").toString + "/t"
+    val t = SeqTable.create(root)
+    val metas = Rewrite.clusteredWrite(spark, t, SeqGen.table(spark, 2000, parts = 8),
+      cfg, targetRecordsPerFile = 20, totalRecords = 2000, docMajor = true)
+    t.commit("append", metas, Set.empty)
+    t
+  }
+
+  test("sparse merge on a doc-major-clustered table rewrites <20% of files") {
+    val t = docMajorTable()
+    val nFiles = t.liveFiles().size
+    assert(nFiles >= 80, s"expected ~100 tight files, got $nFiles")
+    val before = SeqIO.read(spark, t).persist()
+    // 1% change set: 20 updates (existing keys) + 20 inserts (new keys, outside every doc range)
+    val changes = SeqGen.changeSet(spark, 2000, changes = 40, deletes = 0).persist()
+    val nUpd = changes.filter(col("doc_id").startsWith("doc-")).count()
+    val mr = MergeInto.merge(spark, t, changes, cfg, targetRecordsPerFile = 20)
+    assert(mr.filesRewritten <= nUpd, s"prune selected ${mr.filesRewritten} files for $nUpd keys")
+    assert(mr.filesRewritten < nFiles / 5,
+      s"prune selected ${mr.filesRewritten}/$nFiles files for a 1% change set")
+    // semantics intact
+    val upserts = changes.filter(col("_op") =!= "D")
+    val expected = before.join(changes.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(upserts.select("doc_id", "tokens", "n_tok", "source"))
+    val after = SeqIO.read(spark, t)
+    val bad = expected.join(after, Seq("doc_id", "tokens"), "left_anti").count() +
+      after.join(expected, Seq("doc_id", "tokens"), "left_anti").count()
+    assert(bad === 0)
+    before.unpersist(); changes.unpersist()
+  }
+
+  test("auto mode routes dense change sets to MoR and sparse ones to COW") {
+    val tDense = docMajorTable()
+    // 50% of keys changed → COW would rewrite ~everything → auto must choose MoR
+    val dense = SeqGen.changeSet(spark, 2000, changes = 1000, deletes = 0)
+    val mrDense = MergeInto.merge(spark, tDense, dense, cfg, 20, auto = true)
+    assert(mrDense.filesRewritten === 0, "dense auto merge must take the MoR path")
+    assert(tDense.currentSnapshot().deleteManifests.nonEmpty)
+
+    val tSparse = docMajorTable()
+    val sparse = SeqGen.changeSet(spark, 2000, changes = 20, deletes = 0)
+    val mrSparse = MergeInto.merge(spark, tSparse, sparse, cfg, 20, auto = true)
+    assert(mrSparse.filesRewritten > 0, "sparse auto merge must take the COW path")
+    assert(tSparse.currentSnapshot().deleteManifests.isEmpty)
+  }
+}

@@ -86,6 +86,36 @@ class IngestSpec extends AnyFunSuite {
       "replayed micro-batch must not append duplicate rows")
   }
 
+  test("jdbc ingest (derby in-memory) with ;-delimited token strings") {
+    val dir = fresh()
+    // derby ships with Spark's jars; in-memory DB = the reference's Proteus-over-JDBC stand-in
+    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE seqs (doc_id VARCHAR(32), tokens VARCHAR(256), source VARCHAR(32))")
+    st.execute("INSERT INTO seqs VALUES ('j1', '5;6;7', 'srcJ'), ('j2', '9', 'srcJ')")
+    st.close(); conn.close()
+    val t = SeqTable.create(s"$dir/t")
+    Ingest.fromJdbc(spark, t, url, "seqs")
+    val rows = SeqIO.read(spark, t).orderBy("doc_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Seq[Int]]("tokens") === Seq(5, 6, 7))
+    assert(rows(0).getAs[Int]("n_tok") === 3)
+    assert(rows(1).getAs[Seq[Int]]("tokens") === Seq(9))
+  }
+
+  test("BRS result json matches the reference's REST output shape") {
+    import spark.implicits._
+    // shape pinned to /root/reference/executable/buffer.tmp:
+    // [\n{\n"rank":1,\n"center":[9.202416,45.466252190000006],\n"score":25\n},…]
+    val df = Seq((1, 9.202416, 45.466252190000006, 25.0), (2, 9.212416000000001, 45.48625219, 17.0))
+      .toDF("rank", "center_lon", "center_lat", "score")
+    val json = graft.brs.BRS.renderJson(df)
+    assert(json ===
+      "[\n{\n\"rank\":1,\n\"center\":[9.202416,45.466252190000006],\n\"score\":25\n},\n" +
+        "{\n\"rank\":2,\n\"center\":[9.212416000000001,45.48625219],\n\"score\":17\n}\n]")
+  }
+
   test("export sink roundtrips csv") {
     val dir = fresh()
     import spark.implicits._
