@@ -22,7 +22,10 @@ object Dedup {
     when(size(words) < n, array(concat_ws(" ", words)))
       .otherwise(transform(
         sequence(lit(1), size(words) - (n - 1)),
-        i => concat_ws(" ", slice(words, i, lit(n)))))
+        // element_at concat, not concat_ws(slice(...)): slice allocates an array per shingle and
+        // shingling sits on the hot path of every dedup pipeline
+        i => concat((1 until n).foldLeft(Seq(element_at(words, i)))(
+          (acc, j) => acc :+ lit(" ") :+ element_at(words, i + j)): _*)))
   }
 
   /** MinHash signature (k permutations) over a shingle array: sig[i] = min over shingles of

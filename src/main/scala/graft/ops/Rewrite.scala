@@ -53,11 +53,82 @@ object Rewrite {
       if (docMajor)
         df.repartitionByRange(nFiles, col("doc_id")).sortWithinPartitions(col("doc_id"))
       else
-        withCurveKey(df, cfg, hilbert)
-          .repartitionByRange(nFiles, col("_ck"), col("doc_id")) // doc_id = skew salt
+        byteBalanced(spark, withCurveKey(df, cfg, hilbert), nFiles)
           .sortWithinPartitions(col("_ck"), col("doc_id"))
           .drop("_ck")
-    SeqIO.writeFiles(spark, table, clustered, clustered = true)
+    val t0 = System.nanoTime()
+    val out = SeqIO.writeFiles(spark, table, clustered, clustered = true)
+    if (sys.env.contains("GRAFT_TIMING"))
+      println(f"[timing] clusteredWrite/writeFiles ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    out
+  }
+
+  /** BYTE-balanced curve partitioning with hot-key salting.
+    *
+    * `repartitionByRange` equalizes ROW counts, but a row's weight here is its token array —
+    * n_tok spans 16..8192, so the range partition holding the longest sequences carries ~6-8× the
+    * bytes of the average one and its write task becomes a straggler that caps scaling no matter
+    * how many cores exist (measured: a constant ~5 s tail at every parallelism level).
+    *
+    * Instead: the curve-key space is small (≤ sourceBuckets × ntokBins ≈ 4k values), so we take
+    * an EXACT per-key byte histogram (one narrow agg — replaces repartitionByRange's sampling
+    * pass), greedily pack keys into ~equal-byte partitions driver-side, and split any key hotter
+    * than a partition across `ceil(w/perPart)` sub-partitions by doc_id hash — the salting the
+    * reference's fixed sqrt-grid never had. Rows are placed EXACTLY (no sampling error) on their
+    * computed partition via a perfect-hash slot map: partition i is addressed by a precomputed
+    * int whose Murmur3 lands in bucket i of HashPartitioning, keeping the whole path
+    * DataFrame-native and codegen'd (no RDD partitioner round-trip).
+    */
+  private[ops] def byteBalanced(spark: SparkSession, keyed: DataFrame, nParts: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+    import org.apache.spark.sql.types.IntegerType
+    val hist = keyed.groupBy(col("_ck")).agg(sum(col("n_tok")).as("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    if (hist.isEmpty) return keyed.repartition(1)
+    val totalW = hist.map(_._2).sum
+    val perPart = math.max(1L, totalW / nParts)
+
+    val keyBase = scala.collection.mutable.Map.empty[Long, Int] // curve key → first partition id
+    val keySplits = scala.collection.mutable.Map.empty[Long, Int] // curve key → #sub-partitions
+    var pid = 0
+    var acc = 0L
+    hist.foreach { case (k, w) =>
+      if (w > perPart * 3 / 2) { // hot key: dedicated partitions, doc_id-salted
+        if (acc > 0) { pid += 1; acc = 0L }
+        val splits = ((w + perPart - 1) / perPart).toInt
+        keyBase(k) = pid; keySplits(k) = splits
+        pid += splits
+      } else {
+        keyBase(k) = pid; keySplits(k) = 1
+        acc += w
+        if (acc >= perPart) { pid += 1; acc = 0L }
+      }
+    }
+    val nOut = if (acc > 0) pid + 1 else math.max(1, pid)
+
+    // perfect-hash slots: slot(i) is an int whose Murmur3(seed 42) mod nOut == i, so
+    // repartition(nOut, slotCol) places partition i's rows exactly in task i
+    val slots = new Array[Int](nOut)
+    val seen = new Array[Boolean](nOut)
+    var v = 0
+    var found = 0
+    while (found < nOut) {
+      val b = math.floorMod(Murmur3HashFunction.hash(v, IntegerType, 42L).toInt, nOut)
+      if (!seen(b)) { seen(b) = true; slots(b) = v; found += 1 }
+      v += 1
+    }
+
+    val ks = hist.map(_._1)
+    val baseMap = map_from_arrays(
+      array(ks.map(k => lit(k)): _*), array(ks.map(k => lit(keyBase(k))): _*))
+    val splitMap = map_from_arrays(
+      array(ks.map(k => lit(k)): _*), array(ks.map(k => lit(keySplits(k))): _*))
+    val pidCol = element_at(baseMap, col("_ck")) +
+      when(element_at(splitMap, col("_ck")) > 1,
+        pmod(xxhash64(col("doc_id")), element_at(splitMap, col("_ck")).cast("long")).cast("int"))
+        .otherwise(lit(0))
+    val slotCol = element_at(array(slots.map(s => lit(s)): _*), pidCol + 1)
+    keyed.repartition(nOut, slotCol)
   }
 
   /** Compact+re-cluster an explicit file set into right-sized curve-sorted files and commit.

@@ -45,10 +45,17 @@ object SeqIO {
     */
   def writeFiles(spark: SparkSession, table: SeqTable, df: DataFrame,
       clustered: Boolean = false): Seq[FileMeta] = {
+    val debugTiming = sys.env.contains("GRAFT_TIMING")
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (debugTiming) println(f"[timing] writeFiles/$tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
     val batch = java.util.UUID.randomUUID().toString.take(8)
     val tmp = table.dataDir.resolve(s".tmp-$batch")
-    df.select("doc_id", "tokens", "n_tok", "source")
-      .write.mode("overwrite").parquet(tmp.toString)
+    timed("write")(df.select("doc_id", "tokens", "n_tok", "source")
+      .write.mode("overwrite").parquet(tmp.toString))
 
     val parts = Files.list(tmp).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.getFileName.toString)
@@ -64,14 +71,14 @@ object SeqIO {
 
     // stats need only the 3 narrow columns — prunes the tokens payload (~95% of bytes) off the scan
     val statSchema = StructType(SeqSchema.schema.filterNot(_.name == "tokens"))
-    val stats = spark.read.schema(statSchema).parquet(moved.map(_.toString): _*)
+    val stats = timed("stats")(spark.read.schema(statSchema).parquet(moved.map(_.toString): _*)
       .groupBy(input_file_name().as("file"))
       .agg(
         count(lit(1)).as("records"),
         min("n_tok").as("min_ntok"), max("n_tok").as("max_ntok"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
         slice(sort_array(collect_set("source")), 1, MaxSourcesTracked + 1).as("sources"))
-      .collect()
+      .collect())
 
     require(stats.forall(_.getString(0).nonEmpty),
       "input_file_name() evaluated empty during stats collection — plan rearranged off the scan")
@@ -188,6 +195,15 @@ object SeqIO {
   /** Full-table read at the current snapshot (merge-on-read deletes applied). */
   def read(spark: SparkSession, table: SeqTable): DataFrame = {
     val snap = table.currentSnapshot()
+    readWithDeletes(spark, table, snap, table.liveFiles(snap))
+  }
+
+  /** TIME TRAVEL: full-table read pinned at snapshot `version` (that snapshot's manifests AND its
+    * delete-manifest set — a later MoR delete does not leak backwards). Readers of expired
+    * versions fail on the missing snapshot file, same as Iceberg.
+    */
+  def readAt(spark: SparkSession, table: SeqTable, version: Long): DataFrame = {
+    val snap = table.snapshot(version)
     readWithDeletes(spark, table, snap, table.liveFiles(snap))
   }
 

@@ -262,6 +262,28 @@ final class SeqTable(val root: String) {
     (expired, deadFiles.toSeq)
   }
 
+  /** Delete data files in `data/` referenced by NO retained snapshot and older than
+    * `olderThanMs` — crash leftovers: a writer that died between materializing files and its
+    * commit (or lost a conflict before its cleanup ran) strands files forever; expiry can't see
+    * them because no manifest ever did. The age guard keeps in-flight writers' fresh files safe
+    * (Iceberg's RemoveOrphanFiles contract, public design). Returns deleted relative paths.
+    */
+  def removeOrphans(olderThanMs: Long = 3600L * 1000): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val referenced = snapshotVersions().map(snapshot).flatMap(liveFiles).map(_.path).toSet
+    val dead = Files.list(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => !p.getFileName.toString.startsWith(".")) // tmp staging dirs/files excluded
+      .map(p => Paths.get(root).relativize(p).toString -> p)
+      .filter { case (rel, p) =>
+        !referenced.contains(rel) &&
+          now - Files.getLastModifiedTime(p).toMillis >= olderThanMs
+      }
+      .toSeq
+    dead.foreach { case (_, p) => Files.deleteIfExists(p); () }
+    dead.map(_._1)
+  }
+
   /** Merge all live manifests into one, entries sorted by (first source, minNtok) so range scans
     * touch contiguous manifest regions — the manifest-rewrite maintenance op.
     *

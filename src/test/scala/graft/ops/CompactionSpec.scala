@@ -93,7 +93,11 @@ class CompactionSpec extends AnyFunSuite {
     Rewrite.compactFiles(spark, table, table.liveFiles(), cfg, 500)
     val hotFiles = table.liveFiles().filter(f => f.sources.isEmpty || f.sources.contains("hot"))
     assert(hotFiles.size >= 6, s"hot source must spread over many files, got ${hotFiles.size}")
-    // and no output file is pathologically large (the salt bounds per-file row counts)
-    assert(table.liveFiles().map(_.records).max <= 1000)
+    // and no output file is pathologically large: the partitioner balances BYTES (row counts vary
+    // legitimately — short-sequence partitions pack more rows into the same byte budget)
+    val bytes = table.liveFiles().map(_.bytes)
+    val mean = bytes.sum.toDouble / bytes.size
+    assert(bytes.max <= mean * 3,
+      f"byte skew survived salting: max=${bytes.max} mean=$mean%.0f")
   }
 }

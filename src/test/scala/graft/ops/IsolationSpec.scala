@@ -87,6 +87,34 @@ class IsolationSpec extends AnyFunSuite {
     assert(snap.deleteManifests.forall(_.startsWith(s"delete-${snap.version}-")))
   }
 
+  test("time travel reads pin both manifests and delete-manifests of their version") {
+    val table = fresh(1000, 4)
+    val v1 = table.currentVersion()
+    val n1 = SeqIO.read(spark, table).count()
+    MergeInto.merge(spark, table,
+      SeqGen.changeSet(spark, 1000, changes = 0, deletes = 100), cfg, 500, mor = true)
+    val v2 = table.currentVersion()
+    val n2 = SeqIO.read(spark, table).count()
+    assert(n2 < n1)
+    assert(SeqIO.readAt(spark, table, v1).count() === n1, "v1 must not see v2's MoR deletes")
+    assert(SeqIO.readAt(spark, table, v2).count() === n2)
+  }
+
+  test("removeOrphans deletes only old unreferenced data files") {
+    val table = fresh(500, 2)
+    val live = table.liveFiles().map(_.path).toSet
+    // a crash leftover: materialized but never committed
+    val orphan = Rewrite.clusteredWrite(spark, table,
+      SeqIO.read(spark, table).limit(10), cfg, 100, 10)
+    assert(orphan.nonEmpty)
+    val deleted0 = table.removeOrphans(olderThanMs = 3600L * 1000)
+    assert(deleted0.isEmpty, "fresh files must survive the age guard")
+    val deleted = table.removeOrphans(olderThanMs = 0)
+    assert(deleted.toSet === orphan.map(_.path).toSet)
+    assert(table.liveFiles().map(_.path).toSet === live)
+    assert(SeqIO.read(spark, table).count() === 500)
+  }
+
   test("rewriteManifests survives losing the version race") {
     val table = fresh(1000, 4)
     val head = table.currentVersion()
