@@ -262,16 +262,24 @@ object Bench {
     results += "m_merge_into_mor" -> mb.morMergeSec
     results += "m_pruned_scan" -> mb.scanSecAfter
 
+    // a crashed query must NOT masquerade as a (suspiciously fast) timing row: record it in
+    // `failed`, log it, and surface it in the JSON so a regression is loud
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     queries.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val (_, sec) = time(try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () })
+      val (_, sec) = time(try { fn(spark, sfDir).count(); () } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] QUERY FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+      })
       results += name -> sec
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir",""" +
         f""""maintenance_throughput_seq_per_sec":${mb.throughput}%.0f,""" +
         f""""maintenance_rows":${mb.rows},"files_before":${mb.filesBefore},"files_after":${mb.filesAfter},""" +
         f""""scan_files_before":${mb.scanBefore._1},"scan_files_total_before":${mb.scanBefore._2},""" +

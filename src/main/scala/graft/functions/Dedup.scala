@@ -140,6 +140,24 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, k: Int, bands: Int, shingleN: Int,
       minJaccardX1e4: Long, maxBucket: Int = 1024, portable: Boolean = false): DataFrame = {
+    val (pairs, release) = minhashLshPairsWithHandle(df, k, bands, shingleN,
+      minJaccardX1e4, maxBucket, portable)
+    // materialize the (small) verified-pairs result so the shingle-hash cache can be dropped
+    // right away — without this, every invocation in a long-lived session (bench/verify loops,
+    // repeated pipeline cycles) leaked a MEMORY_AND_DISK block set for the life of the session.
+    // The returned DataFrame is persisted and owned by the caller (unpersist() when done).
+    pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    release()
+    pairs
+  }
+
+  /** [[minhashLshPairs]] without the eager materialization: returns the lazy pairs plan plus a
+    * `release` thunk that unpersists the shingle-hash cache. Callers composing the pairs into a
+    * larger pipeline should invoke `release()` after their terminal action.
+    */
+  def minhashLshPairsWithHandle(df: DataFrame, k: Int, bands: Int, shingleN: Int,
+      minJaccardX1e4: Long, maxBucket: Int = 1024,
+      portable: Boolean = false): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val rows = k / bands
     val base: Column => Column = if (portable) md5Hash48 else (s => xxhash64(s))
@@ -161,10 +179,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    pairs
+    val verified = pairs
       .join(hashed.select(col("id").as("id_a"), col("_h48").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("_h48").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccardX1e4(col("sh_a"), col("sh_b")).as("jaccard_x1e4"))
       .filter(col("jaccard_x1e4") >= minJaccardX1e4)
+    (verified, () => { hashed.unpersist(blocking = false); () })
   }
 }

@@ -61,6 +61,13 @@ object Similarity {
       dims: Int = 64): DataFrame = {
     def sketched(df: DataFrame, idName: String, vecName: String): DataFrame =
       df.select(col("id").as(idName), col("vec").as(vecName)) // rename first (no lateral aliases)
+        // fail loudly on a width mismatch: zip_with pads the shorter side with nulls, so a wrong
+        // `dims` would null the dot product, collapse every row into bucket 0 and silently turn
+        // the index into a full cross product
+        .withColumn(vecName,
+          when(size(col(vecName)) =!= dims, raise_error(concat(
+            lit(s"lshTopK: expected $dims-dim vectors, got "), size(col(vecName)).cast("string"))))
+            .otherwise(col(vecName)))
         .withColumn("sk", explode(array((0 until tables).map(t =>
           struct(lit(t).as("table"),
             hyperplaneSketch(col(vecName), planes, dims, t).as("bucket"))): _*)))

@@ -81,9 +81,11 @@ object Ingest {
     *
     * IDEMPOTENT across micro-batch replay: a crash between `table.commit` and Spark's offset
     * commit redelivers the same batchId on restart. Each commit stamps its batch id (keyed by a
-    * per-checkpoint tag, so several streams can share one table) into the snapshot summary — the
-    * same atomic write as the data — and the high-water mark is recovered from the summaries once
-    * per restart; replayed batches at or below it are skipped.
+    * per-checkpoint tag, so several streams can share one table) into the TABLE PROPERTIES — the
+    * same atomic write as the data, and carried forward by every later commit — so the high-water
+    * mark survives snapshot EXPIRY (recovering it from per-snapshot summaries did not: expire the
+    * stream-append snapshots between a crash and the restart and the batch would re-append,
+    * duplicating rows). Replayed batches at or below the recovered mark are skipped.
     */
   def stream(spark: SparkSession, table: SeqTable, source: DataFrame,
       checkpointDir: String): StreamingQuery = {
@@ -96,14 +98,18 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (recovered.compareAndSet(false, true)) {
-          val committed = table.snapshotVersions().map(table.snapshot)
+          // head properties first (durable across expiry); legacy summaries as a fallback for
+          // tables written before properties existed
+          val fromProps = table.currentSnapshot().properties.get(key).map(_.toLong)
+          val fromSummaries = table.snapshotVersions().map(table.snapshot)
             .flatMap(_.summary.get(key)).map(_.toLong)
-          hwm.set(if (committed.isEmpty) Long.MinValue else committed.max)
+          hwm.set((fromProps.toSeq ++ fromSummaries).foldLeft(Long.MinValue)(math.max))
         }
         if (batchId > hwm.get && !batch.isEmpty) {
           val metas = SeqIO.writeFiles(batch.sparkSession, table, conform(batch))
           table.commit("stream-append", metas, Set.empty,
-            Map("batch-id" -> batchId.toString, key -> batchId.toString))
+            Map("batch-id" -> batchId.toString),
+            propertyUpdates = Map(key -> batchId.toString))
           hwm.set(batchId)
           ()
         }

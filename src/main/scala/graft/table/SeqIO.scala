@@ -57,15 +57,15 @@ object SeqIO {
     timed("write")(df.select("doc_id", "tokens", "n_tok", "source")
       .write.mode("overwrite").parquet(tmp.toString))
 
-    val parts = Files.list(tmp).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.getFileName.toString)
+    val parts = SeqTable.listDir(tmp)
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
     val moved: Seq[Path] = parts.zipWithIndex.map { case (p, i) =>
       val dst = table.dataDir.resolve(f"$batch-$i%05d.parquet")
       Files.move(p, dst)
       dst
     }
     // clean tmp dir remnants (_SUCCESS etc.)
-    Files.list(tmp).iterator().asScala.foreach(Files.deleteIfExists(_))
+    SeqTable.listDir(tmp).foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(tmp)
     if (moved.isEmpty) return Nil
 
@@ -119,10 +119,15 @@ object SeqIO {
     */
   def deletesDF(spark: SparkSession, table: SeqTable, snap: Snapshot): DataFrame = {
     val paths = snap.deleteManifests.map(table.deleteManifestPath)
+    // anchor the sequence-number parse to the BASENAME: matching the full path would let a table
+    // rooted under any directory named like 'delete-<digits>-…' stamp every manifest with the
+    // directory's digits and silently mis-apply deletes. Unparseable names fail loudly.
+    val base = element_at(split(col("_metadata.file_path"), "/"), -1)
+    val seqStr = regexp_extract(base, "^delete-([0-9]+)-", 1)
     spark.read.textFile(paths: _*)
       .select(col("value").as("_del_key"),
-        regexp_extract(col("_metadata.file_path"), "delete-([0-9]+)-", 1)
-          .cast("long").as("_del_seq"))
+        when(seqStr === "", raise_error(concat(lit("unparseable delete manifest name: "), base)))
+          .otherwise(seqStr.cast("long")).as("_del_seq"))
   }
 
   /** Delete-aware read of `metas`: merge-on-read equality deletes with sequence s hide rows of
@@ -171,15 +176,15 @@ object SeqIO {
       if (nKeys < 0) 1
       else math.max(1L, (nKeys + DeleteManifestKeysPerFile - 1) / DeleteManifestKeysPerFile).toInt
     keys.toDF("value").coalesce(parts0).write.mode("overwrite").text(tmp.toString)
-    val parts = Files.list(tmp).iterator().asScala
+    val parts = SeqTable.listDir(tmp)
       .filter(p => p.getFileName.toString.startsWith("part-") && Files.size(p) > 0)
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
     val names = parts.zipWithIndex.map { case (p, i) =>
       val name = s"delete-$seq-${java.util.UUID.randomUUID().toString.take(8)}$i.keys"
       Files.move(p, metaDir.resolve(name))
       name
     }
-    Files.list(tmp).iterator().asScala.foreach(Files.deleteIfExists(_))
+    SeqTable.listDir(tmp).foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(tmp)
     names
   }

@@ -36,11 +36,24 @@ final case class Snapshot(
     manifests: Seq[String],
     summary: Map[String, String],
     ts: Long,
-    deleteManifests: Seq[String] = Nil // merge-on-read equality-delete key files (seq in filename)
+    deleteManifests: Seq[String] = Nil, // merge-on-read equality-delete key files (seq in filename)
+    // table-level properties, CARRIED FORWARD by every commit (Iceberg's table-properties model):
+    // unlike `summary` (which describes one snapshot and dies with it at expiry), the HEAD always
+    // holds the current map — e.g. streaming-ingest high-water marks survive snapshot expiry
+    properties: Map[String, String] = Map.empty
 )
 
 object SeqTable {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  /** Eagerly list a directory, CLOSING the underlying DirectoryStream — `Files.list(...)` holds
+    * a file handle until closed, and a long-running maintenance driver lists metadata/data dirs
+    * every cycle.
+    */
+  private[table] def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toVector finally s.close()
+  }
 
   /** Initialize an empty table (v0, no manifests). */
   def create(root: String): SeqTable = {
@@ -88,7 +101,7 @@ final class SeqTable(val root: String) {
   def currentSnapshot(): Snapshot = snapshot(currentVersion())
 
   def snapshotVersions(): Seq[Long] =
-    Files.list(metaDir).iterator().asScala
+    SeqTable.listDir(metaDir).iterator
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") => s.stripPrefix("v").stripSuffix(".json").toLong }
       .toSeq.sorted
@@ -154,7 +167,8 @@ final class SeqTable(val root: String) {
       addedDeleteManifests: Seq[String] = Nil,
       removedDeleteManifests: Set[String] = Set.empty,
       expectedBase: Option[Long] = None,
-      plannedDeleteManifests: Option[Set[String]] = None): Snapshot = {
+      plannedDeleteManifests: Option[Set[String]] = None,
+      propertyUpdates: Map[String, String] = Map.empty): Snapshot = {
     var attempt = 0
     while (true) {
       val base = currentSnapshot()
@@ -196,7 +210,8 @@ final class SeqTable(val root: String) {
           "removed-files" -> removedPaths.size.toString,
           "total-files" -> (basePaths.size - removedPaths.size + added.size).toString),
         System.currentTimeMillis(),
-        base.deleteManifests.filterNot(removedDeleteManifests) ++ addedDeleteManifests)
+        base.deleteManifests.filterNot(removedDeleteManifests) ++ addedDeleteManifests,
+        base.properties ++ propertyUpdates)
       try {
         writeSnapshotFile(next)
         writeVersionHint(next.version)
@@ -267,11 +282,17 @@ final class SeqTable(val root: String) {
     * commit (or lost a conflict before its cleanup ran) strands files forever; expiry can't see
     * them because no manifest ever did. The age guard keeps in-flight writers' fresh files safe
     * (Iceberg's RemoveOrphanFiles contract, public design). Returns deleted relative paths.
+    *
+    * The default retention is 3 DAYS (Iceberg's default): it must exceed the longest possible
+    * write-before-commit duration, or a legitimately slow writer (a 100-TB merge can materialize
+    * files for hours) has its uncommitted files deleted out from under it — its commit then
+    * succeeds referencing missing files and the table is corrupt. Lower it only when no writer
+    * can be in flight.
     */
-  def removeOrphans(olderThanMs: Long = 3600L * 1000): Seq[String] = {
+  def removeOrphans(olderThanMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = {
     val now = System.currentTimeMillis()
     val referenced = snapshotVersions().map(snapshot).flatMap(liveFiles).map(_.path).toSet
-    val dead = Files.list(dataDir).iterator().asScala
+    val dead = SeqTable.listDir(dataDir).iterator
       .filter(p => Files.isRegularFile(p))
       .filter(p => !p.getFileName.toString.startsWith(".")) // tmp staging dirs/files excluded
       .map(p => Paths.get(root).relativize(p).toString -> p)

@@ -86,6 +86,40 @@ class IngestSpec extends AnyFunSuite {
       "replayed micro-batch must not append duplicate rows")
   }
 
+  test("streaming replay idempotency survives snapshot expiry (HWM in table properties)") {
+    val dir = fresh()
+    val t = SeqTable.create(s"$dir/t")
+    val srcDir = s"$dir/incoming"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    SeqGen.table(spark, 100, parts = 1).write.parquet(s"$srcDir/b1")
+    def run(): Unit = {
+      val src = spark.readStream.schema(graft.table.SeqSchema.schema).parquet(s"$srcDir/b*")
+      val q = Ingest.stream(spark, t, src, s"$dir/ckpt")
+      q.awaitTermination(120000)
+      q.stop()
+      ()
+    }
+    run()
+    assert(SeqIO.read(spark, t).count() === 100)
+    // unrelated maintenance commits + expiry: the stream-append snapshot (and its summary, which
+    // used to carry the batch-id mark) is EXPIRED before the crash-replay happens
+    t.commit("noise-1", Nil, Set.empty)
+    t.commit("noise-2", Nil, Set.empty)
+    t.expireSnapshots(keepLast = 2)
+    assert(!t.snapshotVersions().map(t.snapshot).exists(_.operation == "stream-append"),
+      "precondition: the stream-append snapshot must be gone")
+    // crash window replay (offsets written, commit marker lost)
+    import scala.jdk.CollectionConverters._
+    val commits = java.nio.file.Paths.get(s"$dir/ckpt/commits")
+    val newest = Files.list(commits).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.forall(_.isDigit)).maxBy(_.getFileName.toString.toInt)
+    Files.delete(newest)
+    Files.deleteIfExists(commits.resolve(s".${newest.getFileName}.crc"))
+    run()
+    assert(SeqIO.read(spark, t).count() === 100,
+      "replayed batch after snapshot expiry must not duplicate rows")
+  }
+
   test("jdbc ingest (derby in-memory) with ;-delimited token strings") {
     val dir = fresh()
     // derby ships with Spark's jars; in-memory DB = the reference's Proteus-over-JDBC stand-in
