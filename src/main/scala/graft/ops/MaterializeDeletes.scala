@@ -29,14 +29,26 @@ object MaterializeDeletes {
       val dels = SeqIO.deletesDF(spark, table, snap)
         .select(col("_del_key").as("key"), col("_del_seq").as("seq"))
 
-      // candidates: files old enough for some delete to apply AND whose key range can contain it
+      // candidates: files old enough for some delete to apply AND whose key range can contain it;
+      // then per-file doc_id Blooms cut the curve-layout survivors (where ranges prune nothing —
+      // see DocBloom) down to the files that actually hold a deleted key
       val fileRanges = spark.createDataset(live.map(f => (f.path, f.minDocId, f.maxDocId, f.addedAt)))
         .toDF("path", "min_doc", "max_doc", "added")
-      val candidatePaths = fileRanges
+      val rangePaths = fileRanges
         .join(broadcast(dels),
           col("key").between(col("min_doc"), col("max_doc")) && col("seq") > col("added"))
         .select("path").distinct().as[String].collect().toSet
-      val candidates = live.filter(f => candidatePaths.contains(f.path))
+      val rangeCandidates = live.filter(f => rangePaths.contains(f.path))
+      val nDelKeys = dels.count()
+      val candidates =
+        if (nDelKeys > graft.table.DocBloom.PruneMaxKeys) rangeCandidates
+        else {
+          val keyArr = dels.select("key").distinct().as[String].collect()
+          // bloom absence proves the file holds no deleted key at all — sound to skip regardless
+          // of sequence numbers (the range+seq join above already handled ordering)
+          rangeCandidates.filter(f => graft.table.DocBloom.mayContainAny(f, keyArr))
+        }
+      val candidatePaths = candidates.map(_.path).toSet
 
       val added =
         if (candidates.isEmpty) Nil

@@ -78,14 +78,24 @@ object MergeInto {
         val live = table.liveFiles(snap)
 
         // 1. manifest pruning: files whose doc_id range may contain a change key (also drives the
-        //    auto COW-vs-MoR routing, so it runs before the branch; pure metadata × keys)
+        //    auto COW-vs-MoR routing, so it runs before the branch; pure metadata × keys).
+        //    Two levels: the [min,max] range join (free, but blind on curve-clustered layouts
+        //    where every file spans the whole key domain), then per-file doc_id Blooms for sparse
+        //    change sets — key-level pruning that works on ANY layout (DocBloom scaladoc).
         import spark.implicits._
         val fileRanges = spark.createDataset(live.map(f => (f.path, f.minDocId, f.maxDocId)))
           .toDF("path", "min_doc", "max_doc")
-        val affectedPaths = timed("prune")(fileRanges
+        val rangePaths = timed("prune")(fileRanges
           .join(broadcast(keys), col("c_doc_id").between(col("min_doc"), col("max_doc")))
           .select("path").distinct().as[String].collect().toSet)
-        val affected = live.filter(f => affectedPaths.contains(f.path))
+        val rangeAffected = live.filter(f => rangePaths.contains(f.path))
+        val affected = timed("bloom-prune")(
+          if (nKeys > graft.table.DocBloom.PruneMaxKeys) rangeAffected
+          else {
+            val keyArr = keys.as[String].collect()
+            rangeAffected.filter(f => graft.table.DocBloom.mayContainAny(f, keyArr))
+          })
+        val affectedPaths = affected.map(_.path).toSet
 
         val liveRecords = live.map(_.records).sum
         val useMor = mor || (auto && liveRecords > 0 &&

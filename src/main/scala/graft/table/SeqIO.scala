@@ -24,7 +24,8 @@ object SeqSchema {
     StructField("maxDocId", StringType),
     StructField("sources", ArrayType(StringType)),
     StructField("addedAt", LongType),
-    StructField("clustered", BooleanType)))
+    StructField("clustered", BooleanType),
+    StructField("docBloom", StringType))) // nullable → Option[String] on the case class
 }
 
 /** Spark-side write/read for [[SeqTable]].
@@ -77,7 +78,8 @@ object SeqIO {
         count(lit(1)).as("records"),
         min("n_tok").as("min_ntok"), max("n_tok").as("max_ntok"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
-        slice(sort_array(collect_set("source")), 1, MaxSourcesTracked + 1).as("sources"))
+        slice(sort_array(collect_set("source")), 1, MaxSourcesTracked + 1).as("sources"),
+        DocBloom.udaf(col("doc_id")).as("doc_bloom"))
       .collect())
 
     require(stats.forall(_.getString(0).nonEmpty),
@@ -99,7 +101,8 @@ object SeqIO {
         minDocId = r.getString(4), maxDocId = r.getString(5),
         sources = if (srcs.size > MaxSourcesTracked) Nil else srcs, // Nil = unknown/overflow
         addedAt = -1L,
-        clustered = clustered)
+        clustered = clustered,
+        docBloom = Option(r.getAs[Array[Byte]](7)).map(DocBloom.encode))
     }
   }
 

@@ -23,7 +23,11 @@ final case class FileMeta(
     maxDocId: String,
     sources: Seq[String], // distinct sources present (bounded by writer bucketing)
     addedAt: Long, // snapshot version that added this file
-    clustered: Boolean = false // written curve-sorted by this engine (as tight as its size allows)
+    clustered: Boolean = false, // written curve-sorted by this engine (as tight as its size allows)
+    // base64 Bloom filter over the file's doc_ids (see [[DocBloom]]): key-level merge/delete
+    // pruning that works on curve-clustered layouts where [minDocId, maxDocId] spans everything.
+    // None = unknown (legacy manifest) → conservatively "may contain any key".
+    docBloom: Option[String] = None
 )
 
 /** An immutable table version. `manifests` are metadata-relative paths of JSON-lines FileMeta

@@ -46,6 +46,65 @@ class MergePruneSpec extends AnyFunSuite {
     before.unpersist(); changes.unpersist()
   }
 
+  /** curve table: 2000 rows across ~100 files, each spanning ~the whole doc_id domain —
+    * [min,max] range pruning is blind here; only the per-file doc_id blooms can prune.
+    */
+  private def curveTable(): SeqTable = {
+    val root = Files.createTempDirectory("prune-curve-").toString + "/t"
+    val t = SeqTable.create(root)
+    val metas = Rewrite.clusteredWrite(spark, t, SeqGen.table(spark, 2000, parts = 8),
+      cfg, targetRecordsPerFile = 20, totalRecords = 2000)
+    t.commit("append", metas, Set.empty)
+    t
+  }
+
+  test("sparse merge on a CURVE-clustered table prunes via per-file doc_id blooms") {
+    val t = curveTable()
+    val live = t.liveFiles()
+    val nFiles = live.size
+    assert(nFiles >= 50, s"expected many curve files, got $nFiles")
+    assert(live.forall(_.docBloom.isDefined), "every written file must carry a doc_id bloom")
+    val before = SeqIO.read(spark, t).persist()
+    val changes = SeqGen.changeSet(spark, 2000, changes = 20, deletes = 0).persist()
+    val nUpd = changes.filter(col("doc_id").startsWith("doc-")).count()
+    val mr = MergeInto.merge(spark, t, changes, cfg, targetRecordsPerFile = 20)
+    // range prune alone selects ~every file on this layout; blooms must get near the true count
+    assert(mr.filesRewritten < nFiles / 5,
+      s"bloom prune selected ${mr.filesRewritten}/$nFiles files for $nUpd update keys")
+    val upserts = changes.filter(col("_op") =!= "D")
+    val expected = before.join(changes.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(upserts.select("doc_id", "tokens", "n_tok", "source"))
+    val after = SeqIO.read(spark, t)
+    val bad = expected.join(after, Seq("doc_id", "tokens"), "left_anti").count() +
+      after.join(expected, Seq("doc_id", "tokens"), "left_anti").count()
+    assert(bad === 0)
+    before.unpersist(); changes.unpersist()
+  }
+
+  test("MaterializeDeletes on a CURVE-clustered table rewrites only bloom-positive files") {
+    val t = curveTable()
+    val nFiles = t.liveFiles().size
+    val before = SeqIO.read(spark, t).persist()
+    val dels = SeqGen.changeSet(spark, 2000, changes = 0, deletes = 10).persist()
+    val delKeys = dels.filter(col("_op") === "D").select("doc_id").persist()
+    val nDel = delKeys.count()
+    MergeInto.merge(spark, t, dels, cfg, targetRecordsPerFile = 20, mor = true)
+    assert(t.currentSnapshot().deleteManifests.nonEmpty)
+    val snap = MaterializeDeletes.run(spark, t, cfg, targetRecordsPerFile = 20)
+    assert(snap.isDefined)
+    val rewritten = snap.get.summary("removed-files").toLong
+    assert(rewritten < nFiles / 5,
+      s"materialization rewrote $rewritten/$nFiles files for $nDel delete keys")
+    assert(t.currentSnapshot().deleteManifests.isEmpty)
+    // content: exactly the deleted keys are gone, everything else byte-identical
+    val after = SeqIO.read(spark, t)
+    val expected = before.join(delKeys, Seq("doc_id"), "left_anti")
+    val bad = expected.join(after, Seq("doc_id", "tokens"), "left_anti").count() +
+      after.join(expected, Seq("doc_id", "tokens"), "left_anti").count()
+    assert(bad === 0)
+    before.unpersist(); dels.unpersist(); delKeys.unpersist()
+  }
+
   test("auto mode routes dense change sets to MoR and sparse ones to COW") {
     val tDense = docMajorTable()
     // 50% of keys changed → COW would rewrite ~everything → auto must choose MoR
