@@ -295,7 +295,31 @@ object SparkEntry {
     "q27_engine_snapshot_expiry" -> ((s, dir) => EngineQueries.snapshotExpiry(s, dir)),
     "q28_engine_scan_pruning" -> ((s, dir) => EngineQueries.scanPruning(s, dir)),
     "q30_engine_dedup_table" -> ((s, dir) => EngineQueries.dedupTable(s, dir)),
-    "q32_engine_merge_mor" -> ((s, dir) => EngineQueries.mergeMor(s, dir))
+    "q32_engine_merge_mor" -> ((s, dir) => EngineQueries.mergeMor(s, dir)),
+
+    "q33_image_roundtrip" -> ((s, dir) => {
+      // REAL codec roundtrip, fully SQL-oracled: deterministic pixels from the text chars →
+      // javax.imageio PNG ENCODE → PNG DECODE (real codec both ways; PNG is lossless so the
+      // decoded bytes must equal the synthesized ones) → scalar pixel features. DuckDB predicts
+      // the features from the same char function without ever touching a codec.
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .filter(_._2.nonEmpty)
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false) // decoder init once per partition
+          it.map { case (id, text) =>
+            val px = Array.tabulate(8 * 8 * 3)(j => (text.charAt(j % text.length) & 0x7f).toByte)
+            val png = graft.multimodal.Multimodal.encodePng(8, 8, px)
+            val f = graft.multimodal.Multimodal.decodeImageBytes(id, png)
+              .getOrElse(sys.error(s"PNG roundtrip failed for doc $id"))
+            val vals = f.pixels.map(b => (b & 0xff).toLong)
+            (id, f.width.toLong, f.height.toLong, vals.sum, vals.max,
+              (0 until vals.length by 3).map(vals(_)).sum)
+          }
+        }.toDF("doc_id", "width", "height", "px_sum", "px_max", "r_sum")
+        .orderBy("doc_id")
+    })
   )
 
   // ---------- oracle SQL (DuckDB) ----------
@@ -631,6 +655,18 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank, cos
          |  FROM dots)
          |SELECT query_id, neighbor_id, rank, cast(round(cos * 10000) AS BIGINT) AS cos_x1e4
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the decoded-pixel features are predictable in pure SQL because PNG is lossless: the engine
+    // must reproduce EXACTLY the char-derived bytes through a real encode→decode
+    "q33_image_roundtrip" ->
+      """SELECT doc_id, 8 AS width, 8 AS height,
+        |  (SELECT sum(ord(substr(text, (j % length(text))::INT + 1, 1)) % 128)
+        |     FROM generate_series(0, 191) s(j)) AS px_sum,
+        |  (SELECT max(ord(substr(text, (j % length(text))::INT + 1, 1)) % 128)
+        |     FROM generate_series(0, 191) s(j)) AS px_max,
+        |  (SELECT sum(ord(substr(text, (j % length(text))::INT + 1, 1)) % 128)
+        |     FROM generate_series(0, 189, 3) s(j)) AS r_sum
+        |FROM documents WHERE length(text) > 0""".stripMargin
   ) ++ EngineQueries.oracleSql
 }

@@ -34,6 +34,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(v === v2)
   }
 
+  test("REAL image decode: PNG roundtrip returns exact pixels; corrupt bytes emit no frame") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val originals = (0L until 10L).map { id =>
+      val w = 5 + rnd.nextInt(12); val h = 3 + rnd.nextInt(9)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      (id, w, h, px, Multimodal.encodePng(w, h, px))
+    }
+    val mediaDs = originals.map { case (id, _, _, _, png) => MediaRow(id, "image", png, Map.empty) }
+      .toDS()
+    val corrupt = Seq(MediaRow(99L, "image", Array[Byte](1, 2, 3, 4), Map.empty),
+      MediaRow(98L, "image", Array.empty[Byte], Map.empty)).toDS()
+    val frames = Multimodal.decodeFrames(mediaDs.union(corrupt)).collect().sortBy(_.id)
+    assert(frames.length === 10, "corrupt payloads must emit no frame, real PNGs exactly one")
+    frames.zip(originals).foreach { case (f, (id, w, h, px, _)) =>
+      assert(f.id === id && f.width === w && f.height === h && f.channels === 3)
+      assert(f.pixels.toSeq === px.toSeq, s"PNG decode must be lossless (id=$id)")
+    }
+  }
+
+  test("real decoded image flows through resize + features into similarity") {
+    import spark.implicits._
+    // two identical images and one very different one: nearest neighbor must pick the twin
+    val a = Array.tabulate(16 * 16 * 3)(j => (j % 251).toByte)
+    val b = Array.tabulate(16 * 16 * 3)(j => (255 - j % 13).toByte)
+    val ds = Seq(MediaRow(0L, "image", Multimodal.encodePng(16, 16, a), Map.empty),
+      MediaRow(1L, "image", Multimodal.encodePng(16, 16, a), Map.empty),
+      MediaRow(2L, "image", Multimodal.encodePng(16, 16, b), Map.empty)).toDS()
+    val feats = Multimodal.features(Multimodal.resize(Multimodal.decodeFrames(ds), 8, 8), dims = 8)
+      .select(col("id"), col("vec"))
+    val top = graft.functions.Similarity.bruteForceTopK(feats, feats.filter(col("id") === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") === 1L, "identical image must rank first")
+  }
+
   test("feature vectors plug into the similarity ops") {
     val feats = Multimodal.features(Multimodal.decodeFrames(media, 2), dims = 8)
       .filter(col("frame_idx") === 0)
