@@ -35,9 +35,19 @@ final case class GeoGrid(minX: Double, minY: Double, eps: Double, nodeSide: Int)
   */
 object BRS {
 
+  /** Heap ceiling for per-task candidate heaps: K′ growth stops here — with fixed-winner
+    * exclusions pruning hot clusters each round, a larger heap is never needed for progress, and
+    * this is what bounds peak task memory (no more unbounded `kPrime = Int.MaxValue` round).
+    */
+  val KPrimeCap: Int = 1 << 20
+
   /** @param keywordFilters (column, accepted-values) pairs; a row passes when its `;`-separated
     *                       column intersects the accepted list (reference F2, `Run.scala:73-87`)
     * @param distinct       non-overlapping winners (the reference's dist=true)
+    * @param hotNodeBudget  nodes holding more points than this are split into x-sub-strips, each
+    *                       its own task: a dense node is no longer ONE sequential task
+    * @param premergeKeys   above this many (node, strip) keys, per-partition pre-merge bounds the
+    *                       driver collect at (#partitions × m) candidates (reference P7 log-tree)
     * @return rank, center_lon, center_lat, score — the reference's output shape (S4)
     */
   def bestRegions(
@@ -50,7 +60,9 @@ object BRS {
       keywordFilters: Seq[(String, Seq[String])] = Nil,
       distinct: Boolean = true,
       nodeSide: Int = 8,
-      maxRounds: Int = 8): DataFrame = {
+      maxRounds: Int = 8,
+      hotNodeBudget: Int = 200000,
+      premergeKeys: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -69,60 +81,126 @@ object BRS {
         .toDF("rank", "center_lon", "center_lat", "score")
     val grid = GeoGrid(bbox.getDouble(0), bbox.getDouble(1), eps, nodeSide)
 
-    val keyed = pts.flatMap(p => grid.nodesForPoint(p.x, p.y).map(n => (n, p)))
-      .toDF("node", "pt").persist()
+    // hot-node split plan: per-node point counts (metadata-sized collect), nodes above budget get
+    // ceil(count/budget) x-sub-strips — a dense node executes as MANY tasks with exact parity
+    // (anchors are partitioned by x; each strip's kernel sees its strip plus the eps halo)
+    val nodeCounts = pts.flatMap(p => grid.nodesForPoint(p.x, p.y))
+      .groupBy("value").count().as[(Long, Long)].collect().toMap
+    val splits: Map[Long, Int] = nodeCounts.collect {
+      case (n, c) if c > hotNodeBudget => n -> math.ceil(c.toDouble / hotNodeBudget).toInt
+    }
+    val splitsB = spark.sparkContext.broadcast(splits)
+    val nKeys = nodeCounts.size + splits.values.map(_ - 1).sum
+    val usePremerge = nKeys > premergeKeys
+
+    // floor-consistent strip index: the SAME function keys points and owns anchors, so a float
+    // boundary can never orphan an anchor between two strips
+    def stripOf(node: Long, nStrips: Int, x: Double): Int = {
+      val (ax0, ax1, _, _) = grid.anchorBox(node)
+      val sw = (ax1 - ax0) / nStrips
+      math.min(nStrips - 1, math.max(0, math.floor((x - ax0) / sw).toInt))
+    }
+
+    val keyed = pts.flatMap { p =>
+      grid.nodesForPoint(p.x, p.y).flatMap { n =>
+        val nStrips = splitsB.value.getOrElse(n, 1)
+        if (nStrips == 1) Seq((n, 0, p))
+        else {
+          val (ax0, _, _, _) = grid.anchorBox(n)
+          val lo = stripOf(n, nStrips, math.max(ax0, p.x - eps))
+          val hi = stripOf(n, nStrips, p.x)
+          (lo to hi).map(s => (n, s, p))
+        }
+      }
+    }.toDF("node", "strip", "pt").persist()
+
     try {
-      // STREAMING per-node kernel: repartition by node + secondary sort on x, then one pass with
-      // an eps-strip window — per-task memory is O(strip), not O(node) (r01 materialized whole
-      // nodes: the reference's documented hot-node OOM). Nodes whose previous round was EXHAUSTED
-      // already emitted every candidate — their results are valid at any K′ and are not re-run.
-      def runRound(kPrime: Int, cached: Map[Long, GeoNodeResult]): Map[Long, GeoNodeResult] = {
+      // STREAMING per-(node, strip) kernel: repartition by key + secondary sort on x, then one
+      // pass with an eps-strip window — per-task memory is O(eps-strip) resident points plus a
+      // K′-bounded heap, never the whole node (r01 materialized whole nodes: the reference's
+      // documented hot-node OOM). Keys whose previous round was EXHAUSTED already emitted every
+      // candidate — their results are valid at any K′ and are not re-run.
+      def runRound(kPrime: Int, m: Int, exclusions: Vector[GeoRegion],
+          cached: Map[(Long, Int), GeoNodeResult]): (Seq[GeoNodeResult], Map[(Long, Int), GeoNodeResult]) = {
         val skip = spark.sparkContext.broadcast(cached.keySet)
-        val fresh = keyed
-          .as[(Long, Pt)]
-          .filter(kv => !skip.value.contains(kv._1))
-          .toDF("node", "pt")
-          .repartition(col("node"))
-          .sortWithinPartitions(col("node"), col("pt.x"))
-          .as[(Long, Pt)]
+        val excl = spark.sparkContext.broadcast(exclusions)
+        val perKey = keyed
+          .as[(Long, Int, Pt)]
+          .filter(kv => !skip.value.contains((kv._1, kv._2)))
+          .toDF("node", "strip", "pt")
+          .repartition(col("node"), col("strip"))
+          .sortWithinPartitions(col("node"), col("strip"), col("pt.x"))
+          .as[(Long, Int, Pt)]
           .mapPartitions { it =>
             val buf = it.buffered
-            new Iterator[(Long, GeoNodeResult)] {
+            new Iterator[(Long, Int, GeoNodeResult)] {
               def hasNext: Boolean = buf.hasNext
-              def next(): (Long, GeoNodeResult) = {
-                val node = buf.head._1
+              def next(): (Long, Int, GeoNodeResult) = {
+                val (node, strip, _) = buf.head
                 val run = new Iterator[Pt] {
-                  def hasNext: Boolean = buf.hasNext && buf.head._1 == node
-                  def next(): Pt = buf.next()._2
+                  def hasNext: Boolean = buf.hasNext && buf.head._1 == node && buf.head._2 == strip
+                  def next(): Pt = buf.next()._3
                 }
                 val (ax0, ax1, ay0, ay1) = grid.anchorBox(node)
-                val r = GeoBrsKernel.localTopKStreaming(run, eps, kPrime, ax0, ax1, ay0, ay1)
+                val nStrips = splitsB.value.getOrElse(node, 1)
+                val owns: Double => Boolean =
+                  if (nStrips == 1) x => x >= ax0 && x < ax1
+                  else x => x >= ax0 && x < ax1 && stripOf(node, nStrips, x) == strip
+                val r = GeoBrsKernel.localTopKStreaming(run, eps, kPrime, owns, ay0, ay1, excl.value)
                 while (run.hasNext) run.next() // kernel drains, but never trust an invariant twice
-                (node, r)
+                (node, strip, r)
               }
             }
           }
-          .collect().toMap
-        cached ++ fresh
+        if (usePremerge) {
+          // reference P7 log-tree: fold per-key results into one partial per Spark partition
+          // before collecting — driver payload ≤ #partitions × m candidates, not #keys × K′.
+          // No per-key cache in this mode (per-key results never reach the driver); with many
+          // small keys, recomputing a round costs less than collecting 10^6 results ever would.
+          val partials = perKey.mapPartitions(rs =>
+            Iterator.single(GeoBrsKernel.preMerge(rs.map(_._3), m)))
+            .collect().toSeq
+          (partials, Map.empty)
+        } else {
+          val fresh = perKey.collect().map { case (n, s, r) => (n, s) -> r }.toMap
+          val all = cached ++ fresh
+          (all.values.toSeq, all)
+        }
       }
 
+      // Multi-round protocol (reference NstepAlgo): each round either COMPLETES, proves a greedy
+      // PREFIX (fixed winners become kernel exclusions — hot clusters stop refilling the heap),
+      // or GROWS K′/m geometrically up to KPrimeCap. Progress argument: the next true winner is
+      // its node's best non-excluded candidate, so with the threshold test it is accepted unless
+      // a tie at the threshold hides it — and then growth makes strict progress instead.
       var kPrime = math.max(k, 4)
-      var round = 0
-      var answer = Vector.empty[GeoRegion]
+      var m = math.max(kPrime, 4 * k)
+      var fixed = Vector.empty[GeoRegion]
+      var cache = Map.empty[(Long, Int), GeoNodeResult]
       var done = false
-      var cache = Map.empty[Long, GeoNodeResult]
-      while (!done && round < maxRounds) {
-        val results = runRound(kPrime, cache)
-        val (acc, complete) = GeoBrsKernel.mergeTopK(results.values.toSeq, k, overlapAllowed = !distinct)
-        answer = acc; done = complete
-        cache = results.filter(_._2.exhausted) // complete at any K′ — carried to the next round
-        kPrime *= 4; round += 1
+      var round = 0
+      val maxTotalRounds = maxRounds + k
+      while (!done && round < maxTotalRounds) {
+        round += 1
+        val (results, newCache) = runRound(kPrime, m, if (distinct) fixed else Vector.empty, cache)
+        val (acc, complete) =
+          GeoBrsKernel.mergeTopK(results, k - fixed.size, overlapAllowed = !distinct, seed = fixed)
+        fixed = fixed ++ acc
+        done = complete || fixed.size >= k
+        if (!usePremerge) cache = newCache.filter(_._2.exhausted)
+        if (!done && acc.isEmpty) {
+          if (kPrime >= KPrimeCap)
+            throw new IllegalStateException(
+              s"BRS: no progress at K'=$kPrime (cap $KPrimeCap), ${fixed.size}/$k winners after $round rounds")
+          kPrime = math.min(kPrime * 4, KPrimeCap)
+          m = math.min(m * 4, KPrimeCap)
+        }
       }
       if (!done)
-        answer = GeoBrsKernel.mergeTopK(
-          runRound(Int.MaxValue, cache).values.toSeq, k, overlapAllowed = !distinct)._1
+        throw new IllegalStateException(
+          s"BRS: ${fixed.size}/$k winners after $maxTotalRounds rounds (raise maxRounds)")
 
-      answer.zipWithIndex.map { case (r, i) =>
+      fixed.zipWithIndex.map { case (r, i) =>
         (i + 1, r.centerX, r.centerY, r.score)
       }.toDF("rank", "center_lon", "center_lat", "score")
     } finally { keyed.unpersist(); () }

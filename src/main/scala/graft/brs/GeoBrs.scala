@@ -101,12 +101,27 @@ object GeoBrsKernel {
     */
   def localTopKStreaming(
       sortedByX: Iterator[Pt], eps: Double, kPrime: Int,
-      ax0: Double, ax1: Double, ay0: Double, ay1: Double): GeoNodeResult = {
+      ax0: Double, ax1: Double, ay0: Double, ay1: Double): GeoNodeResult =
+    localTopKStreaming(sortedByX, eps, kPrime, x => x >= ax0 && x < ax1, ay0, ay1, Vector.empty)
+
+  /** [[localTopKStreaming]] with a predicate for anchor-x ownership (hot-node sub-strips need
+    * FLOOR-CONSISTENT ownership, not float range bounds) and a fixed-winner exclusion list
+    * (reference NstepAlgo feeds previous answers back as exclusions,
+    * `/root/reference/src/main/scala/SDL/distrib/NstepAlgo.scala:23-57`): candidates overlapping
+    * an already-proven winner can never be accepted, so they neither enter the heap nor count as
+    * dropped — this is what makes hot clusters EXHAUSTIBLE once their winner is fixed, bounding
+    * the heap at K′ forever (no unbounded final round).
+    */
+  def localTopKStreaming(
+      sortedByX: Iterator[Pt], eps: Double, kPrime: Int,
+      ownsAnchorX: Double => Boolean, ay0: Double, ay1: Double,
+      exclusions: IndexedSeq[GeoRegion]): GeoNodeResult = {
     // worst candidate on top, so the heap evicts it when a better one arrives
     val heap = new scala.collection.mutable.PriorityQueue[GeoRegion]()(GeoRegionOrdering)
     var dropped = false
     def offer(r: GeoRegion): Unit =
-      if (kPrime == Int.MaxValue || heap.size < kPrime) heap.enqueue(r)
+      if (exclusions.nonEmpty && exclusions.exists(_.overlaps(r))) () // provably unacceptable
+      else if (kPrime == Int.MaxValue || heap.size < kPrime) heap.enqueue(r)
       else if (GeoRegionOrdering.compare(r, heap.head) < 0) { heap.dequeue(); heap.enqueue(r); dropped = true }
       else dropped = true
 
@@ -124,7 +139,7 @@ object GeoBrsKernel {
       while (it.hasNext && it.head.x <= ax + eps) window.append(it.next())
       peak = math.max(peak, window.size)
       any = true
-      if (ax >= ax0 && ax < ax1 && (lastAx.isNaN || ax != lastAx)) {
+      if (ownsAnchorX(ax) && (lastAx.isNaN || ax != lastAx)) {
         val active = window.toArray.sortBy(_.y)
         val edgeYs = active.iterator.filter(_.x == ax).map(_.y).toArray.sorted
         @inline def edgeCovered(ay: Double): Boolean = {
@@ -154,26 +169,62 @@ object GeoBrsKernel {
       if (emitted.isEmpty) Double.PositiveInfinity else emitted.last.score, peak)
   }
 
-  def greedySelect(sortedDesc: Iterator[GeoRegion], k: Int, overlapAllowed: Boolean): Vector[GeoRegion] = {
+  /** Greedy winner selection. `seed` = already-fixed winners from earlier rounds: they block
+    * overlapping candidates (distinct mode) and re-emitted duplicates of themselves, but are not
+    * re-emitted; up to `k` NEW winners are returned.
+    */
+  def greedySelect(sortedDesc: Iterator[GeoRegion], k: Int, overlapAllowed: Boolean,
+      seed: Seq[GeoRegion] = Nil): Vector[GeoRegion] = {
     val accepted = scala.collection.mutable.ArrayBuffer.empty[GeoRegion]
     val res = Vector.newBuilder[GeoRegion]
     var n = 0
     while (n < k && sortedDesc.hasNext) {
       val r = sortedDesc.next()
-      if (overlapAllowed || !accepted.exists(_.overlaps(r))) { res += r; accepted += r; n += 1 }
+      val blocked = seed.exists(s => s == r || (!overlapAllowed && s.overlaps(r))) ||
+        (!overlapAllowed && accepted.exists(_.overlaps(r)))
+      if (!blocked) { res += r; accepted += r; n += 1 }
     }
     res.result()
   }
 
   /** maxMin-thresholded merge — same argument as the discrete planner's. */
-  def mergeTopK(perNode: Seq[GeoNodeResult], k: Int, overlapAllowed: Boolean): (Vector[GeoRegion], Boolean) = {
+  def mergeTopK(perNode: Seq[GeoNodeResult], k: Int, overlapAllowed: Boolean,
+      seed: Vector[GeoRegion] = Vector.empty): (Vector[GeoRegion], Boolean) = {
     val truncatedAt = perNode.iterator.filter(n => !n.exhausted).map(_.minEmitted).toSeq
     val union = perNode.flatMap(_.candidates).sorted(GeoRegionOrdering).distinct
     val safe =
       if (truncatedAt.isEmpty) union
       else union.takeWhile(_.score > truncatedAt.max)
-    val accepted = greedySelect(safe.iterator, k, overlapAllowed)
+    val accepted = greedySelect(safe.iterator, k, overlapAllowed, seed)
     (accepted, accepted.size >= k || truncatedAt.isEmpty)
+  }
+
+  /** Executor-side partial merge (the reference's log-tree reduce, P7 — `NstepAlgo.scala:31-40`):
+    * fold many per-node results into ONE, keeping only the top-`m` candidates. The partial stays
+    * inside the [[mergeTopK]] threshold algebra by presenting itself as a single node result:
+    * dropping a candidate is indistinguishable from a node truncating at that score, so
+    * `minEmitted = max(children's truncation thresholds, best dropped score)` and the driver's
+    * completeness test is unchanged — if the prune was too aggressive, the merge reports
+    * incomplete and the round loop grows `m`. Bounds the driver collect at
+    * (#partitions × m) candidates instead of (#nodes × K′).
+    */
+  def preMerge(results: Iterator[GeoNodeResult], m: Int): GeoNodeResult = {
+    val all = scala.collection.mutable.ArrayBuffer.empty[GeoRegion]
+    var exhaustedAll = true
+    var childThreshold = Double.NegativeInfinity
+    var peak = 0
+    results.foreach { r =>
+      all ++= r.candidates
+      peak = math.max(peak, r.peakWindow)
+      if (!r.exhausted) { exhaustedAll = false; childThreshold = math.max(childThreshold, r.minEmitted) }
+    }
+    val sorted = all.sorted(GeoRegionOrdering).distinct
+    val kept = sorted.take(m).toVector
+    val droppedBest = if (sorted.size > m) sorted(m).score else Double.NegativeInfinity
+    val truncated = !exhaustedAll || sorted.size > m
+    GeoNodeResult(kept, exhausted = !truncated,
+      minEmitted = if (truncated) math.max(childThreshold, droppedBest) else Double.PositiveInfinity,
+      peakWindow = peak)
   }
 
   /** Test oracle: enumerate the canonical anchor set and greedy-select.

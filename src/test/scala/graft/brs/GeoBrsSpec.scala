@@ -82,6 +82,66 @@ class GeoBrsSpec extends AnyFunSuite {
       s"resident window ${r.peakWindow} is not bounded by the eps-strip (n=$n)")
   }
 
+  test("hot-node x-strip splitting: split and unsplit runs agree exactly (both modes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // one hot node: 3000 points inside a single 8x8-cell node, plus scatter around it
+    val pts = (1 to 3000).map(_ => (rnd.nextDouble() * 4, rnd.nextDouble() * 4, 1.0 + rnd.nextInt(3))) ++
+      (1 to 500).map(_ => (rnd.nextDouble() * 30, rnd.nextDouble() * 30, 1.0 + rnd.nextInt(3)))
+    val df = pts.toDF("lon", "lat", "f")
+    for (distinct <- Seq(true, false)) {
+      val split = BRS.bestRegions(df, eps = 0.7, k = 4, scoreCol = Some("f"),
+        distinct = distinct, hotNodeBudget = 300) // forces ceil(count/300) sub-strips
+      val whole = BRS.bestRegions(df, eps = 0.7, k = 4, scoreCol = Some("f"),
+        distinct = distinct, hotNodeBudget = Int.MaxValue)
+      assert(split.collect().toSeq.map(_.toSeq) === whole.collect().toSeq.map(_.toSeq),
+        s"distinct=$distinct")
+    }
+  }
+
+  test("executor pre-merge: forced-on run equals forced-off run; partials are m-bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val pts = randomPts(rnd, 400, extent = 60).map(p => (p.x, p.y, p.w))
+    val df = pts.toDF("lon", "lat", "f")
+    for (distinct <- Seq(true, false)) {
+      val pre = BRS.bestRegions(df, eps = 1.2, k = 5, scoreCol = Some("f"),
+        distinct = distinct, nodeSide = 2, premergeKeys = 1) // every key count exceeds 1 → premerge
+      val noPre = BRS.bestRegions(df, eps = 1.2, k = 5, scoreCol = Some("f"),
+        distinct = distinct, nodeSide = 2, premergeKeys = Int.MaxValue)
+      assert(pre.collect().toSeq.map(_.toSeq) === noPre.collect().toSeq.map(_.toSeq),
+        s"distinct=$distinct")
+    }
+    // unit: the partial is a valid node-result — m-bounded, threshold covers what it dropped
+    val results = (1 to 50).map { i =>
+      GeoNodeResult(Vector.tabulate(8)(j => GeoRegion(i * 100.0 + j, 0, 1, 1000.0 - i - j * 0.01)),
+        exhausted = i % 3 != 0, minEmitted = 1000.0 - i - 0.07)
+    }
+    val partial = GeoBrsKernel.preMerge(results.iterator, m = 20)
+    assert(partial.candidates.size === 20)
+    assert(!partial.exhausted)
+    val dropped = results.flatMap(_.candidates).sorted(GeoRegionOrdering).drop(20)
+    assert(dropped.forall(_.score <= partial.minEmitted),
+      "every dropped candidate must sit at or below the partial's truncation threshold")
+  }
+
+  test("bounded heap: exclusion rounds converge where the old unbounded round was needed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // many dense overlapping clusters in one node: small K' truncates, winners must be fixed
+    // round by round via exclusions (maxRounds=1 disables K'-growth retries almost entirely)
+    val clusters = (0 until 6).map(i => (3.0 * i, 0.0))
+    val pts = clusters.flatMap { case (cx, cy) =>
+      (1 to 40).map(_ => (cx + rnd.nextDouble() * 0.4, cy + rnd.nextDouble() * 0.4, 1.0))
+    }
+    val df = pts.toDF("lon", "lat", "f")
+    val got = BRS.bestRegions(df, eps = 0.5, k = 4, scoreCol = Some("f"),
+      distinct = true, nodeSide = 64, maxRounds = 1)
+      .collect().map(r => (r.getInt(0), r.getDouble(3)))
+    val want = GeoBrsKernel.bruteForce(pts.map(p => Pt(p._1, p._2, p._3)), 0.5, 4, overlapAllowed = false)
+    assert(got.map(_._2).toSeq === want.map(_.score))
+  }
+
   test("end-to-end Spark BRS finds the dense cluster and respects keyword filters") {
     import spark.implicits._
     // 50 points at (10±.1, 10±.1) tagged 'cafe', 200 scattered far away tagged 'park'
