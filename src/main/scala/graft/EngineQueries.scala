@@ -175,9 +175,10 @@ object EngineQueries {
     }
     Rewrite.compactFiles(s, table, table.liveFiles(), cfg, targetFor(port.count()))
     val versionsBefore = table.snapshotVersions().size
-    val diskBefore = Files.list(table.dataDir).count()
+    def dataFiles() = { val st = Files.list(table.dataDir); try st.count() finally st.close() }
+    val diskBefore = dataFiles()
     table.expireSnapshots(keepLast = 1)
-    val diskAfter = Files.list(table.dataDir).count()
+    val diskAfter = dataFiles()
     require(table.snapshotVersions().size < versionsBefore, "expiry removed no snapshots")
     require(diskAfter < diskBefore, "expiry deleted no unreachable data files")
     port.unpersist()
@@ -213,6 +214,48 @@ object EngineQueries {
     PortableSeq.content(SeqIO.read(s, table)) // survivors = min doc_id per distinct payload
   }
 
+  /** Two-phase incremental maintenance (reference algo 6, partial recompute): phase 1 compacts to
+    * a stable state with `incremental = true` (first plan runs ALL nodes — no cache); an append
+    * then dirties only the cells of one source; phase 2's plan must recompute ONLY a strict
+    * subset of the nodes (the dirtied ones), proven by the planner-run hook, while the final
+    * content equals port ∪ appended rows.
+    */
+  def incrementalCycles(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("incr"), port, (n / 250).toInt.max(20))
+    val opts = MaintenanceOptions(k = 16, targetRecordsPerFile = targetFor(n), incremental = true)
+    val ckpt = new Checkpoint(s"${table.root}/state")
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+    val hook: (Set[Int], Int) => Unit = (nodes, _) => { runs += nodes; () }
+
+    var cycles = 0
+    var go = true
+    while (go && cycles < 12) {
+      val r = MaintenanceRunner.runCycle(s, table, cfg, opts, ckpt, onPlannerRun = hook)
+      cycles += 1; go = r.tasksExecuted > 0
+    }
+    val allNodes = runs.head // first plan has no cache → every occupied node ran
+
+    // dirty a narrow slice of the grid: append new-keyed rows of ONE source
+    val extra = port.filter(col("source") === "src3" && pmod(col("docnum"), lit(10)) === 4)
+      .select(format_string("a%09d", col("docnum")).as("doc_id"),
+        col("tokens"), col("n_tok"), col("source"))
+    val metas = SeqIO.writeFiles(s, table, extra.repartition(2))
+    require(metas.nonEmpty, "append produced no files — the dirty-slice premise is void")
+    table.commit("append", metas, Set.empty)
+
+    runs.clear()
+    MaintenanceRunner.runCycle(s, table, cfg, opts, ckpt, onPlannerRun = hook)
+    val ran2 = runs.foldLeft(Set.empty[Int])(_ ++ _)
+    require(ran2.nonEmpty, "post-append plan recomputed nothing despite new files")
+    require(ran2.subsetOf(allNodes), s"incremental plan ran unknown nodes: ${ran2 -- allNodes}")
+    require(ran2.size < allNodes.size,
+      s"incremental plan re-ran every node (${ran2.size}/${allNodes.size}) — no partial recompute")
+    PortableSeq.content(SeqIO.read(s, table))
+  }
+
   // ---------- DuckDB oracles ----------
 
   def oracleSql: Map[String, String] = {
@@ -227,6 +270,13 @@ object EngineQueries {
         s"""WITH port AS (${sql(reps)})
            |SELECT $contentColsSql FROM port
            |WHERE source = 'src0' AND n_tok BETWEEN 20 AND 30""".stripMargin,
+      "q35_engine_incremental" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT $contentColsSql FROM port
+           |UNION ALL
+           |SELECT printf('a%09d', docnum), n_tok::BIGINT, source,
+           |  md5(array_to_string(tokens, ','))
+           |FROM port WHERE source = 'src3' AND docnum%10 = 4""".stripMargin,
       "q30_engine_dedup_table" ->
         s"""WITH port AS (${sql(reps)}),
            |u AS (

@@ -296,6 +296,7 @@ object SparkEntry {
     "q28_engine_scan_pruning" -> ((s, dir) => EngineQueries.scanPruning(s, dir)),
     "q30_engine_dedup_table" -> ((s, dir) => EngineQueries.dedupTable(s, dir)),
     "q32_engine_merge_mor" -> ((s, dir) => EngineQueries.mergeMor(s, dir)),
+    "q35_engine_incremental" -> ((s, dir) => EngineQueries.incrementalCycles(s, dir)),
 
     "q33_image_roundtrip" -> ((s, dir) => {
       // REAL codec roundtrip, fully SQL-oracled: deterministic pixels from the text chars →
@@ -319,6 +320,22 @@ object SparkEntry {
           }
         }.toDF("doc_id", "width", "height", "px_sum", "px_max", "r_sum")
         .orderBy("doc_id")
+    }),
+
+    "q34_ann_pairs" -> ((s, dir) => {
+      // item×item embedding near-dup pairs (symmetric bucketed self-join — no broadcastable query
+      // side). 20% deterministic scaled twins by construction; the per-dim scale factor is plain
+      // arithmetic so DuckDB recomputes the whole pipeline: planes → buckets → cap → pairs →
+      // exact cosine.
+      val e = t(s, dir, "embeddings")
+      val base = e.select((col("vec_id") * 2).as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val twins = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") * 2 + 1).as("id"),
+          transform(col("embedding"),
+            (x, d) => x.cast("double") * (lit(1.0) + (d % 7).cast("double") * lit(0.03))).as("vec"))
+      Similarity.lshPairs(base.unionByName(twins), planes = 8, tables = 6, minCosX1e4 = 9000L)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -667,6 +684,39 @@ object SparkEntry {
         |     FROM generate_series(0, 191) s(j)) AS px_max,
         |  (SELECT sum(ord(substr(text, (j % length(text))::INT + 1, 1)) % 128)
         |     FROM generate_series(0, 189, 3) s(j)) AS r_sum
-        |FROM documents WHERE length(text) > 0""".stripMargin
+        |FROM documents WHERE length(text) > 0""".stripMargin,
+
+    // full algorithm oracle for the symmetric pair mode: twins → LCG planes → per-table buckets →
+    // hot-bucket cap → distinct pairs → exact cosine ≥ 0.9
+    "q34_ann_pairs" ->
+      s"""WITH u AS (
+         |  SELECT vec_id*2 AS id, generate_subscripts(embedding, 1) - 1 AS d,
+         |         unnest(embedding)::DOUBLE AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id*2+1 AS id, generate_subscripts(embedding, 1) - 1 AS d,
+         |         unnest(embedding)::DOUBLE * (1.0 + ((generate_subscripts(embedding, 1) - 1) % 7) * 0.03)
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |planes AS (
+         |  SELECT t, p, d,
+         |    CASE WHEN ((1103515245::BIGINT*(t*521 + p*67 + d) + 12345) % 2147483648 >> 14) & 1 = 1
+         |         THEN 1.0 ELSE -1.0 END AS s
+         |  FROM (SELECT unnest(generate_series(0, 5)) AS t) _t,
+         |       (SELECT unnest(generate_series(0, 7)) AS p) _p,
+         |       (SELECT unnest(generate_series(0, 63)) AS d) _d),
+         |proj AS (SELECT id, t, p, sum(e*s) AS dot
+         |  FROM u JOIN planes USING (d) GROUP BY 1, 2, 3),
+         |buckets AS (SELECT id, t, sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY 1, 2),
+         |capped AS (SELECT * FROM (
+         |  SELECT id, t, bucket, count(*) OVER (PARTITION BY t, bucket) AS bn FROM buckets)
+         |  WHERE bn <= 1024),
+         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+         |dots AS (SELECT id_a, id_b,
+         |  cast(round(sum(a.e*b.e) / (sqrt(sum(a.e*a.e)) * sqrt(sum(b.e*b.e))) * 10000) AS BIGINT) AS cos_x1e4
+         |  FROM pairs JOIN u a ON a.id = pairs.id_a JOIN u b ON b.id = pairs.id_b AND b.d = a.d
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, cos_x1e4 FROM dots WHERE cos_x1e4 >= 9000
+         |ORDER BY id_a, id_b""".stripMargin
   ) ++ EngineQueries.oracleSql
 }

@@ -82,4 +82,46 @@ object Similarity {
     cands.select(col("query_id"), col("neighbor_id"), cosine(col("vec"), col("qvec")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Item×item near-duplicate pairs — the symmetric self-join mode [[lshTopK]] lacks (its query
+    * side must broadcast; embedding-level dedup at 10^12 rows has no small side). Same shape as
+    * [[graft.functions.Dedup.minhashLshPairs]]:
+    *
+    *  - every item sketched into `tables` hyperplane buckets (one explode, no per-row hashing —
+    *    planes are literals);
+    *  - candidates meet ONLY inside a (table, bucket) group: the ids-only self-join is the single
+    *    shuffle, and the cross product never materializes;
+    *  - hot buckets above `maxBucket` members are dropped before pairing (a degenerate bucket —
+    *    e.g. the all-zeros region — would otherwise go quadratic);
+    *  - distinct candidate pairs re-attach vectors by id and are verified with exact cosine
+    *    ≥ `minCosX1e4`.
+    *
+    * `items` needs (id, vec) columns; returns (id_a, id_b, cos_x1e4), id_a < id_b.
+    */
+  def lshPairs(items: DataFrame, planes: Int, tables: Int, minCosX1e4: Long,
+      dims: Int = 64, maxBucket: Int = 1024): DataFrame = {
+    val checked = items.select(col("id"), col("vec"))
+      .withColumn("vec",
+        when(size(col("vec")) =!= dims, raise_error(concat(
+          lit(s"lshPairs: expected $dims-dim vectors, got "), size(col("vec")).cast("string"))))
+          .otherwise(col("vec")))
+    val sk = checked
+      .withColumn("sk", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("table"),
+          hyperplaneSketch(col("vec"), planes, dims, t).as("bucket"))): _*)))
+      .select(col("id"), col("sk.table"), col("sk.bucket")) // ids only past this point
+    val capped = sk
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("table"), col("bucket"))))
+      .filter(col("_bn") <= maxBucket)
+    val pairs = capped.select(col("id").as("id_a"), col("table"), col("bucket"))
+      .join(capped.select(col("id").as("id_b"), col("table"), col("bucket")), Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(checked.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(checked.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")) * 10000).cast("long").as("cos_x1e4"))
+      .filter(col("cos_x1e4") >= minCosX1e4)
+  }
 }

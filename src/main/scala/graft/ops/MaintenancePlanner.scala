@@ -141,7 +141,8 @@ object MaintenancePlanner {
       k: Int,
       threshold: Double,
       targetRecords: Long,
-      prev: Option[PlannerState]): (Seq[PlannedTask], PlannerState) = {
+      prev: Option[PlannerState],
+      onRun: (Set[Int], Int) => Unit = (_, _) => ()): (Seq[PlannedTask], PlannerState) = {
     import spark.implicits._
     val version = table.currentVersion()
     val metas = table.liveFiles()
@@ -167,7 +168,9 @@ object MaintenancePlanner {
     try {
       def runNodes(nodes: Set[Int], kPrime: Int): Map[Int, NodeResult] =
         if (nodes.isEmpty) Map.empty
-        else cells
+        else {
+          onRun(nodes, kPrime) // observability hook: which nodes actually recompute (specs/q35)
+          cells
           .flatMap(c => cfg.nodesForCell(c.x, c.y).filter(nodes.contains).map(n => (n, c)))
           .groupByKey(_._1)
           .mapGroups { (node, it) =>
@@ -175,6 +178,7 @@ object MaintenancePlanner {
             node -> RegionKernel.localTopK(it.map(_._2).toSeq, ax0, ax1, ay0, ay1, cfg.regionW, kPrime)
           }
           .collect().toMap
+        }
 
       val (winners, newState) = IncrementalTopK.solve(
         runNodes, allNodes, dirty, prev, version, k, overlapAllowed = false)

@@ -39,7 +39,8 @@ object MaintenanceRunner {
       cfg: GridConfig,
       opts: MaintenanceOptions,
       checkpoint: Checkpoint,
-      failpoint: String => Unit = _ => ()): CycleReport = {
+      failpoint: String => Unit = _ => (),
+      onPlannerRun: (Set[Int], Int) => Unit = (_, _) => ()): CycleReport = {
 
     val now = () => System.currentTimeMillis()
     val debugTiming = sys.env.contains("GRAFT_TIMING")
@@ -72,7 +73,8 @@ object MaintenanceRunner {
         val planned = timed("plan")(
           if (opts.incremental) {
             val (tasks, st) = MaintenancePlanner.planIncremental(spark, table, cfg,
-              opts.k, opts.threshold, opts.targetRecordsPerFile, checkpoint.loadPlannerState())
+              opts.k, opts.threshold, opts.targetRecordsPerFile, checkpoint.loadPlannerState(),
+              onPlannerRun)
             checkpoint.savePlannerState(st)
             tasks
           } else MaintenancePlanner.planCompaction(
