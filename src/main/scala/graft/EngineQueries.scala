@@ -256,6 +256,25 @@ object EngineQueries {
     PortableSeq.content(SeqIO.read(s, table))
   }
 
+  /** CSV sink + CSV source roundtrip (reference S5/S2 driver-green): a deterministic slice is
+    * exported as the reference's `;`-delimited-array CSV convention, ingested back through the
+    * CSV source into a fresh table, and read out — content must equal the slice exactly (the
+    * string-array-int roundtrip loses nothing).
+    */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val slice = PortableSeq.df(s, dir, reps).filter(pmod(col("docnum"), lit(10)) === 6)
+    val tmp = Files.createTempDirectory("graft-csvio-").toString
+    graft.sources.Ingest.export(
+      slice.select(col("doc_id"),
+        concat_ws(";", transform(col("tokens"), _.cast("string"))).as("tokens"),
+        col("source")),
+      s"$tmp/csv", "csv")
+    val table = SeqTable.create(s"$tmp/tbl")
+    graft.sources.Ingest.fromCsv(s, table, s"$tmp/csv")
+    PortableSeq.content(SeqIO.read(s, table))
+  }
+
   // ---------- DuckDB oracles ----------
 
   def oracleSql: Map[String, String] = {
@@ -270,6 +289,9 @@ object EngineQueries {
         s"""WITH port AS (${sql(reps)})
            |SELECT $contentColsSql FROM port
            |WHERE source = 'src0' AND n_tok BETWEEN 20 AND 30""".stripMargin,
+      "q36_csv_roundtrip" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT $contentColsSql FROM port WHERE docnum%10 = 6""".stripMargin,
       "q35_engine_incremental" ->
         s"""WITH port AS (${sql(reps)})
            |SELECT $contentColsSql FROM port
