@@ -173,9 +173,18 @@ object Bench {
       }
       val byLevel = results.groupBy(_._1).map { case (n, rs) => n -> rs.map(_._2).max }
       val (lo, hi) = (execPair.min, execPair.max)
+      // ADJACENT-leg efficiency per pass is the honest number on a drifting shared host: the two
+      // legs of one pass run back-to-back under comparable conditions, which is the entire reason
+      // the legs are interleaved — pairing bests across passes compares different host states
+      results.grouped(2).zipWithIndex.foreach {
+        case (Seq((l, tl), (h, th)), i) if l == lo && h == hi =>
+          println(f"[scaling] pass-${i + 1} efficiency ($lo→$hi executors, adjacent legs) = " +
+            f"${th / (hi.toDouble / lo) / tl}%.2f")
+        case _ => ()
+      }
       val eff = byLevel(hi) / (hi.toDouble / lo) / byLevel(lo)
       println(f"[scaling] best: $lo execs ${byLevel(lo)}%.0f seq/s, $hi execs ${byLevel(hi)}%.0f seq/s")
-      println(f"[scaling] efficiency ($lo→$hi executors, normalized /${hi / lo}) = $eff%.2f")
+      println(f"[scaling] efficiency ($lo→$hi executors, best-of-reps, normalized /${hi / lo}) = $eff%.2f")
       return
     }
 
