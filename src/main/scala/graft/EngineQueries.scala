@@ -275,6 +275,35 @@ object EngineQueries {
     PortableSeq.content(SeqIO.read(s, table))
   }
 
+  /** Resume-after-failure driver-green (north rule: "resumable from checkpoint with
+    * per-partition lineage"): per-task maintenance crashes via an injected failpoint AFTER the
+    * first task's commit; the restart must SKIP the committed task (exactly-once, proven by
+    * unique maintenance-task tags across snapshots), finish the cycle, and the final content must
+    * equal the untouched input — compaction under a crash/resume loses and duplicates nothing.
+    */
+  def resumeCycle(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("resume"), port, (n / 250).toInt.max(20))
+    val opts = MaintenanceOptions(k = 8, targetRecordsPerFile = targetFor(n), batchTasks = false)
+    val ckpt = new Checkpoint(s"${table.root}/state")
+    final case class Boom() extends RuntimeException("injected crash after task-0 commit")
+    val crashed =
+      try { MaintenanceRunner.runCycle(s, table, cfg, opts, ckpt,
+        failpoint = at => if (at == "task-0") throw Boom()); false }
+      catch { case _: Boom => true }
+    require(crashed, "failpoint did not fire — the crash premise is void")
+    require(table.currentVersion() >= 2, "task 0 must have committed before the crash")
+    val report = MaintenanceRunner.runCycle(s, table, cfg, opts, ckpt)
+    require(report.tasksSkippedOnResume >= 1,
+      s"resume re-ran the committed task (skipped=${report.tasksSkippedOnResume})")
+    val tags = table.snapshotVersions().map(table.snapshot)
+      .flatMap(_.summary.get("maintenance-task"))
+    require(tags.distinct.size == tags.size, s"double-applied tasks: $tags")
+    PortableSeq.content(SeqIO.read(s, table))
+  }
+
   // ---------- DuckDB oracles ----------
 
   def oracleSql: Map[String, String] = {
@@ -289,6 +318,7 @@ object EngineQueries {
         s"""WITH port AS (${sql(reps)})
            |SELECT $contentColsSql FROM port
            |WHERE source = 'src0' AND n_tok BETWEEN 20 AND 30""".stripMargin,
+      "q37_engine_resume" -> portContentSql(reps),
       "q36_csv_roundtrip" ->
         s"""WITH port AS (${sql(reps)})
            |SELECT $contentColsSql FROM port WHERE docnum%10 = 6""".stripMargin,

@@ -298,6 +298,7 @@ object SparkEntry {
     "q32_engine_merge_mor" -> ((s, dir) => EngineQueries.mergeMor(s, dir)),
     "q35_engine_incremental" -> ((s, dir) => EngineQueries.incrementalCycles(s, dir)),
     "q36_csv_roundtrip" -> ((s, dir) => EngineQueries.csvRoundtrip(s, dir)),
+    "q37_engine_resume" -> ((s, dir) => EngineQueries.resumeCycle(s, dir)),
 
     "q33_image_roundtrip" -> ((s, dir) => {
       // REAL codec roundtrip, fully SQL-oracled: deterministic pixels from the text chars →
