@@ -304,6 +304,34 @@ object EngineQueries {
     PortableSeq.content(SeqIO.read(s, table))
   }
 
+  /** JDBC source driver-green (reference S1 — its actual input path is Proteus over JDBC,
+    * `/root/reference/src/main/scala/SDL/main/main.java:19-46`): a deterministic slice is loaded
+    * into an in-memory Derby database (`;`-delimited token strings, the reference's
+    * string-as-array convention), ingested back through `spark.read.jdbc`, and content-verified
+    * against DuckDB computing the slice directly.
+    */
+  def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val slice = PortableSeq.df(s, dir, reps).filter(pmod(col("docnum"), lit(40)) === 0)
+    val url = s"jdbc:derby:memory:graftq38${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE seqs (doc_id VARCHAR(32), tokens VARCHAR(512), source VARCHAR(64))")
+      val ps = conn.prepareStatement("INSERT INTO seqs VALUES (?, ?, ?)")
+      slice.select(col("doc_id"),
+        concat_ws(";", transform(col("tokens"), _.cast("string"))).as("toks"), col("source"))
+        .collect().foreach { r =>
+          ps.setString(1, r.getString(0)); ps.setString(2, r.getString(1))
+          ps.setString(3, r.getString(2)); ps.addBatch()
+        }
+      ps.executeBatch()
+      val table = SeqTable.create(fresh("jdbc"))
+      graft.sources.Ingest.fromJdbc(s, table, url, "seqs")
+      PortableSeq.content(SeqIO.read(s, table))
+    } finally conn.close()
+  }
+
   // ---------- DuckDB oracles ----------
 
   def oracleSql: Map[String, String] = {
@@ -319,6 +347,9 @@ object EngineQueries {
            |SELECT $contentColsSql FROM port
            |WHERE source = 'src0' AND n_tok BETWEEN 20 AND 30""".stripMargin,
       "q37_engine_resume" -> portContentSql(reps),
+      "q38_jdbc_roundtrip" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT $contentColsSql FROM port WHERE docnum%40 = 0""".stripMargin,
       "q36_csv_roundtrip" ->
         s"""WITH port AS (${sql(reps)})
            |SELECT $contentColsSql FROM port WHERE docnum%10 = 6""".stripMargin,
