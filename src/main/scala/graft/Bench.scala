@@ -177,7 +177,9 @@ object Bench {
       // legs of one pass run back-to-back under comparable conditions, which is the entire reason
       // the legs are interleaved — pairing bests across passes compares different host states
       results.grouped(2).zipWithIndex.foreach {
-        case (Seq((l, tl), (h, th)), i) if l == lo && h == hi =>
+        case (Seq(a, b), i) if Set(a._1, b._1) == Set(lo, hi) => // either leg order within a pass
+          val tl = if (a._1 == lo) a._2 else b._2
+          val th = if (a._1 == hi) a._2 else b._2
           println(f"[scaling] pass-${i + 1} efficiency ($lo→$hi executors, adjacent legs) = " +
             f"${th / (hi.toDouble / lo) / tl}%.2f")
         case _ => ()
@@ -276,12 +278,16 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     queries.foreach { name =>
       val fn = SparkEntry.queries(name)
+      var ok = true
       val (_, sec) = time(try { fn(spark, sfDir).count(); () } catch {
         case e: Throwable =>
+          ok = false
           failed += name
           System.err.println(s"[bench] QUERY FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
       })
-      results += name -> sec
+      // a crashed query contributes NO timing row: its time-to-crash in the map (and the total)
+      // would read as a speedup to any tooling comparing runs
+      if (ok) results += name -> sec
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }.mkString("{", ",", "}")

@@ -329,7 +329,15 @@ object EngineQueries {
       val table = SeqTable.create(fresh("jdbc"))
       graft.sources.Ingest.fromJdbc(s, table, url, "seqs")
       PortableSeq.content(SeqIO.read(s, table))
-    } finally conn.close()
+    } finally {
+      conn.close()
+      // in-memory Derby DBs live in driver heap until explicitly dropped — repeated invocations
+      // in one session would otherwise accumulate the whole slice per run (drop signals success
+      // by THROWING 08006, hence the swallow)
+      try java.sql.DriverManager.getConnection(url.replace(";create=true", ";drop=true"))
+      catch { case _: java.sql.SQLException => () }
+      ()
+    }
   }
 
   // ---------- DuckDB oracles ----------

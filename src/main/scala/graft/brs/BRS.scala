@@ -179,7 +179,12 @@ object BRS {
       var cache = Map.empty[(Long, Int), GeoNodeResult]
       var done = false
       var round = 0
-      val maxTotalRounds = maxRounds + k
+      // budget: every round either completes, fixes ≥1 winner (≤ k such rounds), or grows K′
+      // (≤ log4(cap) such rounds before the cap) — so this bound is unreachable except in the
+      // cap-no-progress tie pathology, and the throw below cannot fire on a merely-deep query
+      val growthRounds =
+        (math.log(KPrimeCap.toDouble / math.max(k, 4)) / math.log(4)).ceil.toInt + 1
+      val maxTotalRounds = maxRounds + k + growthRounds
       while (!done && round < maxTotalRounds) {
         round += 1
         val (results, newCache) = runRound(kPrime, m, if (distinct) fixed else Vector.empty, cache)

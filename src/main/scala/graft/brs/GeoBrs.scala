@@ -172,6 +172,11 @@ object GeoBrsKernel {
   /** Greedy winner selection. `seed` = already-fixed winners from earlier rounds: they block
     * overlapping candidates (distinct mode) and re-emitted duplicates of themselves, but are not
     * re-emitted; up to `k` NEW winners are returned.
+    *
+    * Duplicate suppression matches on the ANCHOR (x, y), not the whole region: anchors are
+    * copied point coordinates and bit-exact across rounds, while a recomputed SCORE can drift in
+    * the last ulp (floating-point sums accumulate in shuffle order) — full-equality matching
+    * would let a fixed winner re-enter in overlap-allowed mode.
     */
   def greedySelect(sortedDesc: Iterator[GeoRegion], k: Int, overlapAllowed: Boolean,
       seed: Seq[GeoRegion] = Nil): Vector[GeoRegion] = {
@@ -180,7 +185,8 @@ object GeoBrsKernel {
     var n = 0
     while (n < k && sortedDesc.hasNext) {
       val r = sortedDesc.next()
-      val blocked = seed.exists(s => s == r || (!overlapAllowed && s.overlaps(r))) ||
+      val blocked = seed.exists(s =>
+        (s.x == r.x && s.y == r.y) || (!overlapAllowed && s.overlaps(r))) ||
         (!overlapAllowed && accepted.exists(_.overlaps(r)))
       if (!blocked) { res += r; accepted += r; n += 1 }
     }

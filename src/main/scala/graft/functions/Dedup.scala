@@ -142,14 +142,26 @@ object Dedup {
       minJaccardX1e4: Long, maxBucket: Int = 1024, portable: Boolean = false): DataFrame = {
     val (pairs, release) = minhashLshPairsWithHandle(df, k, bands, shingleN,
       minJaccardX1e4, maxBucket, portable)
-    // materialize the (small) verified-pairs result so the shingle-hash cache can be dropped
-    // right away — without this, every invocation in a long-lived session (bench/verify loops,
-    // repeated pipeline cycles) leaked a MEMORY_AND_DISK block set for the life of the session.
-    // The returned DataFrame is persisted and owned by the caller (unpersist() when done).
-    pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    // materialize the verified-pairs result so the shingle-hash cache can be dropped right away —
+    // without this, every invocation in a long-lived session (bench/verify loops, repeated
+    // pipeline cycles) leaked a MEMORY_AND_DISK block set for the life of the session
+    val cached = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
     release()
-    pairs
+    if (n <= SmallResultRows) {
+      // small result → hand back a LOCAL relation and drop every cached block: nothing for the
+      // caller to manage, zero session-lifetime footprint
+      val local = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(cached.collect(): _*), cached.schema)
+      cached.unpersist(blocking = false)
+      local
+    } else cached // big result: persisted, owned by the caller (unpersist() when done)
   }
+
+  /** Results at or below this row count are returned as driver-local relations (no lingering
+    * cache blocks); larger ones stay persisted and caller-owned.
+    */
+  val SmallResultRows: Long = 1L << 20
 
   /** [[minhashLshPairs]] without the eager materialization: returns the lazy pairs plan plus a
     * `release` thunk that unpersists the shingle-hash cache. Callers composing the pairs into a

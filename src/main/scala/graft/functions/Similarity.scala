@@ -45,6 +45,15 @@ object Similarity {
   private def litPlane(t: Int, p: Int, dims: Int): Column =
     array((0 until dims).map(d => lit(planeSign(t, p, d))): _*)
 
+  /** Fail loudly on an embedding-width mismatch: zip_with pads the shorter side with nulls, so a
+    * wrong `dims` would null the dot product, collapse every row into bucket 0 and silently turn
+    * the index into a full cross product.
+    */
+  private def checkedDims(op: String, vec: Column, dims: Int): Column =
+    when(size(vec) =!= dims, raise_error(concat(
+      lit(s"$op: expected $dims-dim vectors, got "), size(vec).cast("string"))))
+      .otherwise(vec)
+
   /** LSH bucket of `vec` for table `t`: bit p = sign of <vec, plane(t, p)>. */
   def hyperplaneSketch(vec: Column, planes: Int, dims: Int, t: Int = 0): Column =
     (0 until planes).map { p =>
@@ -61,13 +70,7 @@ object Similarity {
       dims: Int = 64): DataFrame = {
     def sketched(df: DataFrame, idName: String, vecName: String): DataFrame =
       df.select(col("id").as(idName), col("vec").as(vecName)) // rename first (no lateral aliases)
-        // fail loudly on a width mismatch: zip_with pads the shorter side with nulls, so a wrong
-        // `dims` would null the dot product, collapse every row into bucket 0 and silently turn
-        // the index into a full cross product
-        .withColumn(vecName,
-          when(size(col(vecName)) =!= dims, raise_error(concat(
-            lit(s"lshTopK: expected $dims-dim vectors, got "), size(col(vecName)).cast("string"))))
-            .otherwise(col(vecName)))
+        .withColumn(vecName, checkedDims("lshTopK", col(vecName), dims))
         .withColumn("sk", explode(array((0 until tables).map(t =>
           struct(lit(t).as("table"),
             hyperplaneSketch(col(vecName), planes, dims, t).as("bucket"))): _*)))
@@ -101,10 +104,7 @@ object Similarity {
   def lshPairs(items: DataFrame, planes: Int, tables: Int, minCosX1e4: Long,
       dims: Int = 64, maxBucket: Int = 1024): DataFrame = {
     val checked = items.select(col("id"), col("vec"))
-      .withColumn("vec",
-        when(size(col("vec")) =!= dims, raise_error(concat(
-          lit(s"lshPairs: expected $dims-dim vectors, got "), size(col("vec")).cast("string"))))
-          .otherwise(col("vec")))
+      .withColumn("vec", checkedDims("lshPairs", col("vec"), dims))
     val sk = checked
       .withColumn("sk", explode(array((0 until tables).map(t =>
         struct(lit(t).as("table"),

@@ -39,15 +39,18 @@ object MaterializeDeletes {
           col("key").between(col("min_doc"), col("max_doc")) && col("seq") > col("added"))
         .select("path").distinct().as[String].collect().toSet
       val rangeCandidates = live.filter(f => rangePaths.contains(f.path))
-      val nDelKeys = dels.count()
+      // ONE bounded scan decides both "how many keys" and the probe set (dels is an uncached
+      // multi-file text read — a separate count() plus a distinct-collect would re-read every
+      // delete manifest twice more)
+      val maxK = graft.table.DocBloom.PruneMaxKeys
+      val keyArr = dels.select("key").distinct().limit(maxK.toInt + 1).as[String].collect()
+      val probeBudgetOk = keyArr.length <= maxK &&
+        keyArr.length.toLong * rangeCandidates.size <= 200_000_000L
       val candidates =
-        if (nDelKeys > graft.table.DocBloom.PruneMaxKeys) rangeCandidates
-        else {
-          val keyArr = dels.select("key").distinct().as[String].collect()
-          // bloom absence proves the file holds no deleted key at all — sound to skip regardless
-          // of sequence numbers (the range+seq join above already handled ordering)
-          rangeCandidates.filter(f => graft.table.DocBloom.mayContainAny(f, keyArr))
-        }
+        if (!probeBudgetOk) rangeCandidates
+        // bloom absence proves the file holds no deleted key at all — sound to skip regardless
+        // of sequence numbers (the range+seq join above already handled ordering)
+        else rangeCandidates.filter(f => graft.table.DocBloom.mayContainAny(f, keyArr))
       val candidatePaths = candidates.map(_.path).toSet
 
       val added =

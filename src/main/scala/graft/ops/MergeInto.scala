@@ -71,6 +71,12 @@ object MergeInto {
     try {
       val keys = ch.select(col("c_doc_id")).distinct().persist()
       val nKeys = timed("materialize-changes")(keys.count()) // once; reused every attempt
+      // bloom-prune key set, collected ONCE (not per conflict-retry attempt); empty = disabled
+      val bloomKeys: Array[String] = {
+        import spark.implicits._
+        if (nKeys > graft.table.DocBloom.PruneMaxKeys) Array.empty
+        else keys.as[String].collect()
+      }
       var attempt = 0
       while (true) {
         attempt += 1
@@ -89,12 +95,13 @@ object MergeInto {
           .join(broadcast(keys), col("c_doc_id").between(col("min_doc"), col("max_doc")))
           .select("path").distinct().as[String].collect().toSet)
         val rangeAffected = live.filter(f => rangePaths.contains(f.path))
+        // probe budget: the driver-side test is keys × candidate-files in the worst case; above
+        // the ceiling the range prune stands alone (dense sets route to MoR regardless)
+        val probeBudgetOk =
+          bloomKeys.nonEmpty && bloomKeys.length.toLong * rangeAffected.size <= 200_000_000L
         val affected = timed("bloom-prune")(
-          if (nKeys > graft.table.DocBloom.PruneMaxKeys) rangeAffected
-          else {
-            val keyArr = keys.as[String].collect()
-            rangeAffected.filter(f => graft.table.DocBloom.mayContainAny(f, keyArr))
-          })
+          if (!probeBudgetOk) rangeAffected
+          else rangeAffected.filter(f => graft.table.DocBloom.mayContainAny(f, bloomKeys)))
         val affectedPaths = affected.map(_.path).toSet
 
         val liveRecords = live.map(_.records).sum
