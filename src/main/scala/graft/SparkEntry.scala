@@ -679,14 +679,18 @@ object SparkEntry {
 
     // the decoded-pixel features are predictable in pure SQL because PNG is lossless: the engine
     // must reproduce EXACTLY the char-derived bytes through a real encode→decode
+    // NOTE: every output column is cast to BIGINT — DuckDB types sum(int) as HUGEINT (int128)
+    // and bare 8 as INT32, both of which the driver's pandas-based hasher canonicalizes
+    // differently than Spark's int64. The char math assumes ASCII text (JVM code units on the
+    // Spark side vs DuckDB characters coincide only for ASCII; current testdata is ASCII-only).
     "q33_image_roundtrip" ->
-      """SELECT doc_id, 8 AS width, 8 AS height,
+      """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
         |  (SELECT sum(ord(substr(text, (j % length(text))::INT + 1, 1)) % 128)
-        |     FROM generate_series(0, 191) s(j)) AS px_sum,
+        |     FROM generate_series(0, 191) s(j))::BIGINT AS px_sum,
         |  (SELECT max(ord(substr(text, (j % length(text))::INT + 1, 1)) % 128)
-        |     FROM generate_series(0, 191) s(j)) AS px_max,
+        |     FROM generate_series(0, 191) s(j))::BIGINT AS px_max,
         |  (SELECT sum(ord(substr(text, (j % length(text))::INT + 1, 1)) % 128)
-        |     FROM generate_series(0, 189, 3) s(j)) AS r_sum
+        |     FROM generate_series(0, 189, 3) s(j))::BIGINT AS r_sum
         |FROM documents WHERE length(text) > 0""".stripMargin,
 
     // full algorithm oracle for the symmetric pair mode: twins → LCG planes → per-table buckets →

@@ -1,6 +1,6 @@
 package graft.brs
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Node geometry for continuous BRS: eps-sized cells, nodeSide×nodeSide cells per planner node.
@@ -41,6 +41,27 @@ object BRS {
     */
   val KPrimeCap: Int = 1 << 20
 
+  /** Hot-node split plan. The per-node replicated point counts stay on executors: at fine eps the
+    * occupied-node cardinality is data-dependent (can reach 10^8+ at the 10^12-point design
+    * scale), so the `count > budget` filter runs INSIDE the aggregation and the driver collects
+    * only the (few) hot nodes. The total key count — needed for the pre-merge decision — is a
+    * distributed `count()`, a scalar.
+    * @return (node → x-sub-strip count for nodes above budget, total (node, strip) key count)
+    */
+  private[brs] def hotNodeSplits(
+      pts: Dataset[Pt], grid: GeoGrid, hotNodeBudget: Int): (Map[Long, Int], Long) = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val counts = pts.flatMap(p => grid.nodesForPoint(p.x, p.y))
+      .groupBy("value").count().persist()
+    try {
+      val splits = counts.filter(col("count") > hotNodeBudget).as[(Long, Long)].collect()
+        .map { case (n, c) => n -> math.ceil(c.toDouble / hotNodeBudget).toInt }.toMap
+      val totalKeys = counts.count() + splits.values.map(_ - 1).sum
+      (splits, totalKeys)
+    } finally { counts.unpersist(); () }
+  }
+
   /** @param keywordFilters (column, accepted-values) pairs; a row passes when its `;`-separated
     *                       column intersects the accepted list (reference F2, `Run.scala:73-87`)
     * @param distinct       non-overlapping winners (the reference's dist=true)
@@ -49,6 +70,9 @@ object BRS {
     * @param premergeKeys   above this many (node, strip) keys, per-partition pre-merge bounds the
     *                       driver collect at (#partitions × m) candidates (reference P7 log-tree)
     * @return rank, center_lon, center_lat, score — the reference's output shape (S4)
+    * @note throws IllegalStateException instead of silently degrading when no greedy progress is
+    *       possible at the K′ cap (adversarial score-tie pathology) or when maxRounds is
+    *       exhausted — a loud failure, by design, not an unbounded-memory exact fallback
     */
   def bestRegions(
       df: DataFrame,
@@ -81,16 +105,11 @@ object BRS {
         .toDF("rank", "center_lon", "center_lat", "score")
     val grid = GeoGrid(bbox.getDouble(0), bbox.getDouble(1), eps, nodeSide)
 
-    // hot-node split plan: per-node point counts (metadata-sized collect), nodes above budget get
-    // ceil(count/budget) x-sub-strips — a dense node executes as MANY tasks with exact parity
-    // (anchors are partitioned by x; each strip's kernel sees its strip plus the eps halo)
-    val nodeCounts = pts.flatMap(p => grid.nodesForPoint(p.x, p.y))
-      .groupBy("value").count().as[(Long, Long)].collect().toMap
-    val splits: Map[Long, Int] = nodeCounts.collect {
-      case (n, c) if c > hotNodeBudget => n -> math.ceil(c.toDouble / hotNodeBudget).toInt
-    }
+    // hot-node split plan: nodes above budget get ceil(count/budget) x-sub-strips — a dense node
+    // executes as MANY tasks with exact parity (anchors are partitioned by x; each strip's kernel
+    // sees its strip plus the eps halo). Only hot nodes cross to the driver (see hotNodeSplits).
+    val (splits, nKeys) = hotNodeSplits(pts, grid, hotNodeBudget)
     val splitsB = spark.sparkContext.broadcast(splits)
-    val nKeys = nodeCounts.size + splits.values.map(_ - 1).sum
     val usePremerge = nKeys > premergeKeys
 
     // floor-consistent strip index: the SAME function keys points and owns anchors, so a float

@@ -77,10 +77,16 @@ object Similarity {
         .select(col(idName), col(vecName), col("sk.table"), col("sk.bucket"))
     val it = sketched(items, "neighbor_id", "vec")
     val qs = sketched(queries, "query_id", "qvec")
-    val cands = it.join(broadcast(qs), Seq("table", "bucket"))
+    // the candidate dedup shuffles (query_id, neighbor_id) ONLY — vectors re-attach by id after,
+    // exactly like lshPairs; dragging two float arrays through the distinct was pure shuffle width
+    val candIds = it.select("neighbor_id", "table", "bucket")
+      .join(broadcast(qs.select("query_id", "table", "bucket")), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("vec"), col("qvec"))
-      .distinct()
+      .select("query_id", "neighbor_id").distinct()
+    val cands = candIds
+      .join(items.select(col("id").as("neighbor_id"), col("vec")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"))),
+        Seq("query_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     cands.select(col("query_id"), col("neighbor_id"), cosine(col("vec"), col("qvec")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

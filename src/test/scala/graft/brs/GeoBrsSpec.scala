@@ -173,4 +173,28 @@ class GeoBrsSpec extends AnyFunSuite {
     assert(BRS.bestRegions(df, 1.0, 3,
       keywordFilters = Seq("kw" -> Seq("nope"))).count() === 0)
   }
+
+  test("hot-node pre-pass collects ONLY above-budget nodes; key count still exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // one dense node (400 points in a single eps-cell) + 300 scattered singletons
+    val dense = (1 to 400).map(_ => Pt(5.0 + rnd.nextDouble() * 0.5, 5.0 + rnd.nextDouble() * 0.5, 1.0))
+    val sparse = (1 to 300).map(_ => Pt(rnd.nextDouble() * 100, rnd.nextDouble() * 100, 1.0))
+    val all = dense ++ sparse
+    val minX = all.map(_.x).min; val minY = all.map(_.y).min
+    val grid = GeoGrid(minX, minY, eps = 1.0, nodeSide = 4)
+    val pts = spark.createDataset(all)
+
+    val (splits, totalKeys) = BRS.hotNodeSplits(pts, grid, hotNodeBudget = 100)
+
+    // local truth: full replicated per-node counts
+    val truth = all.flatMap(p => grid.nodesForPoint(p.x, p.y)).groupBy(identity)
+      .map { case (n, occ) => n -> occ.size.toLong }
+    val expectHot = truth.collect { case (n, c) if c > 100 =>
+      n -> math.ceil(c / 100.0).toInt }.toMap
+    assert(splits === expectHot)
+    assert(splits.nonEmpty && splits.size < truth.size,
+      "split plan must be a strict (hot-only) subset of occupied nodes")
+    assert(totalKeys === truth.size + expectHot.values.map(_ - 1).sum)
+  }
 }

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dims = 8
+
+  /** deterministic pseudo-random float vectors */
+  private def vec(id: Long): Array[Float] =
+    Array.tabulate(dims)(d => (((id * 31 + d * 17 + 7) % 19).toFloat - 9f) / 9f)
+
+  test("lshTopK: a positively-scaled twin shares every bucket and ranks first with cos=1") {
+    import spark.implicits._
+    val items = (0L until 40L).map(i => (i, vec(i))).toDF("id", "vec")
+    // query 1000+q is item q scaled by 2: same hyperplane signs in every table → always a
+    // candidate; cosine exactly 1 → must be rank 1
+    val queries = (0L until 3L).map(q => (1000L + q, vec(q).map(_ * 2f))).toDF("id", "vec")
+    val top = Similarity.lshTopK(items, queries, k = 3, planes = 4, tables = 6, dims = dims)
+      .filter(col("rank") === 1).collect()
+    assert(top.length === 3)
+    top.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") - 1000L)
+      assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9)
+    }
+  }
+
+  test("lshTopK candidate dedup shuffles ids only — no vector payload in any aggregate") {
+    import spark.implicits._
+    val items = (0L until 20L).map(i => (i, vec(i))).toDF("id", "vec")
+    val queries = (0L until 2L).map(q => (100L + q, vec(q))).toDF("id", "vec")
+    val plan = Similarity.lshTopK(items, queries, k = 2, planes = 4, tables = 2, dims = dims)
+      .queryExecution.executedPlan.toString
+    // the only aggregate in this plan is the candidate-pair distinct; its grouping keys (and
+    // therefore its exchange) must not carry the float arrays
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.nonEmpty, "expected the candidate distinct to plan as a HashAggregate")
+    aggLines.foreach(l => assert(!l.contains("vec"), s"vector payload in dedup aggregate: $l"))
+  }
+}

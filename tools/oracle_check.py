@@ -4,16 +4,21 @@ testdata parquet tables and compare (rows, columns-sorted-by-name, value hash) a
 engine's parquet dump from graft.Verify."""
 import sys, json, glob, hashlib
 import duckdb
+import numpy as np
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    """Canonicalize THROUGH PANDAS (like the driver), not Python str():
+    duckdb .df() maps HUGEINT -> float64, so an uncast sum(int) oracle renders '123.0'
+    while the engine's int64 renders '123' — a mismatch the old str() path silently hid."""
+    cols = sorted(df.columns, key=lambda c: c.lower())
     out = []
-    for r in rows:
+    for r in df[cols].itertuples(index=False):
         vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = repr(round(v, 9))
+        for v in r:
+            if isinstance(v, (float, np.floating)):
+                v = repr(round(float(v), 9))
+            elif isinstance(v, np.ndarray):
+                v = json.dumps(v.tolist())
             elif isinstance(v, (list, tuple)):
                 v = json.dumps(list(v))
             else:
@@ -32,12 +37,14 @@ def main(outdir, sfdir):
     ok = fail = 0
     for name in sorted(oracle):
         try:
-            want = con.sql(oracle[name])
-            wcols = [c.lower() for c in want.columns]
-            whash, wn = canon(want.fetchall(), wcols)
-            got = con.sql(f"select * from '{outdir}/{name}/*.parquet'")
-            gcols = [c.lower() for c in got.columns]
-            ghash, gn = canon(got.fetchall(), gcols)
+            wdf = con.sql(oracle[name]).df()
+            wdf.columns = [c.lower() for c in wdf.columns]
+            wcols = list(wdf.columns)
+            whash, wn = canon(wdf)
+            gdf = con.sql(f"select * from '{outdir}/{name}/*.parquet'").df()
+            gdf.columns = [c.lower() for c in gdf.columns]
+            gcols = list(gdf.columns)
+            ghash, gn = canon(gdf)
             if sorted(wcols) != sorted(gcols):
                 print(f"FAIL {name}: columns {sorted(gcols)} vs oracle {sorted(wcols)}"); fail += 1
             elif wn != gn:
