@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.SparkSession
 import graft.planner.{GridConfig, Region}
 import graft.state.{Checkpoint, StateEvent}
-import graft.table.SeqTable
+import graft.table.{FileMeta, SeqIO, SeqTable}
 
 final case class MaintenanceOptions(
     k: Int = 8, // max tasks per cycle
@@ -14,7 +14,11 @@ final case class MaintenanceOptions(
     rewriteManifests: Boolean = false,
     batchTasks: Boolean = true, // true: all tasks of a cycle in ONE job + commit (throughput);
                                 // false: one commit per task (finer isolation/lineage)
-    incremental: Boolean = false) // cache per-node planner results; re-run only dirtied nodes
+    incremental: Boolean = false, // cache per-node planner results; re-run only dirtied nodes
+    // above this many live files, planning runs fully distributed (manifest Dataset on executors,
+    // only winning tasks reach the driver) and new manifests are written as parquet so the
+    // executor-side manifest scan column-prunes the bloom payload. 0 = always distributed.
+    distributedPlanFiles: Int = 100000)
 
 final case class CycleReport(
     cycle: Long,
@@ -50,7 +54,17 @@ object MaintenanceRunner {
       if (debugTiming) println(f"[timing] $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
-    val metasByPath = timed("liveFiles")(table.liveFiles().map(f => f.path -> f).toMap)
+    // live-file COUNT without parsing manifests: every commit records it in the snapshot summary
+    val headSnap = table.currentSnapshot()
+    val liveCount = headSnap.summary.get("total-files").flatMap(_.toIntOption)
+      .getOrElse(table.liveFiles().size)
+    val useDistributed = !opts.incremental && liveCount > opts.distributedPlanFiles
+    // distributed path: the full manifest NEVER materializes on the driver — planning runs on
+    // the manifest Dataset, and metas are fetched per-claimed-path afterwards (task-sized)
+    if (useDistributed) table.manifestFormat = "parquet"
+    val metasByPath: Map[String, FileMeta] =
+      if (useDistributed) Map.empty
+      else timed("liveFiles")(table.liveFiles().map(f => f.path -> f).toMap)
 
     // ---- resume or plan ----
     val (cycle, baseVersion, tasks, alreadyDone) = checkpoint.openCycle() match {
@@ -69,7 +83,6 @@ object MaintenanceRunner {
       case None =>
         val cycle = checkpoint.lastCycle() + 1
         val base = table.currentVersion()
-        val metas = metasByPath.values.toSeq
         val planned = timed("plan")(
           if (opts.incremental) {
             val (tasks, st) = MaintenancePlanner.planIncremental(spark, table, cfg,
@@ -77,10 +90,13 @@ object MaintenanceRunner {
               onPlannerRun)
             checkpoint.savePlannerState(st)
             tasks
-          } else MaintenancePlanner.planCompaction(
-            spark, metas, cfg, opts.k, opts.threshold, opts.targetRecordsPerFile))
+          } else if (useDistributed) MaintenancePlanner.planCompactionDistributed(
+            spark, SeqIO.fileMetaDS(spark, table, narrow = true), cfg,
+            opts.k, opts.threshold, opts.targetRecordsPerFile)
+          else MaintenancePlanner.planCompaction(
+            spark, metasByPath.values.toSeq, cfg, opts.k, opts.threshold, opts.targetRecordsPerFile))
         checkpoint.append(StateEvent("CYCLE_START", cycle, -1, base, -1, Nil, Nil,
-          Map("live-files" -> metas.size.toString), now()))
+          Map("live-files" -> liveCount.toString), now()))
         planned.foreach { t =>
           checkpoint.append(StateEvent("TASK_PLANNED", cycle, t.taskId, base, -1,
             Seq(t.region.x, t.region.y, t.region.w), t.filePaths,
@@ -91,7 +107,20 @@ object MaintenanceRunner {
     failpoint("planned")
 
     // ---- execute ----
-    val filesBefore = metasByPath.size
+    // the execution lookup only ever resolves CLAIMED paths — on the distributed path those are
+    // fetched with a broadcast-filtered manifest scan (task-sized result), never the full listing
+    val claimedMetas: Map[String, FileMeta] =
+      if (!useDistributed) metasByPath
+      else {
+        val paths = tasks.flatMap(_.filePaths).toSet
+        if (paths.isEmpty) Map.empty
+        else {
+          val pb = spark.sparkContext.broadcast(paths)
+          SeqIO.fileMetaDS(spark, table).filter(f => pb.value.contains(f.path))
+            .collect().map(f => f.path -> f).toMap
+        }
+      }
+    val filesBefore = liveCount
     var executed = 0
     var skipped = 0
     var recordsRewritten = 0L
@@ -101,7 +130,7 @@ object MaintenanceRunner {
     if (opts.batchTasks && pending.nonEmpty) {
       // one clustered rewrite job + one commit for the whole cycle: tasks are file-disjoint by
       // construction, so batching them changes layout granularity only, never row content
-      val files = pending.flatMap(_.filePaths).distinct.flatMap(metasByPath.get)
+      val files = pending.flatMap(_.filePaths).distinct.flatMap(claimedMetas.get)
       if (files.nonEmpty) {
         val snap = timed(s"batch-rewrite(${files.size}f)")(
           Rewrite.compactFiles(spark, table, files, cfg, opts.targetRecordsPerFile,
@@ -116,7 +145,7 @@ object MaintenanceRunner {
       } else skipped += pending.size
       failpoint("batch")
     } else pending.foreach { t =>
-      val files = t.filePaths.flatMap(metasByPath.get) // files may be gone if replanned; skip those
+      val files = t.filePaths.flatMap(claimedMetas.get) // files may be gone if replanned; skip those
       if (files.nonEmpty) {
         val snap = Rewrite.compactFiles(spark, table, files, cfg, opts.targetRecordsPerFile,
           Map("maintenance-task" -> s"$cycle/${t.taskId}"), opts.hilbert)
@@ -134,7 +163,13 @@ object MaintenanceRunner {
     if (opts.expireKeepLast > 0) table.expireSnapshots(opts.expireKeepLast)
     failpoint("housekeeping")
 
-    val filesAfter = table.liveFiles().size
+    // post-cycle file count from the new head's summary (a manifest parse at 10^7 files is
+    // exactly what the distributed path exists to avoid); summaries are written by every commit
+    val filesAfter =
+      if (useDistributed)
+        table.currentSnapshot().summary.get("total-files").flatMap(_.toIntOption)
+          .getOrElse(table.liveFiles().size)
+      else table.liveFiles().size
     checkpoint.append(StateEvent("CYCLE_END", cycle, -1, baseVersion, table.currentVersion(), Nil, Nil,
       Map("files-before" -> filesBefore.toString, "files-after" -> filesAfter.toString,
         "records-rewritten" -> recordsRewritten.toString), now()))

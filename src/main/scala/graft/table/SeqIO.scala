@@ -217,15 +217,30 @@ object SeqIO {
 
   /** The live manifest as a distributed Dataset — the planner's input at 10^12-sequence scale
     * (~10^7 manifest rows): metadata is scanned by executors, never materialized on the driver.
+    * Handles mixed jsonl/parquet manifest carriers (see [[SeqTable.manifestFormat]]).
+    *
+    * @param narrow drop the docBloom payload (the dominant manifest bytes, ~13 KB/file) — on
+    *               parquet manifests the column is never read at all (columnar pruning); the
+    *               planner needs only layout stats, so this is the planning-path default
     */
-  def fileMetaDS(spark: SparkSession, table: SeqTable): org.apache.spark.sql.Dataset[FileMeta] = {
+  def fileMetaDS(spark: SparkSession, table: SeqTable,
+      narrow: Boolean = false): org.apache.spark.sql.Dataset[FileMeta] = {
     import spark.implicits._
     val snap = table.currentSnapshot()
-    if (snap.manifests.isEmpty) spark.emptyDataset[FileMeta]
-    else {
-      val paths = snap.manifests.map(m => java.nio.file.Paths.get(table.root, "metadata", m).toString)
-      spark.read.schema(SeqSchema.fileMetaSchema).json(paths: _*).as[FileMeta]
-    }
+    def abs(m: String) = java.nio.file.Paths.get(table.root, "metadata", m).toString
+    val (pq, jl) = snap.manifests.partition(_.endsWith(".parquet"))
+    val schema =
+      if (narrow) org.apache.spark.sql.types.StructType(
+        SeqSchema.fileMetaSchema.filterNot(_.name == "docBloom"))
+      else SeqSchema.fileMetaSchema
+    def widen(df: DataFrame): DataFrame =
+      if (narrow) df.withColumn("docBloom", lit(null).cast("string")) else df
+    val parts = Seq(
+      if (jl.nonEmpty) Some(widen(spark.read.schema(schema).json(jl.map(abs): _*))) else None,
+      if (pq.nonEmpty) Some(widen(spark.read.schema(schema).parquet(pq.map(abs): _*))) else None
+    ).flatten
+    if (parts.isEmpty) spark.emptyDataset[FileMeta]
+    else parts.reduce(_ unionByName _).as[FileMeta]
   }
 
   final case class ScanStats(filesScanned: Int, totalFiles: Int, recordsScanned: Long)

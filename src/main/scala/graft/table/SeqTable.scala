@@ -88,6 +88,29 @@ final class SeqTable(val root: String) {
   private def metaDir: Path = Paths.get(root, "metadata")
   def dataDir: Path = Paths.get(root, "data")
 
+  /** Manifest carrier format for NEW manifests: `"jsonl"` (default; driver-parseable with no
+    * Spark job) or `"parquet"` (the 10^7-file distributed-planner path: the planner's manifest
+    * scan runs on executors with column pruning, so the ~13 KB/file docBloom payload is never
+    * read during planning — see [[DocBloom]]). Both formats stay readable forever; the format
+    * only governs what the next commit writes.
+    */
+  @volatile var manifestFormat: String = "jsonl"
+
+  // Manifests are IMMUTABLE once written (UUID names, never rewritten in place), so their parsed
+  // content is cached: a maintenance cycle calls liveFiles() 2–3× and commit() re-reads every
+  // base manifest on rebase — at 10^7 files that re-parse was the driver bottleneck. The cache is
+  // populated on write too, so a cycle never re-reads its own output. Bounded by entry count;
+  // on overflow the whole cache drops (correct — entries are pure reads).
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[FileMeta]]()
+  private val MaxCachedManifests = 4096
+  /** actual manifest-file parses (cache misses) — observability for specs */
+  private[table] val manifestFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def cacheManifest(name: String, metas: Seq[FileMeta]): Unit = {
+    if (manifestCache.size >= MaxCachedManifests) manifestCache.clear()
+    manifestCache.put(name, metas); ()
+  }
+
   // ---------- snapshot access ----------
 
   def currentVersion(): Long = {
@@ -112,9 +135,27 @@ final class SeqTable(val root: String) {
 
   // ---------- manifests ----------
 
-  def readManifest(rel: String): Seq[FileMeta] =
-    Files.readAllLines(metaDir.resolve(rel)).asScala.iterator
-      .filter(_.nonEmpty).map(Serialization.read[FileMeta]).toSeq
+  def readManifest(rel: String): Seq[FileMeta] = {
+    val cached = manifestCache.get(rel)
+    if (cached != null) cached
+    else {
+      manifestFileReads.incrementAndGet()
+      val metas =
+        if (rel.endsWith(".parquet")) {
+          // parquet manifests are written/read through Spark (always active in engine use);
+          // driver-side reads of one manifest are rare thanks to the cache — the hot consumer is
+          // the executor-side fileMetaDS scan
+          val spark = org.apache.spark.sql.SparkSession.active
+          import spark.implicits._
+          spark.read.schema(SeqSchema.fileMetaSchema)
+            .parquet(metaDir.resolve(rel).toString).as[FileMeta].collect().toSeq
+        } else
+          Files.readAllLines(metaDir.resolve(rel)).asScala.iterator
+            .filter(_.nonEmpty).map(Serialization.read[FileMeta]).toSeq
+      cacheManifest(rel, metas)
+      metas
+    }
+  }
 
   /** Equality-delete manifest: one doc_id per line; the sequence number (commit version the
     * deletes belong to) is encoded in the filename — a delete applies to rows of data files with
@@ -133,9 +174,30 @@ final class SeqTable(val root: String) {
   def deleteManifestPath(name: String): String = metaDir.resolve(name).toString
 
   def writeManifest(metas: Seq[FileMeta]): String = {
-    val name = s"manifest-${java.util.UUID.randomUUID()}.jsonl"
-    val lines = metas.map(Serialization.write(_)).mkString("", "\n", "\n")
-    Files.writeString(metaDir.resolve(name), lines)
+    val name =
+      if (manifestFormat == "parquet") {
+        val n = s"manifest-${java.util.UUID.randomUUID()}.parquet"
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        val tmp = Files.createTempDirectory(metaDir, ".tmp-manifest")
+        try {
+          spark.createDataset(metas).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = SeqTable.listDir(tmp)
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error("parquet manifest write produced no part file"))
+          Files.move(part, metaDir.resolve(n))
+        } finally {
+          SeqTable.listDir(tmp).foreach(Files.deleteIfExists)
+          Files.deleteIfExists(tmp); ()
+        }
+        n
+      } else {
+        val n = s"manifest-${java.util.UUID.randomUUID()}.jsonl"
+        val lines = metas.map(Serialization.write(_)).mkString("", "\n", "\n")
+        Files.writeString(metaDir.resolve(n), lines)
+        n
+      }
+    cacheManifest(name, metas)
     name
   }
 
@@ -276,7 +338,7 @@ final class SeqTable(val root: String) {
       s.deleteManifests.foreach { d => if (!liveDeleteManifests.contains(d)) deadManifests += d }
     }
     deadFiles.foreach(p => Files.deleteIfExists(Paths.get(root).resolve(p)))
-    deadManifests.foreach(m => Files.deleteIfExists(metaDir.resolve(m)))
+    deadManifests.foreach { m => Files.deleteIfExists(metaDir.resolve(m)); manifestCache.remove(m) }
     expired.foreach(v => Files.deleteIfExists(metaDir.resolve(s"v$v.json")))
     (expired, deadFiles.toSeq)
   }
@@ -334,6 +396,7 @@ final class SeqTable(val root: String) {
       } catch {
         case _: FileAlreadyExistsException =>
           Files.deleteIfExists(metaDir.resolve(m))
+          manifestCache.remove(m)
           attempt += 1
           if (attempt > maxRetries)
             throw new CommitConflictException(

@@ -116,4 +116,31 @@ class SeqTableSpec extends AnyFunSuite {
     newMetas.foreach(m => assert(Files.exists(java.nio.file.Paths.get(t.absolutePath(m)))))
     assert(SeqIO.read(spark, t).count() === 300)
   }
+
+  test("manifest cache: repeated liveFiles() and a rebasing commit parse each manifest at most once") {
+    val root = fresh()
+    val t = SeqTable.create(root)
+    val metas = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 600, parts = 3))
+    t.commit("append", metas, Set.empty)
+
+    // a freshly-loaded instance (cold cache) parses each manifest once, then never again
+    val t2 = SeqTable.load(root)
+    val live1 = t2.liveFiles()
+    val afterFirst = t2.manifestFileReads.get()
+    assert(afterFirst === t2.currentSnapshot().manifests.size.toLong)
+    val live2 = t2.liveFiles()
+    val live3 = t2.liveFiles()
+    assert(t2.manifestFileReads.get() === afterFirst, "second/third liveFiles must be cache hits")
+    assert(live1 === live2 && live2 === live3)
+
+    // the WRITING instance cached its own manifest at write time: zero parses ever
+    assert(t.manifestFileReads.get() === 0L)
+    assert(t.liveFiles() === live1)
+    assert(t.manifestFileReads.get() === 0L)
+
+    // a follow-up commit (which re-reads base manifests to rebase) is also fully cached on t
+    val more = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 100, parts = 1))
+    t.commit("append", more, Set.empty)
+    assert(t.manifestFileReads.get() === 0L, "rebase must reuse cached manifest content")
+  }
 }
