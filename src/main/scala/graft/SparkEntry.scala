@@ -325,6 +325,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q40_audio_roundtrip" -> ((s, dir) => {
+      // REAL audio codec roundtrip, fully SQL-oracled (the q33 pattern): deterministic 16-bit PCM
+      // samples from the text chars → javax.sound.sampled WAV ENCODE → WAV DECODE (real codec
+      // both ways; PCM WAV is lossless so decoded samples must equal the synthesized ones) →
+      // scalar sample features DuckDB predicts from the same char function without any codec.
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .filter(_._2.nonEmpty)
+        .mapPartitions(_.map { case (id, text) =>
+          val samples = Array.tabulate(64)(j =>
+            ((text.charAt(j % text.length) & 0x7f) * 100 - 6000).toShort)
+          val wav = graft.multimodal.Multimodal.encodeWav(8000, 1, samples)
+          val clip = graft.multimodal.Multimodal.decodeWavBytes(id, wav)
+            .getOrElse(sys.error(s"WAV roundtrip failed for doc $id"))
+          val vals = clip.samples.map(_.toLong)
+          (id, clip.sampleRate.toLong, clip.channels.toLong, vals.length.toLong,
+            vals.sum, vals.max, (0 until vals.length by 3).map(vals(_)).sum)
+        })
+        .toDF("doc_id", "sample_rate", "channels", "n_samples", "s_sum", "s_max", "s3_sum")
+        .orderBy("doc_id")
+    }),
+
+    "q39_brs_points_approx" -> ((s, dir) => {
+      // σ-approximate continuous BRS (reference algo 8 on raw points): overlapping winners
+      // admitted within σ of every accepted region they overlap
+      val pts = t(s, dir, "embeddings").select(
+        element_at(col("embedding"), 1).cast("double").as("lon"),
+        element_at(col("embedding"), 2).cast("double").as("lat"),
+        lit(1.0).as("f"))
+      graft.brs.BRS.bestRegions(pts, eps = 0.05, k = 5, scoreCol = Some("f"), distinct = true,
+        sigma = Some(0.7))
+        .select(col("rank").cast("long"),
+          round(col("center_lon") * 10000).cast("long").as("clon_x1e4"),
+          round(col("center_lat") * 10000).cast("long").as("clat_x1e4"),
+          col("score").cast("long").as("score"))
+    }),
+
     "q34_ann_pairs" -> ((s, dir) => {
       // item×item embedding near-dup pairs (symmetric bucketed self-join — no broadcastable query
       // side). 20% deterministic scaled twins by construction; the per-dim scale factor is plain
@@ -424,15 +462,21 @@ object SparkEntry {
   }.mkString("(", " + ", ")")
 
   /** Brute-force continuous BRS (mirrors GeoBrsKernel.bruteForce): canonical anchors = (xi, yj)
-    * over point coordinates with the left-edge point covered; greedy non-overlapping top-k.
+    * over point coordinates with the left-edge point covered; greedy top-k, strictly
+    * non-overlapping (sigma = None) or σ-relaxed (overlap admitted when score ≥ σ × each
+    * overlapped pick, the q29 pattern).
     */
-  private def brsBruteForceSql(eps: Double, k: Int): String = {
+  private def brsBruteForceSql(eps: Double, k: Int, sigma: Option[Double] = None): String = {
     def ov(p: String) = s"(abs(r.ax - $p.ax) < $eps AND abs(r.ay - $p.ay) < $eps)"
+    def cond(p: String) = sigma match {
+      case None => s"NOT ${ov(p)}"
+      case Some(sg) => s"(NOT ${ov(p)} OR r.score >= $sg * $p.score)"
+    }
     val picks = (1 to k).map { i =>
       if (i == 1) "p1 AS (SELECT * FROM r ORDER BY rn LIMIT 1)"
       else {
         val prev = (1 until i).map(j => s"p$j").mkString(", ")
-        val conds = (1 until i).map(j => s"NOT ${ov(s"p$j")}").mkString(" AND ")
+        val conds = (1 until i).map(j => cond(s"p$j")).mkString(" AND ")
         s"p$i AS (SELECT r.* FROM r, $prev WHERE r.rn > p${i - 1}.rn AND $conds ORDER BY r.rn LIMIT 1)"
       }
     }.mkString(",\n")
@@ -617,6 +661,21 @@ object SparkEntry {
     "q24_multimodal_features" -> multimodalSql,
 
     "q31_brs_points_exact" -> brsBruteForceSql(eps = 0.05, k = 5),
+
+    "q39_brs_points_approx" -> brsBruteForceSql(eps = 0.05, k = 5, sigma = Some(0.7)),
+
+    // q33's pattern for audio: PCM WAV is lossless, so the decoded-sample features are pure char
+    // math in SQL. Every output column ::BIGINT-cast (DuckDB sum(int) is HUGEINT — see q33), and
+    // the char math assumes ASCII text (same caveat as q33).
+    "q40_audio_roundtrip" ->
+      """SELECT doc_id, 8000::BIGINT AS sample_rate, 1::BIGINT AS channels, 64::BIGINT AS n_samples,
+        |  (SELECT sum((ord(substr(text, (j % length(text))::INT + 1, 1)) % 128) * 100 - 6000)
+        |     FROM generate_series(0, 63) s(j))::BIGINT AS s_sum,
+        |  (SELECT max((ord(substr(text, (j % length(text))::INT + 1, 1)) % 128) * 100 - 6000)
+        |     FROM generate_series(0, 63) s(j))::BIGINT AS s_max,
+        |  (SELECT sum((ord(substr(text, (j % length(text))::INT + 1, 1)) % 128) * 100 - 6000)
+        |     FROM generate_series(0, 63, 3) s(j))::BIGINT AS s3_sum
+        |FROM documents WHERE length(text) > 0""".stripMargin,
 
     // full algorithm oracle: portable md5 minhash family → signatures, band buckets, hot-bucket
     // cap, distinct pairs, exact-jaccard verification — every stage recomputed in SQL

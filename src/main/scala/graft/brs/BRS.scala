@@ -69,6 +69,11 @@ object BRS {
     *                       its own task: a dense node is no longer ONE sequential task
     * @param premergeKeys   above this many (node, strip) keys, per-partition pre-merge bounds the
     *                       driver collect at (#partitions × m) candidates (reference P7 log-tree)
+    * @param sigma          σ-approximate mode (reference algo 8, `NstepAlgoApp.scala:25-83`): in
+    *                       distinct mode, an overlapping winner is still accepted when its score
+    *                       ≥ σ × every accepted region it overlaps. Fixed-winner kernel
+    *                       exclusions are disabled under σ (an overlapping candidate may still be
+    *                       admissible); rounds progress via K′ growth alone.
     * @return rank, center_lon, center_lat, score — the reference's output shape (S4)
     * @note throws IllegalStateException instead of silently degrading when no greedy progress is
     *       possible at the K′ cap (adversarial score-tie pathology) or when maxRounds is
@@ -86,7 +91,8 @@ object BRS {
       nodeSide: Int = 8,
       maxRounds: Int = 8,
       hotNodeBudget: Int = 200000,
-      premergeKeys: Int = 4096): DataFrame = {
+      premergeKeys: Int = 4096,
+      sigma: Option[Double] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -206,9 +212,10 @@ object BRS {
       val maxTotalRounds = maxRounds + k + growthRounds
       while (!done && round < maxTotalRounds) {
         round += 1
-        val (results, newCache) = runRound(kPrime, m, if (distinct) fixed else Vector.empty, cache)
-        val (acc, complete) =
-          GeoBrsKernel.mergeTopK(results, k - fixed.size, overlapAllowed = !distinct, seed = fixed)
+        val (results, newCache) =
+          runRound(kPrime, m, if (distinct && sigma.isEmpty) fixed else Vector.empty, cache)
+        val (acc, complete) = GeoBrsKernel.mergeTopK(
+          results, k - fixed.size, overlapAllowed = !distinct, seed = fixed, sigma = sigma)
         fixed = fixed ++ acc
         done = complete || fixed.size >= k
         if (!usePremerge) cache = newCache.filter(_._2.exhausted)

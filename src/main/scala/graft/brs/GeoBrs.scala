@@ -178,30 +178,40 @@ object GeoBrsKernel {
     * the last ulp (floating-point sums accumulate in shuffle order) — full-equality matching
     * would let a fixed winner re-enter in overlap-allowed mode.
     */
+  /** @param sigma σ-approximate mode (reference algo 8 on raw points, `NstepAlgoApp.scala:25-83`
+    *              dispatched at `Run.scala:127-138`): an overlapping candidate is still accepted
+    *              when its score ≥ σ × EVERY accepted region it overlaps — the continuous twin of
+    *              [[graft.planner.RegionKernel.greedySelect]]'s sigma. None = strict non-overlap.
+    */
   def greedySelect(sortedDesc: Iterator[GeoRegion], k: Int, overlapAllowed: Boolean,
-      seed: Seq[GeoRegion] = Nil): Vector[GeoRegion] = {
+      seed: Seq[GeoRegion] = Nil, sigma: Option[Double] = None): Vector[GeoRegion] = {
     val accepted = scala.collection.mutable.ArrayBuffer.empty[GeoRegion]
     val res = Vector.newBuilder[GeoRegion]
     var n = 0
     while (n < k && sortedDesc.hasNext) {
       val r = sortedDesc.next()
-      val blocked = seed.exists(s =>
-        (s.x == r.x && s.y == r.y) || (!overlapAllowed && s.overlaps(r))) ||
-        (!overlapAllowed && accepted.exists(_.overlaps(r)))
-      if (!blocked) { res += r; accepted += r; n += 1 }
+      // anchor-identity duplicate suppression vs fixed winners is ABSOLUTE (σ must not readmit a
+      // winner's own re-emission: it trivially satisfies its own σ condition)
+      val dup = seed.exists(s => s.x == r.x && s.y == r.y)
+      val ok = !dup && (overlapAllowed || {
+        val overlapping = (seed.iterator ++ accepted.iterator).filter(_.overlaps(r)).toSeq
+        overlapping.isEmpty || sigma.exists(sg => overlapping.forall(a => r.score >= sg * a.score))
+      })
+      if (ok) { res += r; accepted += r; n += 1 }
     }
     res.result()
   }
 
   /** maxMin-thresholded merge — same argument as the discrete planner's. */
   def mergeTopK(perNode: Seq[GeoNodeResult], k: Int, overlapAllowed: Boolean,
-      seed: Vector[GeoRegion] = Vector.empty): (Vector[GeoRegion], Boolean) = {
+      seed: Vector[GeoRegion] = Vector.empty,
+      sigma: Option[Double] = None): (Vector[GeoRegion], Boolean) = {
     val truncatedAt = perNode.iterator.filter(n => !n.exhausted).map(_.minEmitted).toSeq
     val union = perNode.flatMap(_.candidates).sorted(GeoRegionOrdering).distinct
     val safe =
       if (truncatedAt.isEmpty) union
       else union.takeWhile(_.score > truncatedAt.max)
-    val accepted = greedySelect(safe.iterator, k, overlapAllowed, seed)
+    val accepted = greedySelect(safe.iterator, k, overlapAllowed, seed, sigma)
     (accepted, accepted.size >= k || truncatedAt.isEmpty)
   }
 
@@ -241,7 +251,8 @@ object GeoBrsKernel {
     * are themselves covered; this is also exactly what border replication can guarantee to
     * deliver to the owning node (covered points live within the region's ≤2×2 cell footprint).
     */
-  def bruteForce(pts: Seq[Pt], eps: Double, k: Int, overlapAllowed: Boolean): Vector[GeoRegion] = {
+  def bruteForce(pts: Seq[Pt], eps: Double, k: Int, overlapAllowed: Boolean,
+      sigma: Option[Double] = None): Vector[GeoRegion] = {
     val regions = for {
       xi <- pts.map(_.x).distinct
       active = pts.filter(p => p.x >= xi && p.x <= xi + eps)
@@ -251,6 +262,7 @@ object GeoBrsKernel {
       s = covered.map(_.w).sum
       if s > 0
     } yield GeoRegion(xi, yj, eps, s)
-    greedySelect(regions.sorted(GeoRegionOrdering).distinct.iterator, k, overlapAllowed)
+    greedySelect(regions.sorted(GeoRegionOrdering).distinct.iterator, k, overlapAllowed,
+      sigma = sigma)
   }
 }

@@ -21,15 +21,19 @@ final case class Frame(
     channels: Int,
     pixels: Array[Byte])
 
+/** Decoded audio: 16-bit signed PCM samples (interleaved when multi-channel). */
+final case class AudioClip(id: Long, sampleRate: Int, channels: Int, samples: Array[Short])
+
 /** Multimodal plumbing for training-data pipelines.
   *
-  * IMAGE decode is REAL: `javax.imageio` ships in the JDK (PNG/BMP/JPEG/GIF), so image payloads
-  * are actually decoded to RGB pixel frames. AUDIO/VIDEO decoders remain STUBS (their codecs are
-  * not in this container) implemented as deterministic pseudo-decodes, so the Spark-side contract
-  * stays real and testable for every kind: schemas, `mapPartitions` batching (one decoder init
-  * per partition, the JVM analog of a Pandas `mapInPandas` UDF), partition sizing, and the
-  * feature-extraction shapes downstream ops consume. Corrupt/undecodable image payloads emit no
-  * frame (at 10^12-row scale corrupt media is routine; a throwing decoder would kill the stage).
+  * IMAGE decode is REAL (`javax.imageio`: PNG/BMP/JPEG/GIF) and AUDIO decode is REAL
+  * (`javax.sound.sampled`: WAV/AU/AIFF PCM — also in-JDK). VIDEO is the one remaining STUB (no
+  * video codec ships in the JDK or this container), implemented as a deterministic pseudo-decode
+  * so the Spark-side contract stays real and testable for every kind: schemas, `mapPartitions`
+  * batching (one decoder init per partition, the JVM analog of a Pandas `mapInPandas` UDF),
+  * partition sizing, and the feature-extraction shapes downstream ops consume.
+  * Corrupt/undecodable image/audio payloads emit no frame (at 10^12-row scale corrupt media is
+  * routine; a throwing decoder would kill the stage).
   */
 object Multimodal {
 
@@ -78,9 +82,56 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Decode one audio payload (WAV/AU/AIFF — any format `javax.sound.sampled` recognizes) to
+    * 16-bit signed PCM, preserving sample rate and channel count (non-16-bit / big-endian /
+    * float sources are converted through the JDK's codec chain). None on undecodable bytes.
+    */
+  def decodeWavBytes(id: Long, bytes: Array[Byte]): Option[AudioClip] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val base = in.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        base.getSampleRate, 16, base.getChannels, base.getChannels * 2, base.getSampleRate,
+        /* bigEndian = */ false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+      val raw = pcm.readAllBytes()
+      val samples = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < samples.length) {
+        samples(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      Some(AudioClip(id, target.getSampleRate.toInt, target.getChannels, samples))
+    } catch { case _: Exception => None }
+
+  /** Encode 16-bit PCM samples as a WAV payload (lossless — decodeWav(encodeWav(s)) == s). */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(samples.length % channels == 0, "sample count must be a multiple of channels")
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, channels,
+      /* signed = */ true, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, (samples.length / channels).toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Frame decoder, routed by `kind`:
     *  - `image` → REAL javax.imageio decode, one RGB frame per payload (undecodable → 0 frames);
-    *  - `audio`/`video` → STUB pseudo-decode, `frameCount` deterministic frames per payload.
+    *  - `audio` → REAL javax.sound.sampled decode to 16-bit PCM, windowed into up to
+    *    `frameCount` equal sample windows: width = window length in samples, height = 1,
+    *    channels = audio channels, pixels = little-endian PCM bytes (undecodable → 0 frames);
+    *  - `video` → STUB pseudo-decode (no JDK video codec), `frameCount` deterministic frames.
     */
   def decodeFrames(ds: Dataset[MediaRow], frameCount: Int = 4): Dataset[Frame] = {
     import ds.sparkSession.implicits._
@@ -90,7 +141,21 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap {
         case m if m.kind == "image" => decodeImageBytes(m.id, m.payload).iterator
-        case m => // audio/video pseudo-decode (STUB, codecs absent here)
+        case m if m.kind == "audio" =>
+          decodeWavBytes(m.id, m.payload).iterator.flatMap { clip =>
+            val per = math.max(1, (clip.samples.length + frameCount - 1) / math.max(1, frameCount))
+            clip.samples.grouped(per).zipWithIndex.map { case (w, i) =>
+              val b = new Array[Byte](w.length * 2)
+              var j = 0
+              while (j < w.length) {
+                b(2 * j) = (w(j) & 0xff).toByte
+                b(2 * j + 1) = ((w(j) >> 8) & 0xff).toByte
+                j += 1
+              }
+              Frame(m.id, i, w.length, 1, clip.channels, b)
+            }
+          }
+        case m => // video pseudo-decode (STUB, no JDK video codec)
           val w = 8 + math.floorMod(m.payload.length, 8)
           val h = 8
           (0 until frameCount).iterator.map { i =>

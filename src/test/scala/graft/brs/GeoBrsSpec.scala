@@ -17,7 +17,8 @@ class GeoBrsSpec extends AnyFunSuite {
   }
 
   /** local simulation of the distributed protocol (no Spark): replicate → kernel per node → merge */
-  private def simulated(pts: Seq[Pt], eps: Double, k: Int, distinct: Boolean, nodeSide: Int): Vector[GeoRegion] = {
+  private def simulated(pts: Seq[Pt], eps: Double, k: Int, distinct: Boolean, nodeSide: Int,
+      sigma: Option[Double] = None): Vector[GeoRegion] = {
     val minX = pts.map(_.x).min; val minY = pts.map(_.y).min
     val grid = GeoGrid(minX, minY, eps, nodeSide)
     def runRound(kPrime: Int): Seq[GeoNodeResult] =
@@ -31,10 +32,12 @@ class GeoBrsSpec extends AnyFunSuite {
     var done = false
     var round = 0
     while (!done && round < 8) {
-      val (acc, complete) = GeoBrsKernel.mergeTopK(runRound(kPrime), k, overlapAllowed = !distinct)
+      val (acc, complete) =
+        GeoBrsKernel.mergeTopK(runRound(kPrime), k, overlapAllowed = !distinct, sigma = sigma)
       res = acc; done = complete; kPrime *= 4; round += 1
     }
-    if (!done) res = GeoBrsKernel.mergeTopK(runRound(Int.MaxValue), k, overlapAllowed = !distinct)._1
+    if (!done) res =
+      GeoBrsKernel.mergeTopK(runRound(Int.MaxValue), k, overlapAllowed = !distinct, sigma = sigma)._1
     res
   }
 
@@ -50,6 +53,39 @@ class GeoBrsSpec extends AnyFunSuite {
         val want = GeoBrsKernel.bruteForce(pts, eps, k, overlapAllowed = !distinct)
         assert(got === want, s"trial=$trial eps=$eps k=$k distinct=$distinct nodeSide=$nodeSide")
       }
+    }
+  }
+
+  test("σ-approximate mode: distributed protocol == σ brute force, and σ actually admits overlaps") {
+    val rnd = new scala.util.Random(77)
+    var relaxedTrials = 0
+    for (trial <- 1 to 100) {
+      val pts = randomPts(rnd, 5 + rnd.nextInt(60), extent = 10 + rnd.nextInt(10))
+      val eps = 0.5 + rnd.nextDouble() * 3
+      val k = 2 + rnd.nextInt(5)
+      val sigma = Some(Seq(0.5, 0.7, 0.9)(rnd.nextInt(3)))
+      val nodeSide = 1 + rnd.nextInt(8)
+      val got = simulated(pts, eps, k, distinct = true, nodeSide, sigma)
+      val want = GeoBrsKernel.bruteForce(pts, eps, k, overlapAllowed = false, sigma)
+      assert(got === want, s"trial=$trial eps=$eps k=$k sigma=$sigma nodeSide=$nodeSide")
+      if (want != GeoBrsKernel.bruteForce(pts, eps, k, overlapAllowed = false)) relaxedTrials += 1
+    }
+    assert(relaxedTrials > 0, "σ trials must actually exercise the overlap relaxation")
+  }
+
+  test("end-to-end Spark BRS σ mode matches the σ brute force exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val pts = randomPts(rnd, 150, extent = 12).map(p => Pt(p.x, p.y, 1.0))
+    val df = pts.map(p => (p.x, p.y)).toDF("lon", "lat")
+    val got = BRS.bestRegions(df, eps = 1.5, k = 4, distinct = true, sigma = Some(0.7))
+      .collect().sortBy(_.getAs[Int]("rank"))
+    val want = GeoBrsKernel.bruteForce(pts, 1.5, 4, overlapAllowed = false, Some(0.7))
+    assert(got.length === want.length && want.nonEmpty)
+    got.zip(want).foreach { case (r, w) =>
+      assert(math.abs(r.getAs[Double]("center_lon") - w.centerX) < 1e-12)
+      assert(math.abs(r.getAs[Double]("center_lat") - w.centerY) < 1e-12)
+      assert(r.getAs[Double]("score") === w.score)
     }
   }
 

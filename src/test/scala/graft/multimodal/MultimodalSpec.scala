@@ -76,4 +76,34 @@ class MultimodalSpec extends AnyFunSuite {
     val top = graft.functions.Similarity.bruteForceTopK(feats, feats.filter(col("id") < 2), k = 3)
     assert(top.count() === 6)
   }
+
+  test("REAL audio decode: WAV roundtrip is sample-exact (mono + stereo); corrupt bytes → None") {
+    val rnd = new scala.util.Random(31)
+    for (channels <- Seq(1, 2); rate <- Seq(8000, 44100)) {
+      val samples = Array.fill(256 * channels)(rnd.nextInt(65536).toShort)
+      val wav = Multimodal.encodeWav(rate, channels, samples)
+      val clip = Multimodal.decodeWavBytes(7L, wav).getOrElse(fail("WAV must decode"))
+      assert(clip.sampleRate === rate && clip.channels === channels)
+      assert(clip.samples === samples, s"PCM roundtrip must be lossless (ch=$channels rate=$rate)")
+    }
+    assert(Multimodal.decodeWavBytes(8L, Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.decodeWavBytes(9L, Array.empty[Byte]).isEmpty)
+  }
+
+  test("audio kind in decodeFrames: real WAV decode windowed into frames, byte-exact PCM") {
+    import spark.implicits._
+    val samples = Array.tabulate(100)(i => (i * 300 - 15000).toShort)
+    val wav = Multimodal.encodeWav(16000, 1, samples)
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, "audio", wav, Map.empty),
+      MediaRow(2L, "audio", Array[Byte](9, 9, 9), Map.empty))) // corrupt → 0 frames
+    val frames = Multimodal.decodeFrames(ds, frameCount = 4).collect().sortBy(_.frameIdx)
+    assert(frames.forall(_.id == 1L), "corrupt audio payload must emit no frames")
+    assert(frames.length === 4 && frames.forall(_.height == 1) && frames.forall(_.channels == 1))
+    // reassemble the PCM stream from the frame windows and compare sample-exactly
+    val back = frames.flatMap { f =>
+      (0 until f.width).map(j => ((f.pixels(2 * j) & 0xff) | (f.pixels(2 * j + 1) << 8)).toShort)
+    }
+    assert(back === samples)
+  }
 }
