@@ -173,16 +173,18 @@ object Bench {
       }
       val byLevel = results.groupBy(_._1).map { case (n, rs) => n -> rs.map(_._2).max }
       val (lo, hi) = (execPair.min, execPair.max)
-      // ADJACENT-leg efficiency per pass is the honest number on a drifting shared host: the two
+      // ADJACENT-leg efficiency per pass is the honest number on a drifting shared host: the
       // legs of one pass run back-to-back under comparable conditions, which is the entire reason
-      // the legs are interleaved — pairing bests across passes compares different host states
-      results.grouped(2).zipWithIndex.foreach {
-        case (Seq(a, b), i) if Set(a._1, b._1) == Set(lo, hi) => // either leg order within a pass
-          val tl = if (a._1 == lo) a._2 else b._2
-          val th = if (a._1 == hi) a._2 else b._2
-          println(f"[scaling] pass-${i + 1} efficiency ($lo→$hi executors, adjacent legs) = " +
-            f"${th / (hi.toDouble / lo) / tl}%.2f")
-        case _ => ()
+      // the legs are interleaved — pairing bests across passes compares different host states.
+      // Grouped by PASS (execPair.size legs each), so 3+ levels can never pair across passes.
+      results.grouped(execPair.size).zipWithIndex.foreach { case (pass, i) =>
+        val byN = pass.toMap
+        (byN.get(lo), byN.get(hi)) match {
+          case (Some(tl), Some(th)) =>
+            println(f"[scaling] pass-${i + 1} efficiency ($lo→$hi executors, adjacent legs) = " +
+              f"${th / (hi.toDouble / lo) / tl}%.2f")
+          case _ => () // incomplete trailing pass
+        }
       }
       val eff = byLevel(hi) / (hi.toDouble / lo) / byLevel(lo)
       println(f"[scaling] best: $lo execs ${byLevel(lo)}%.0f seq/s, $hi execs ${byLevel(hi)}%.0f seq/s")

@@ -41,25 +41,68 @@ object BRS {
     */
   val KPrimeCap: Int = 1 << 20
 
+  /** Quantile grid resolution for hot-node strip boundaries; also caps strips per node (an
+    * ultra-hot node keeps its memory bound regardless — the kernel is O(eps-strip) resident).
+    */
+  val MaxStripsPerNode: Int = 256
+
   /** Hot-node split plan. The per-node replicated point counts stay on executors: at fine eps the
     * occupied-node cardinality is data-dependent (can reach 10^8+ at the 10^12-point design
     * scale), so the `count > budget` filter runs INSIDE the aggregation and the driver collects
     * only the (few) hot nodes. The total key count — needed for the pre-merge decision — is a
     * distributed `count()`, a scalar.
-    * @return (node → x-sub-strip count for nodes above budget, total (node, strip) key count)
+    *
+    * Strip boundaries are per-node x-QUANTILES (approximate, from one distributed pass over the
+    * hot nodes' replicated points) rather than uniform x-widths: a node that is hot because of
+    * x-skew (a dense eps-wide column) gets its strips where the points actually are, so the
+    * budget really does bound points-per-task. Any boundary choice is EXACT (the same function
+    * keys points and owns anchors, and halos always span [x−eps, x]); quantiles only buy balance.
+    * @return (node → sorted strip-boundary xs (nStrips = len+1) for nodes above budget,
+    *         total (node, strip) key count)
     */
   private[brs] def hotNodeSplits(
-      pts: Dataset[Pt], grid: GeoGrid, hotNodeBudget: Int): (Map[Long, Int], Long) = {
+      pts: Dataset[Pt], grid: GeoGrid, hotNodeBudget: Int): (Map[Long, Array[Double]], Long) = {
     val spark = pts.sparkSession
     import spark.implicits._
     val counts = pts.flatMap(p => grid.nodesForPoint(p.x, p.y))
       .groupBy("value").count().persist()
     try {
-      val splits = counts.filter(col("count") > hotNodeBudget).as[(Long, Long)].collect()
-        .map { case (n, c) => n -> math.ceil(c.toDouble / hotNodeBudget).toInt }.toMap
-      val totalKeys = counts.count() + splits.values.map(_ - 1).sum
+      val hotCounts = counts.filter(col("count") > hotNodeBudget).as[(Long, Long)].collect()
+        .map { case (n, c) =>
+          n -> math.min(MaxStripsPerNode, math.ceil(c.toDouble / hotNodeBudget).toInt)
+        }.toMap
+      val totalKeys = counts.count() + hotCounts.values.map(_ - 1).sum
+      if (hotCounts.isEmpty) return (Map.empty, totalKeys)
+
+      // one pass over the hot nodes' replicated points: a fixed quantile grid per node, from
+      // which each node picks its nStrips-1 boundaries (grid is metadata-sized: hot × Q doubles)
+      val hb = spark.sparkContext.broadcast(hotCounts.keySet)
+      val q = MaxStripsPerNode
+      val grids = pts
+        .flatMap(p => grid.nodesForPoint(p.x, p.y).filter(hb.value.contains).map(n => (n, p.x)))
+        .toDF("node", "x")
+        .groupBy("node")
+        .agg(percentile_approx(col("x"),
+          array((1 until q).map(i => lit(i.toDouble / q)): _*), lit(2048)).as("qs"))
+        .as[(Long, Seq[Double])].collect().toMap
+      val splits = hotCounts.map { case (n, nStrips) =>
+        val qs = grids.getOrElse(n, Seq.empty)
+        val bounds = (1 until nStrips).map { s =>
+          qs(math.min(qs.size - 1, math.max(0, s * q / nStrips - 1)))
+        }.distinct.sorted.toArray // duplicate quantiles collapse (massive x-ties): fewer strips
+        n -> bounds
+      }
       (splits, totalKeys)
     } finally { counts.unpersist(); () }
+  }
+
+  /** Strip index of x under a sorted boundary array: #boundaries ≤ x. The SAME function keys
+    * points and owns anchors, so a float boundary can never orphan an anchor between strips.
+    */
+  @inline private[brs] def stripIndex(bounds: Array[Double], x: Double): Int = {
+    var i = java.util.Arrays.binarySearch(bounds, x)
+    if (i < 0) i = -i - 1 else i += 1 // x == boundary b(s) belongs to strip s+1 (bounds are ≤)
+    i
   }
 
   /** @param keywordFilters (column, accepted-values) pairs; a row passes when its `;`-separated
@@ -118,23 +161,15 @@ object BRS {
     val splitsB = spark.sparkContext.broadcast(splits)
     val usePremerge = nKeys > premergeKeys
 
-    // floor-consistent strip index: the SAME function keys points and owns anchors, so a float
-    // boundary can never orphan an anchor between two strips
-    def stripOf(node: Long, nStrips: Int, x: Double): Int = {
-      val (ax0, ax1, _, _) = grid.anchorBox(node)
-      val sw = (ax1 - ax0) / nStrips
-      math.min(nStrips - 1, math.max(0, math.floor((x - ax0) / sw).toInt))
-    }
-
     val keyed = pts.flatMap { p =>
       grid.nodesForPoint(p.x, p.y).flatMap { n =>
-        val nStrips = splitsB.value.getOrElse(n, 1)
-        if (nStrips == 1) Seq((n, 0, p))
-        else {
-          val (ax0, _, _, _) = grid.anchorBox(n)
-          val lo = stripOf(n, nStrips, math.max(ax0, p.x - eps))
-          val hi = stripOf(n, nStrips, p.x)
-          (lo to hi).map(s => (n, s, p))
+        splitsB.value.get(n) match {
+          case None => Seq((n, 0, p))
+          case Some(bounds) =>
+            val (ax0, _, _, _) = grid.anchorBox(n)
+            val lo = stripIndex(bounds, math.max(ax0, p.x - eps))
+            val hi = stripIndex(bounds, p.x)
+            (lo to hi).map(s => (n, s, p))
         }
       }
     }.toDF("node", "strip", "pt").persist()
@@ -167,10 +202,11 @@ object BRS {
                   def next(): Pt = buf.next()._3
                 }
                 val (ax0, ax1, ay0, ay1) = grid.anchorBox(node)
-                val nStrips = splitsB.value.getOrElse(node, 1)
-                val owns: Double => Boolean =
-                  if (nStrips == 1) x => x >= ax0 && x < ax1
-                  else x => x >= ax0 && x < ax1 && stripOf(node, nStrips, x) == strip
+                val owns: Double => Boolean = splitsB.value.get(node) match {
+                  case None => x => x >= ax0 && x < ax1
+                  case Some(bounds) =>
+                    x => x >= ax0 && x < ax1 && stripIndex(bounds, x) == strip
+                }
                 val r = GeoBrsKernel.localTopKStreaming(run, eps, kPrime, owns, ay0, ay1, excl.value)
                 while (run.hasNext) run.next() // kernel drains, but never trust an invariant twice
                 (node, strip, r)

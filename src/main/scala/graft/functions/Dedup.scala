@@ -137,6 +137,13 @@ object Dedup {
     *  - `portable = true` uses the md5-derived base hash (ANSI-SQL-reproducible), else xxhash64.
     *
     * `df` must have columns (id, text). Pairs are verified with exact Jaccard ≥ `minJaccardX1e4`.
+    *
+    * Materialization contract: the result is computed EAGERLY. At ≤ [[SmallResultRows]] rows it
+    * comes back as a driver-local relation (no lingering cache blocks, but the rows transit the
+    * driver heap); above that it comes back persisted and CALLER-OWNED — `unpersist()` it when
+    * done, or it pins MEMORY_AND_DISK blocks for the session. Callers composing the pairs into a
+    * larger pipeline, or running at scale, should prefer [[minhashLshPairsWithHandle]]: it stays
+    * lazy, never routes rows through the driver, and hands back an explicit release thunk.
     */
   def minhashLshPairs(df: DataFrame, k: Int, bands: Int, shingleN: Int,
       minJaccardX1e4: Long, maxBucket: Int = 1024, portable: Boolean = false): DataFrame = {
@@ -159,9 +166,10 @@ object Dedup {
   }
 
   /** Results at or below this row count are returned as driver-local relations (no lingering
-    * cache blocks); larger ones stay persisted and caller-owned.
+    * cache blocks); larger ones stay persisted and caller-owned. 2^17 pair rows ≈ a few tens of
+    * MB of driver heap — a 2^20 bound made the local-relation path itself a driver hazard.
     */
-  val SmallResultRows: Long = 1L << 20
+  val SmallResultRows: Long = 1L << 17
 
   /** [[minhashLshPairs]] without the eager materialization: returns the lazy pairs plan plus a
     * `release` thunk that unpersists the shingle-hash cache. Callers composing the pairs into a

@@ -228,9 +228,31 @@ class GeoBrsSpec extends AnyFunSuite {
       .map { case (n, occ) => n -> occ.size.toLong }
     val expectHot = truth.collect { case (n, c) if c > 100 =>
       n -> math.ceil(c / 100.0).toInt }.toMap
-    assert(splits === expectHot)
+    assert(splits.keySet === expectHot.keySet)
+    // continuous random xs → no quantile ties → exactly nStrips-1 boundaries survive dedup
+    splits.foreach { case (n, bounds) => assert(bounds.length === expectHot(n) - 1) }
     assert(splits.nonEmpty && splits.size < truth.size,
       "split plan must be a strict (hot-only) subset of occupied nodes")
     assert(totalKeys === truth.size + expectHot.values.map(_ - 1).sum)
+  }
+
+  test("x-skewed hot node: quantile strips balance points-per-task (uniform strips would not)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // 900 points crammed into one eps-wide x-column of a wide node + 100 spread across it:
+    // uniform-width strips would leave ~90% of the node in one strip
+    val dense = (1 to 900).map(_ => Pt(4.0 + rnd.nextDouble() * 0.3, 5.0 + rnd.nextDouble() * 3.0, 1.0))
+    val spread = (1 to 100).map(_ => Pt(rnd.nextDouble() * 8.0, 5.0 + rnd.nextDouble() * 3.0, 1.0))
+    val all = dense ++ spread
+    val grid = GeoGrid(0.0, 0.0, eps = 1.0, nodeSide = 8) // node 0 spans x ∈ [0, 8)
+    val pts = spark.createDataset(all)
+    val (splits, _) = BRS.hotNodeSplits(pts, grid, hotNodeBudget = 150)
+    val hot = splits.keys.find(n => all.count(p => grid.nodesForPoint(p.x, p.y).contains(n)) > 800)
+    assert(hot.isDefined, "the skewed node must be flagged hot")
+    val bounds = splits(hot.get)
+    val members = all.filter(p => grid.nodesForPoint(p.x, p.y).contains(hot.get))
+    val loads = members.groupBy(p => BRS.stripIndex(bounds, p.x)).values.map(_.size)
+    assert(loads.max <= 2 * 150,
+      s"quantile strips must bound points-per-strip near the budget, got ${loads.toSeq.sorted}")
   }
 }
