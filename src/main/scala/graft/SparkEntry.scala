@@ -181,6 +181,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q41_ann_ivf" -> ((s, dir) => {
+      // IVF posting-list ANN: one cell per item (argmax-dot coarse centroid), queries probe
+      // their 4 nearest of 16 cells, exact cosine re-rank — candidates unique by construction
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(e, e.filter(col("id") < 3), k = 5, cells = 16, probes = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          round(col("cos") * 10000).cast("long").as("cos_x1e4"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q18_embed_sqnorm_by_label" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .groupBy(col("label").cast("long").as("label"))
@@ -729,6 +739,39 @@ object SparkEntry {
          |  FROM cands c
          |  JOIN flat a ON a.vec_id = c.query_id
          |  JOIN flat b ON b.vec_id = c.neighbor_id AND b.d = a.d
+         |  GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank, cos
+         |  FROM dots)
+         |SELECT query_id, neighbor_id, rank, cast(round(cos * 10000) AS BIGINT) AS cos_x1e4
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // full algorithm oracle: LCG coarse centroids → argmax-dot cell per item (hot-cell cap) →
+    // per-query probe cells → candidates → exact cosine re-rank. Tie-breaks mirror the engine:
+    // (dot DESC, cell ASC) for both assignment and probing.
+    "q41_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT c, d,
+         |    (((1103515245::BIGINT*(c*131 + d*17 + 5) + 12345) % 2147483648 >> 7) & 1023)
+         |      / 511.5 - 1.0 AS v
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS c) _c,
+         |       (SELECT unnest(generate_series(0, 63)) AS d) _d),
+         |flat AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         |         unnest(embedding)::DOUBLE AS e FROM embeddings),
+         |cdots AS (SELECT vec_id, c, sum(e*v) AS dot
+         |          FROM flat JOIN cents USING (d) GROUP BY 1, 2),
+         |assign AS (SELECT vec_id, c AS cell,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rnk FROM cdots),
+         |icell AS (SELECT vec_id, cell FROM assign WHERE rnk = 1
+         |  QUALIFY count(*) OVER (PARTITION BY cell) <= 65536),
+         |probed AS (SELECT vec_id, cell FROM assign WHERE rnk <= 4 AND vec_id < 3),
+         |cands AS (SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id
+         |  FROM probed q JOIN icell i ON i.cell = q.cell AND i.vec_id <> q.vec_id),
+         |dots AS (SELECT cn.query_id, cn.neighbor_id,
+         |  sum(a.e*b.e) / (sqrt(sum(a.e*a.e)) * sqrt(sum(b.e*b.e))) AS cos
+         |  FROM cands cn
+         |  JOIN flat a ON a.vec_id = cn.query_id
+         |  JOIN flat b ON b.vec_id = cn.neighbor_id AND b.d = a.d
          |  GROUP BY 1, 2),
          |ranked AS (SELECT query_id, neighbor_id,
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank, cos

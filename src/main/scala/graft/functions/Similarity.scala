@@ -92,6 +92,65 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic coarse-quantizer centroid component in [-1, 1] — same LCG discipline as
+    * [[planeSign]]: plain integer arithmetic, reproducible in ANSI SQL, materialized ONCE as
+    * literal arrays (no per-row hashing). A trained k-means would drop into the same structure.
+    */
+  def ivfCentroid(cell: Int, dim: Int): Double = {
+    val h = (1103515245L * (cell * 131 + dim * 17 + 5) + 12345L) % 2147483648L
+    ((h >> 7) & 1023L) / 511.5 - 1.0
+  }
+
+  private def litCentroid(c: Int, dims: Int): Column =
+    array((0 until dims).map(d => lit(ivfCentroid(c, d))): _*)
+
+  /** (dot, -cell) structs for every centroid — struct ordering makes argmax/top-P tie-break on
+    * the SMALLER cell id for free.
+    */
+  private def centroidScores(vec: Column, cells: Int, dims: Int): Column =
+    array((0 until cells).map { c =>
+      val dot = aggregate(zip_with(vec, litCentroid(c, dims), (x, s) => x.cast("double") * s),
+        lit(0.0), _ + _)
+      struct(dot.as("d"), lit(-c).as("nc"))
+    }: _*)
+
+  /** IVF cell of `vec`: argmax-dot coarse centroid (ties → smaller cell id). */
+  def ivfCell(vec: Column, cells: Int, dims: Int): Column =
+    -array_max(centroidScores(vec, cells, dims)).getField("nc")
+
+  /** The `probes` nearest cells of `vec`, best-first. */
+  def ivfProbeCells(vec: Column, cells: Int, probes: Int, dims: Int): Column =
+    transform(slice(reverse(array_sort(centroidScores(vec, cells, dims))), 1, probes),
+      s => -s.getField("nc"))
+
+  /** IVF (inverted-file) approximate top-k — the posting-list alternative to [[lshTopK]]'s
+    * multi-table sketch: every item lands in exactly ONE cell (its nearest coarse centroid), a
+    * query probes only its `probes` nearest cells, and candidates re-rank with exact cosine.
+    *
+    * Scale shape: cell assignment is a map-side column expression over literal centroids; the
+    * only join is broadcast (query side small); because items are single-cell and probe lists
+    * are distinct, candidate pairs are unique BY CONSTRUCTION — no dedup shuffle at all (LSH
+    * needs one). Cells above `maxCell` members are dropped before pairing, bounding a
+    * degenerate quantizer's hot list exactly like the LSH hot-bucket cap.
+    */
+  def ivfTopK(items: DataFrame, queries: DataFrame, k: Int, cells: Int, probes: Int,
+      dims: Int = 64, maxCell: Int = 65536): DataFrame = {
+    val it = items.select(col("id").as("neighbor_id"),
+        checkedDims("ivfTopK", col("vec"), dims).as("vec"))
+      .withColumn("cell", ivfCell(col("vec"), cells, dims))
+    val capped = it
+      .withColumn("_cn", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .filter(col("_cn") <= maxCell).drop("_cn")
+    val qs = queries.select(col("id").as("query_id"),
+        checkedDims("ivfTopK", col("vec"), dims).as("qvec"))
+      .withColumn("cell", explode(ivfProbeCells(col("qvec"), cells, probes, dims)))
+    val cands = capped.join(broadcast(qs), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cands.select(col("query_id"), col("neighbor_id"), cosine(col("vec"), col("qvec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Item×item near-duplicate pairs — the symmetric self-join mode [[lshTopK]] lacks (its query
     * side must broadcast; embedding-level dedup at 10^12 rows has no small side). Same shape as
     * [[graft.functions.Dedup.minhashLshPairs]]:

@@ -28,6 +28,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK: one cell per item; a scaled twin shares the cell and ranks first with cos=1") {
+    import spark.implicits._
+    val items = (0L until 50L).map(i => (i, vec(i))).toDF("id", "vec")
+    // positive scaling preserves the argmax-dot cell, and a query's first probe IS its own cell,
+    // so the twin is always a candidate and must rank 1 with cosine exactly 1
+    val queries = (0L until 3L).map(q => (1000L + q, vec(q).map(_ * 3f))).toDF("id", "vec")
+    val top = Similarity.ivfTopK(items, queries, k = 3, cells = 8, probes = 2, dims = dims)
+      .filter(col("rank") === 1).collect()
+    assert(top.length === 3)
+    top.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") - 1000L)
+      assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9)
+    }
+    // the quantizer actually partitions (items spread over >1 cell on this data)
+    val cellCount = items.select(Similarity.ivfCell(col("vec"), 8, dims).as("cell"))
+      .distinct().count()
+    assert(cellCount > 1)
+  }
+
   test("lshTopK candidate dedup shuffles ids only — no vector payload in any aggregate") {
     import spark.implicits._
     val items = (0L until 20L).map(i => (i, vec(i))).toDF("id", "vec")
