@@ -36,13 +36,18 @@ object Maintain {
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val cfg = GridConfig()
-    val opts = MaintenanceOptions()
+    // SPARK_GRAFT_DIST_PLAN_FILES overrides the distributed-planning threshold (0 = always plan
+    // from the executor-side manifest Dataset with parquet manifests — lets the CLI drive the
+    // 10^7-file path at demo scale)
+    val distFiles = sys.env.get("SPARK_GRAFT_DIST_PLAN_FILES").map(_.toInt)
+    val opts = MaintenanceOptions(distributedPlanFiles = distFiles.getOrElse(100000))
 
     args.toList match {
       case "demo" :: dir :: rest =>
         val rows = rest.headOption.map(_.toLong).getOrElse(50000L)
         val files = rest.drop(1).headOption.map(_.toInt).getOrElse(200)
-        val opts = MaintenanceOptions(targetRecordsPerFile = math.max(1000L, rows / 25))
+        val opts = MaintenanceOptions(targetRecordsPerFile = math.max(1000L, rows / 25),
+          distributedPlanFiles = distFiles.getOrElse(100000))
         println(s"[demo] creating fragmented table: $rows rows in ~$files files at $dir")
         val (table, metas) = SeqGen.fragmentedTable(spark, dir, rows, files)
         println(s"[demo] v${table.currentVersion()} live-files=${metas.size}")
