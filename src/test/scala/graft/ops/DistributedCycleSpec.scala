@@ -90,5 +90,11 @@ class DistributedCycleSpec extends AnyFunSuite {
     assert(narrow.forall(_.docBloom.isEmpty))
     assert(full.map(f => (f.path, f.records, f.minNtok, f.maxNtok, f.sources, f.clustered)) ===
       narrow.map(f => (f.path, f.records, f.minNtok, f.maxNtok, f.sources, f.clustered)))
+    // plan-level proof the bloom payload never leaves the parquet scan: the narrow read's
+    // ReadSchema must not mention docBloom (it is re-attached as a null literal above the scan)
+    val plan = SeqIO.fileMetaDS(spark, t, narrow = true).queryExecution.executedPlan.toString
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach(l => assert(!l.contains("docBloom"), s"bloom read in narrow scan: $l"))
   }
 }

@@ -76,6 +76,31 @@ class SeqTableSpec extends AnyFunSuite {
     assert(whos.distinct.size === threads * each, "every commit must appear exactly once")
   }
 
+  test("commit hammer with PARQUET manifests: contention-safe, content roundtrips") {
+    val t = SeqTable.create(fresh())
+    t.manifestFormat = "parquet"
+    // manifest writes route through the shared SparkSession from racing commit threads
+    val baseMetas = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 200, parts = 2))
+    t.commit("append", baseMetas, Set.empty)
+    val threads = 4; val each = 4
+    val th = (0 until threads).map { i =>
+      new Thread(() => (0 until each).foreach { j =>
+        t.commit("append", Seq(baseMetas(j % baseMetas.size).copy(path = s"data/x$i-$j.parquet")),
+          Set.empty, Map("who" -> s"$i/$j"), maxRetries = 1000)
+      })
+    }
+    th.foreach(_.start()); th.foreach(_.join())
+    assert(t.currentVersion() === threads * each + 1)
+    val whos = t.snapshotVersions().drop(1).map(t.snapshot).flatMap(_.summary.get("who"))
+    assert(whos.distinct.size === threads * each, "every commit must appear exactly once")
+    assert(t.currentSnapshot().manifests.forall(_.endsWith(".parquet")))
+    // a cold instance parses the parquet manifests back faithfully
+    val t2 = SeqTable.load(t.root)
+    assert(t2.liveFiles().map(_.path).toSet ===
+      (baseMetas.map(_.path) ++ (for { i <- 0 until threads; j <- 0 until each }
+        yield s"data/x$i-$j.parquet")).toSet)
+  }
+
   test("snapshot isolation: a reader pinned to an old version sees stable data") {
     val t = SeqTable.create(fresh())
     val metas = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 300, parts = 2))
