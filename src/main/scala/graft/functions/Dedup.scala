@@ -106,8 +106,19 @@ object Dedup {
   def affineB(i: Int): Long = (69069L * i + 1L) % 2147483648L
   val AffineMod: Long = 1L << 48
 
-  /** Portable MinHash signature over a PRE-HASHED 48-bit shingle array (see [[md5Hash48]]). */
+  /** Portable MinHash signature over a PRE-HASHED 48-bit shingle array (see [[md5Hash48]]).
+    * Evaluated by the single-pass codegen'd [[AffineMinhashSig]] kernel — the definitional
+    * k-pass HOF formulation (`array_min(transform(...))` per permutation) is interpreted and
+    * was ~80% of the near-dup query's runtime; semantics are identical (DedupSpec proves parity).
+    */
   def minhashSignaturePortable(md48s: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      AffineMinhashSig(org.apache.spark.sql.GraftSqlBridge.expression(md48s), k))
+
+  /** The definitional Column formulation of [[minhashSignaturePortable]] (k HOF passes) —
+    * kept as the spec oracle for the fused kernel.
+    */
+  private[functions] def minhashSignaturePortableDefinitional(md48s: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(md48s, h => (h * affineA(i) + affineB(i)) % AffineMod))
     }: _*)

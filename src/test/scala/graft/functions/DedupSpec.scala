@@ -79,4 +79,22 @@ class DedupSpec extends AnyFunSuite {
     val twinPairs = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1)
     assert(twinPairs.length === 10) // every constructed twin found
   }
+
+  test("fused affine-minhash kernel == definitional k-pass HOF formulation (incl. edge cases)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows: Seq[Seq[java.lang.Long]] =
+      (1 to 200).map(_ => Seq.fill(1 + rnd.nextInt(60))(
+        java.lang.Long.valueOf(rnd.nextLong() & ((1L << 48) - 1)))) ++
+      Seq(Seq.empty[java.lang.Long], // empty array → all-null signature
+        Seq(null, java.lang.Long.valueOf(7L)), // null elements skipped
+        Seq[java.lang.Long](null, null)) // all-null → all-null signature
+    val df = rows.toDF("h").persist()
+    for (k <- Seq(1, 32, 128)) {
+      val got = df.select(Dedup.minhashSignaturePortable(col("h"), k).as("s")).collect()
+      val want = df.select(Dedup.minhashSignaturePortableDefinitional(col("h"), k).as("s")).collect()
+      got.zip(want).foreach { case (g, w) => assert(g.getSeq[Any](0) === w.getSeq[Any](0), s"k=$k") }
+    }
+    df.unpersist()
+  }
 }
