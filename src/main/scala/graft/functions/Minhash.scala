@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -63,4 +63,108 @@ case class AffineMinhashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Minhash.affineSignature($c, $k)")
   override protected def withNewChildInternal(c: Expression): AffineMinhashSig = copy(child = c)
+}
+
+/** Single-pass hyperplane-sketch kernel: all `tables × planes` sign bits in one walk over the
+  * vector. The Column formulation — one `aggregate(zip_with(...))` per (table, plane) — is the
+  * same interpreted-HOF trap as the minhash signature (tables × planes passes per row, boxed).
+  * Bit-exact with it: dots accumulate in ascending-dimension order, a null element nulls the
+  * whole dot (no bit), and the sign factors are the shared [[Similarity.planeSign]] LCG family.
+  */
+object Hyperplanes {
+  def sketchAll(vec: ArrayData, isFloat: Boolean, tables: Int, planes: Int,
+      dims: Int): ArrayData = {
+    val n = math.min(dims, vec.numElements())
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var anyNull = false
+        var d = 0
+        while (d < n) {
+          if (vec.isNullAt(d)) anyNull = true
+          else {
+            val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+            dot += x * Similarity.planeSign(t, p, d)
+          }
+          d += 1
+        }
+        if (!anyNull && dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Single-pass cosine kernel: dot and both squared norms in one walk over the two vectors.
+  * The `aggregate(zip_with(...))` Column formulation walks each pair THREE times interpreted
+  * (dot + two norms) — measured as the dominant cost of the ANN re-rank stages once sketching
+  * was fused. Mirrors the HOF semantics: ascending-dimension accumulation order, and any null
+  * element or length mismatch → null result (zip_with pads with nulls → null sum).
+  */
+object CosineKernel {
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Any = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var d = 0
+    while (d < n) {
+      if (a.isNullAt(d) || b.isNullAt(d)) return null
+      val x = if (aFloat) a.getFloat(d).toDouble else a.getDouble(d)
+      val y = if (bFloat) b.getFloat(d).toDouble else b.getDouble(d)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      d += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Codegen'd Catalyst expression: cosine similarity of two float/double vectors, one walk. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineKernel.cosine(a.asInstanceOf[ArrayData], isFloat(left),
+      b.asInstanceOf[ArrayData], isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lf = isFloat(left); val rf = isFloat(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cosTmp")
+      s"""Object $tmp = graft.functions.CosineKernel.cosine($a, $lf, $b, $rf);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = (Double) $tmp; }
+         |""".stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Codegen'd Catalyst expression: per-table LSH buckets of a float/double vector, one array walk.
+  * Output: array<long> of length `tables` (index = table id). See [[Hyperplanes]].
+  */
+case class HyperplaneSketchAll(child: Expression, tables: Int, planes: Int, dims: Int)
+    extends UnaryExpression {
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_sketch_all"
+  override protected def nullSafeEval(arr: Any): Any =
+    Hyperplanes.sketchAll(arr.asInstanceOf[ArrayData], isFloat, tables, planes, dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Hyperplanes.sketchAll($c, $isFloat, $tables, $planes, $dims)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneSketchAll = copy(child = c)
 }

@@ -17,7 +17,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — evaluated by the fused single-pass [[CosineSim]] kernel (the
+    * `dot/(norm·norm)` HOF composition walks the pair three times, interpreted; this was the
+    * dominant re-rank cost once sketching was fused). [[cosineDefinitional]] is the spec oracle.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(CosineSim(
+      org.apache.spark.sql.GraftSqlBridge.expression(a),
+      org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  private[functions] def cosineDefinitional(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors for each query row. `items`/`queries` need (id, vec) columns; queries
     * are broadcast (small side), so this is a map-side cross product + per-query top-k window —
@@ -54,13 +64,24 @@ object Similarity {
       lit(s"$op: expected $dims-dim vectors, got "), size(vec).cast("string"))))
       .otherwise(vec)
 
-  /** LSH bucket of `vec` for table `t`: bit p = sign of <vec, plane(t, p)>. */
+  /** LSH bucket of `vec` for table `t`: bit p = sign of <vec, plane(t, p)>.
+    * Definitional HOF formulation — kept as the spec oracle; hot paths use
+    * [[hyperplaneSketchAll]] (one fused codegen'd pass for every table).
+    */
   def hyperplaneSketch(vec: Column, planes: Int, dims: Int, t: Int = 0): Column =
     (0 until planes).map { p =>
       val dot = aggregate(
         zip_with(vec, litPlane(t, p, dims), (x, s) => x.cast("double") * s), lit(0.0), _ + _)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
+
+  /** All `tables` LSH buckets of `vec` in ONE fused pass (array<long>, index = table id) —
+    * see [[graft.functions.Hyperplanes]] for why this is a codegen'd expression, not Columns.
+    */
+  def hyperplaneSketchAll(vec: Column, planes: Int, tables: Int, dims: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      HyperplaneSketchAll(org.apache.spark.sql.GraftSqlBridge.expression(vec),
+        tables, planes, dims))
 
   /** Approximate top-k: candidates = pairs sharing an LSH bucket (multi-probe over `tables`
     * independent sketches), then exact cosine re-rank within candidates. `dims` must match the
@@ -71,10 +92,9 @@ object Similarity {
     def sketched(df: DataFrame, idName: String, vecName: String): DataFrame =
       df.select(col("id").as(idName), col("vec").as(vecName)) // rename first (no lateral aliases)
         .withColumn(vecName, checkedDims("lshTopK", col(vecName), dims))
-        .withColumn("sk", explode(array((0 until tables).map(t =>
-          struct(lit(t).as("table"),
-            hyperplaneSketch(col(vecName), planes, dims, t).as("bucket"))): _*)))
-        .select(col(idName), col(vecName), col("sk.table"), col("sk.bucket"))
+        .select(col(idName), col(vecName),
+          posexplode(hyperplaneSketchAll(col(vecName), planes, tables, dims)))
+        .select(col(idName), col(vecName), col("pos").as("table"), col("col").as("bucket"))
     val it = sketched(items, "neighbor_id", "vec")
     val qs = sketched(queries, "query_id", "qvec")
     // the candidate dedup shuffles (query_id, neighbor_id) ONLY — vectors re-attach by id after,
@@ -171,10 +191,8 @@ object Similarity {
     val checked = items.select(col("id"), col("vec"))
       .withColumn("vec", checkedDims("lshPairs", col("vec"), dims))
     val sk = checked
-      .withColumn("sk", explode(array((0 until tables).map(t =>
-        struct(lit(t).as("table"),
-          hyperplaneSketch(col("vec"), planes, dims, t).as("bucket"))): _*)))
-      .select(col("id"), col("sk.table"), col("sk.bucket")) // ids only past this point
+      .select(col("id"), posexplode(hyperplaneSketchAll(col("vec"), planes, tables, dims)))
+      .select(col("id"), col("pos").as("table"), col("col").as("bucket")) // ids only past here
     val capped = sk
       .withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("table"), col("bucket"))))
       .filter(col("_bn") <= maxBucket)

@@ -28,6 +28,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("fused hyperplane sketch == definitional per-(table,plane) HOF formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    // float vectors (the embeddings shape) and double vectors (the lshPairs transform shape)
+    val fdf = (0 until 100).map(i => (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "vec").persist()
+    val ddf = (0 until 100).map(i => (i.toLong, Array.fill(dims)(rnd.nextDouble() * 2 - 1)))
+      .toDF("id", "vec").persist()
+    for (df <- Seq(fdf, ddf); tables <- Seq(1, 6); planes <- Seq(4, 8)) {
+      val fused = df.select(col("id"),
+        Similarity.hyperplaneSketchAll(col("vec"), planes, tables, dims).as("b"))
+        .orderBy("id").collect().map(_.getSeq[Long](1))
+      val defn = df.select(col("id") +:
+          (0 until tables).map(t => Similarity.hyperplaneSketch(col("vec"), planes, dims, t)): _*)
+        .orderBy("id").collect().map(r => (1 to tables).map(r.getLong))
+      fused.zip(defn).foreach { case (f, d) => assert(f === d, s"tables=$tables planes=$planes") }
+    }
+    fdf.unpersist(); ddf.unpersist()
+  }
+
+  test("fused cosine == definitional dot/(norm·norm) composition (float, double, null edges)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2 - 1), Array.fill(dims)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b").persist()
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val want = df.select(Similarity.cosineDefinitional(col("a"), col("b"))).collect().map(_.getDouble(0))
+    got.zip(want).foreach { case (g, w) => assert(g === w, "must be bit-identical (same fold order)") }
+    // length mismatch and null elements → null, like zip_with's null padding
+    val edge = Seq(
+      (1L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](1f, 2f, 3f)),
+      (2L, Seq[java.lang.Float](1f, null), Seq[java.lang.Float](1f, 2f))).toDF("id", "a", "b")
+    assert(edge.select(Similarity.cosine(col("a"), col("b"))).collect().forall(_.isNullAt(0)))
+    df.unpersist()
+  }
+
   test("ivfTopK: one cell per item; a scaled twin shares the cell and ranks first with cos=1") {
     import spark.implicits._
     val items = (0L until 50L).map(i => (i, vec(i))).toDF("id", "vec")
