@@ -73,6 +73,13 @@ object Dedup {
     * md5 work isn't repeated per bit.
     */
   def simhashFromMd5(md5s: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      SimhashFromMd5(org.apache.spark.sql.GraftSqlBridge.expression(md5s)))
+
+  /** Definitional 64-pass formulation of [[simhashFromMd5]] — the spec oracle for the fused
+    * [[SimhashFromMd5]] kernel.
+    */
+  private[functions] def simhashFromMd5Definitional(md5s: Column): Column =
     (0 until 64).map { i =>
       val votes = aggregate(md5s, lit(0L), (acc, h) =>
         acc + shr(conv(substring(h, i / 4 + 1, 1), 16, 10).cast("long"), lit(i % 4))

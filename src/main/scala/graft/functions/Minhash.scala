@@ -152,6 +152,112 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Single-pass SimHash kernel over pre-md5'd shingles: one walk per digest instead of the
+  * 64 interpreted per-bit aggregates of the Column formulation. Bit i's vote per shingle is
+  * bit (i%4) of hex digit (i/4) of its digest — identical to `Dedup.simhashFromMd5`'s
+  * definition, including the null/short-digest → fingerprint-0 edge (a null vote stream fails
+  * every `votes > 0` test, so every bit stays clear).
+  */
+object Simhash {
+  def fromMd5(md5s: ArrayData): Long = {
+    val n = md5s.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (md5s.isNullAt(j)) return 0L
+      val s = md5s.getUTF8String(j)
+      if (s.numBytes() < 16) return 0L
+      var i = 0
+      while (i < 64) {
+        val c = s.getByte(i / 4).toChar
+        val digit = if (c <= '9') c - '0' else c - 'a' + 10
+        votes(i) += (((digit >> (i % 4)) & 1) << 1) - 1
+        i += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) fp |= 1L << i; i += 1 }
+    fp
+  }
+}
+
+/** Codegen'd Catalyst expression: 64-bit SimHash of an md5-hex-digest array, one walk. */
+case class SimhashFromMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_from_md5"
+  override protected def nullSafeEval(arr: Any): Any =
+    Simhash.fromMd5(arr.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Simhash.fromMd5($c)")
+  override protected def withNewChildInternal(c: Expression): SimhashFromMd5 = copy(child = c)
+}
+
+/** Single-pass IVF coarse-quantizer kernel: all `cells` centroid dots in one vector walk, then
+  * argmax / top-P selection (ties → smaller cell id) — replacing one interpreted
+  * `aggregate(zip_with(...))` per centroid. Dots accumulate in ascending-dimension order, so
+  * cell choices are bit-identical to the definitional Column formulation on non-null vectors;
+  * a null element nulls every dot there, so here the whole result is null.
+  */
+object IvfQuantizer {
+  /** top-`probes` cell ids by (dot desc, cell asc), best-first; null on any null element. */
+  def probes(vec: ArrayData, isFloat: Boolean, cells: Int, dims: Int, probes: Int): Any = {
+    val n = math.min(dims, vec.numElements())
+    val dots = new Array[Double](cells)
+    var d = 0
+    while (d < n) {
+      if (vec.isNullAt(d)) return null
+      val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+      var c = 0
+      while (c < cells) { dots(c) += x * Similarity.ivfCentroid(c, d); c += 1 }
+      d += 1
+    }
+    val p = math.min(probes, cells)
+    val out = new Array[Int](p)
+    val taken = new Array[Boolean](cells)
+    var i = 0
+    while (i < p) {
+      var best = -1
+      var c = 0
+      while (c < cells) {
+        if (!taken(c) && (best < 0 || dots(c) > dots(best))) best = c // ties keep smaller c
+        c += 1
+      }
+      taken(best) = true
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd Catalyst expression: the `probes` nearest IVF cells of a vector, best-first
+  * (array<int>; pass probes = 1 and take element 0 for plain cell assignment).
+  */
+case class IvfProbeCellsExpr(child: Expression, cells: Int, dims: Int, probes: Int)
+    extends UnaryExpression {
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_probe_cells"
+  override protected def nullSafeEval(arr: Any): Any =
+    IvfQuantizer.probes(arr.asInstanceOf[ArrayData], isFloat, cells, dims, probes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = isFloat
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("ivfTmp")
+      s"""Object $tmp = graft.functions.IvfQuantizer.probes($c, $f, $cells, $dims, $probes);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+         |""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): IvfProbeCellsExpr = copy(child = c)
+}
+
 /** Codegen'd Catalyst expression: per-table LSH buckets of a float/double vector, one array walk.
   * Output: array<long> of length `tables` (index = table id). See [[Hyperplanes]].
   */

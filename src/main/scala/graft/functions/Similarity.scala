@@ -134,12 +134,23 @@ object Similarity {
       struct(dot.as("d"), lit(-c).as("nc"))
     }: _*)
 
-  /** IVF cell of `vec`: argmax-dot coarse centroid (ties → smaller cell id). */
+  /** IVF cell of `vec`: argmax-dot coarse centroid (ties → smaller cell id). Evaluated by the
+    * fused single-pass [[IvfProbeCellsExpr]] kernel (see [[graft.functions.IvfQuantizer]]);
+    * the definitional variants below are the spec oracles.
+    */
   def ivfCell(vec: Column, cells: Int, dims: Int): Column =
-    -array_max(centroidScores(vec, cells, dims)).getField("nc")
+    element_at(ivfProbeCells(vec, cells, 1, dims), 1)
 
   /** The `probes` nearest cells of `vec`, best-first. */
   def ivfProbeCells(vec: Column, cells: Int, probes: Int, dims: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(IvfProbeCellsExpr(
+      org.apache.spark.sql.GraftSqlBridge.expression(vec), cells, dims, probes))
+
+  private[functions] def ivfCellDefinitional(vec: Column, cells: Int, dims: Int): Column =
+    -array_max(centroidScores(vec, cells, dims)).getField("nc")
+
+  private[functions] def ivfProbeCellsDefinitional(
+      vec: Column, cells: Int, probes: Int, dims: Int): Column =
     transform(slice(reverse(array_sort(centroidScores(vec, cells, dims))), 1, probes),
       s => -s.getField("nc"))
 

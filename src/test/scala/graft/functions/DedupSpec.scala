@@ -80,6 +80,21 @@ class DedupSpec extends AnyFunSuite {
     assert(twinPairs.length === 10) // every constructed twin found
   }
 
+  test("fused simhash kernel == definitional 64-pass formulation on real md5 digests") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong,
+      s"text number $i with words w${i % 7} w${i % 13} shared tail tokens")).toDF("id", "text")
+      .select(col("id"), transform(Dedup.shingles(col("text"), 3), s => md5(s)).as("h"))
+      .persist()
+    val got = df.select(col("id"), Dedup.simhashFromMd5(col("h"))).orderBy("id").collect()
+    val want = df.select(col("id"), Dedup.simhashFromMd5Definitional(col("h"))).orderBy("id").collect()
+    got.zip(want).foreach { case (g, w) => assert(g.getLong(1) === w.getLong(1)) }
+    // empty shingle-hash array → fingerprint 0, like the all-false when() chain
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("h")
+    assert(empty.select(Dedup.simhashFromMd5(col("h"))).head.getLong(0) === 0L)
+    df.unpersist()
+  }
+
   test("fused affine-minhash kernel == definitional k-pass HOF formulation (incl. edge cases)") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)

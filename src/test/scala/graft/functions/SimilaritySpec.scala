@@ -85,6 +85,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cellCount > 1)
   }
 
+  test("fused IVF quantizer == definitional argmax/top-P composition (float and double)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val fdf = (0 until 150).map(i => (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "vec").persist()
+    val ddf = (0 until 150).map(i => (i.toLong, Array.fill(dims)(rnd.nextDouble() * 2 - 1)))
+      .toDF("id", "vec").persist()
+    for (df <- Seq(fdf, ddf); cells <- Seq(4, 16); probes <- Seq(1, 3)) {
+      val got = df.select(col("id"),
+        Similarity.ivfProbeCells(col("vec"), cells, probes, dims).as("p"),
+        Similarity.ivfCell(col("vec"), cells, dims).as("c")).orderBy("id").collect()
+      val want = df.select(col("id"),
+        Similarity.ivfProbeCellsDefinitional(col("vec"), cells, probes, dims).as("p"),
+        Similarity.ivfCellDefinitional(col("vec"), cells, dims).as("c")).orderBy("id").collect()
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getSeq[Int](1) === w.getSeq[Int](1), s"cells=$cells probes=$probes")
+        assert(g.getInt(2) === w.getInt(2))
+      }
+    }
+    fdf.unpersist(); ddf.unpersist()
+  }
+
   test("lshTopK candidate dedup shuffles ids only — no vector payload in any aggregate") {
     import spark.implicits._
     val items = (0L until 20L).map(i => (i, vec(i))).toDF("id", "vec")
