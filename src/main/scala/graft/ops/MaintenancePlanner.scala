@@ -202,8 +202,22 @@ object MaintenancePlanner {
     val cells = metas.flatMap(f => fileCells(f, cfg, targetRecords))
     val winners = GridTopK.solve(spark, cells, cfg, k, overlapAllowed = false)
       .filter(_.score >= threshold)
+    claimTasksDistributed(spark, metas, winners, cfg, targetRecords)
+  }
+
+  /** Distributed file claiming for a winner set: each file maps to at most one winner (centroid
+    * cells are unique and winners non-overlapping), so only the claimed files — task-sized —
+    * reach the driver, where the usefulness gate runs per task.
+    */
+  def claimTasksDistributed(
+      spark: SparkSession,
+      metas: Dataset[FileMeta],
+      winners: Seq[Region],
+      cfg: GridConfig,
+      targetRecords: Long): Seq[PlannedTask] = {
+    import spark.implicits._
     if (winners.isEmpty) return Nil
-    val wb = spark.sparkContext.broadcast(winners.zipWithIndex)
+    val wb = spark.sparkContext.broadcast(winners.zipWithIndex.toIndexedSeq)
     val claims = metas.flatMap { f =>
       val (x, y) = centroidCell(f, cfg)
       wb.value.collectFirst {
@@ -220,5 +234,62 @@ object MaintenancePlanner {
         (fs.exists(f => !f.clustered && cellsOf(f, cfg).size > 1) && total >= 2 * targetRecords)
       if (useful) Some(PlannedTask(i, r, fs.map(_.path), r.score)) else None
     }
+  }
+
+  /** [[planIncremental]] with the manifest staying on executors end-to-end: the current and
+    * cached-base manifests meet in path anti-joins to find dirtied nodes, kernels run over the
+    * distributed cell Dataset, and claims come back task-sized via [[claimTasksDistributed]].
+    * Only node-id sets (bounded by planner-grid geometry, not file count) and winning tasks
+    * ever reach the driver — the 10^7-file incremental path.
+    */
+  def planIncrementalDistributed(
+      spark: SparkSession,
+      table: graft.table.SeqTable,
+      cfg: GridConfig,
+      k: Int,
+      threshold: Double,
+      targetRecords: Long,
+      prev: Option[PlannerState],
+      onRun: (Set[Int], Int) => Unit = (_, _) => ()): (Seq[PlannedTask], PlannerState) = {
+    import spark.implicits._
+    val version = table.currentVersion()
+    val metas = graft.table.SeqIO.fileMetaDS(spark, table, narrow = true)
+
+    def nodesOfDS(fs: Dataset[FileMeta]): Set[Int] =
+      fs.flatMap(f => fileCells(f, cfg, targetRecords).flatMap(c => cfg.nodesForCell(c.x, c.y)))
+        .distinct().collect().toSet
+
+    val cells = metas.flatMap(f => fileCells(f, cfg, targetRecords)).persist()
+    try {
+      val allNodes = cells.flatMap(c => cfg.nodesForCell(c.x, c.y)).distinct().collect().toSet
+      val dirty: Set[Int] = prev match {
+        case Some(st) if table.snapshotVersions().contains(st.baseVersion) =>
+          val prevDS = graft.table.SeqIO.fileMetaDSOf(
+            spark, table, table.snapshot(st.baseVersion), narrow = true)
+          val added = metas.join(prevDS.select("path"), Seq("path"), "left_anti").as[FileMeta]
+          val removed = prevDS.join(metas.select("path"), Seq("path"), "left_anti").as[FileMeta]
+          nodesOfDS(added) ++ nodesOfDS(removed)
+        case _ => allNodes
+      }
+
+      def runNodes(nodes: Set[Int], kPrime: Int): Map[Int, NodeResult] =
+        if (nodes.isEmpty) Map.empty
+        else {
+          onRun(nodes, kPrime)
+          cells
+            .flatMap(c => cfg.nodesForCell(c.x, c.y).filter(nodes.contains).map(n => (n, c)))
+            .groupByKey(_._1)
+            .mapGroups { (node, it) =>
+              val (ax0, ax1, ay0, ay1) = cfg.anchorBounds(node)
+              node -> RegionKernel.localTopK(it.map(_._2).toSeq, ax0, ax1, ay0, ay1, cfg.regionW, kPrime)
+            }
+            .collect().toMap
+        }
+
+      val (winners, newState) = IncrementalTopK.solve(
+        runNodes, allNodes, dirty, prev, version, k, overlapAllowed = false)
+      (claimTasksDistributed(spark, metas, winners.filter(_.score >= threshold), cfg,
+        targetRecords), newState)
+    } finally { cells.unpersist(); () }
   }
 }

@@ -58,7 +58,7 @@ object MaintenanceRunner {
     val headSnap = table.currentSnapshot()
     val liveCount = headSnap.summary.get("total-files").flatMap(_.toIntOption)
       .getOrElse(table.liveFiles().size)
-    val useDistributed = !opts.incremental && liveCount > opts.distributedPlanFiles
+    val useDistributed = liveCount > opts.distributedPlanFiles
     // distributed path: the full manifest NEVER materializes on the driver — planning runs on
     // the manifest Dataset, and metas are fetched per-claimed-path afterwards (task-sized)
     if (useDistributed) table.manifestFormat = "parquet"
@@ -85,9 +85,13 @@ object MaintenanceRunner {
         val base = table.currentVersion()
         val planned = timed("plan")(
           if (opts.incremental) {
-            val (tasks, st) = MaintenancePlanner.planIncremental(spark, table, cfg,
-              opts.k, opts.threshold, opts.targetRecordsPerFile, checkpoint.loadPlannerState(),
-              onPlannerRun)
+            val (tasks, st) =
+              if (useDistributed) MaintenancePlanner.planIncrementalDistributed(spark, table, cfg,
+                opts.k, opts.threshold, opts.targetRecordsPerFile, checkpoint.loadPlannerState(),
+                onPlannerRun)
+              else MaintenancePlanner.planIncremental(spark, table, cfg,
+                opts.k, opts.threshold, opts.targetRecordsPerFile, checkpoint.loadPlannerState(),
+                onPlannerRun)
             checkpoint.savePlannerState(st)
             tasks
           } else if (useDistributed) MaintenancePlanner.planCompactionDistributed(

@@ -224,9 +224,15 @@ object SeqIO {
     *               planner needs only layout stats, so this is the planning-path default
     */
   def fileMetaDS(spark: SparkSession, table: SeqTable,
+      narrow: Boolean = false): org.apache.spark.sql.Dataset[FileMeta] =
+    fileMetaDSOf(spark, table, table.currentSnapshot(), narrow)
+
+  /** [[fileMetaDS]] pinned at an arbitrary snapshot — the distributed incremental planner diffs
+    * the current manifest against its cached base version with path anti-joins.
+    */
+  def fileMetaDSOf(spark: SparkSession, table: SeqTable, snap: Snapshot,
       narrow: Boolean = false): org.apache.spark.sql.Dataset[FileMeta] = {
     import spark.implicits._
-    val snap = table.currentSnapshot()
     def abs(m: String) = java.nio.file.Paths.get(table.root, "metadata", m).toString
     val (pq, jl) = snap.manifests.partition(_.endsWith(".parquet"))
     val schema =

@@ -79,6 +79,37 @@ class DistributedCycleSpec extends AnyFunSuite {
     assert(roundtrip.subsetOf(viaDs))
   }
 
+  test("distributed incremental plan == driver incremental plan across dirty phases") {
+    val root = Files.createTempDirectory("dcyc-incr-").toString + "/t"
+    val (t, _) = SeqGen.fragmentedTable(spark, root, 4000, 30)
+    val opts = (8, 1.0, 500L) // (k, threshold, targetRecords)
+
+    // phase 1: cold (no cached state) — both variants must plan identical tasks and state
+    val (ta1, sa1) = MaintenancePlanner.planIncremental(spark, t, cfg, opts._1, opts._2, opts._3, None)
+    val (tb1, sb1) = MaintenancePlanner.planIncrementalDistributed(
+      spark, t, cfg, opts._1, opts._2, opts._3, None)
+    assert(ta1.map(x => (x.region, x.filePaths.toSet)) === tb1.map(x => (x.region, x.filePaths.toSet)))
+    assert(sa1.nodes === sb1.nodes && sa1.kPrime === sb1.kPrime && sa1.baseVersion === sb1.baseVersion)
+
+    // dirty the table: append fresh files (plan-only calls above did not mutate it)
+    val more = graft.table.SeqIO.writeFiles(spark, t,
+      graft.fixtures.SeqGen.table(spark, 800, parts = 4).repartition(6))
+    t.commit("append", more, Set.empty)
+
+    // phase 2: warm — same answers AND the distributed variant recomputes only dirtied nodes
+    var ranA = Set.empty[Int]; var ranB = Set.empty[Int]
+    val (ta2, sa2) = MaintenancePlanner.planIncremental(
+      spark, t, cfg, opts._1, opts._2, opts._3, Some(sa1), (n, _) => ranA ++= n)
+    val (tb2, sb2) = MaintenancePlanner.planIncrementalDistributed(
+      spark, t, cfg, opts._1, opts._2, opts._3, Some(sb1), (n, _) => ranB ++= n)
+    assert(ta2.map(x => (x.region, x.filePaths.toSet)) === tb2.map(x => (x.region, x.filePaths.toSet)))
+    assert(sa2.nodes === sb2.nodes)
+    assert(ranB === ranA, "distributed dirty-node diff must match the driver diff")
+    val allNodes = sb2.nodes.keySet
+    assert(ranB.nonEmpty && ranB.size < allNodes.size,
+      s"phase 2 must recompute a strict subset of nodes (ran ${ranB.size} of ${allNodes.size})")
+  }
+
   test("narrow manifest scan nulls docBloom but keeps every layout stat") {
     val root = Files.createTempDirectory("dcyc-narrow-").toString + "/t"
     val (t, _) = SeqGen.fragmentedTable(spark, root, 1000, 8)
