@@ -157,6 +157,13 @@ object SparkEntry {
     "q14_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))),
 
+    "q42_rare_word_ratio" -> ((s, dir) =>
+      // corpus-relative quality: rarity needs a corpus-wide vocabulary aggregate (vs q12's
+      // per-row signals) — wordcount shuffle → words⋈vocab shuffle join → per-doc ratio
+      TA.rareWordRatio(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), minCount = 500L)
+        .orderBy("doc_id")),
+
     "q15_keyword_filter" -> ((s, dir) =>
       // reference F2: ANY-match keyword filter via arrays_overlap — pure built-ins
       t(s, dir, "documents")
@@ -597,6 +604,19 @@ object SparkEntry {
       s"""SELECT doc_id, md5(array_to_string(
          |  (string_split_regex(trim(lower(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))), '\\s+'))[1:8], ' ')) AS fp
          |FROM documents""".stripMargin,
+
+    // corpus vocabulary → per-doc rare-token ratio; the (rare·10⁴)/n division order matches the
+    // Spark expression bit-for-bit
+    "q42_rare_word_ratio" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |           FROM documents),
+         |wf AS (SELECT * FROM w WHERE w <> ''),
+         |v AS (SELECT w, count(*) AS cnt FROM wf GROUP BY 1)
+         |SELECT doc_id, count(*)::BIGINT AS n_words,
+         |  sum(CASE WHEN cnt < 500 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+         |  cast(round(sum(CASE WHEN cnt < 500 THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT)
+         |    AS rare_x1e4
+         |FROM wf JOIN v USING (w) GROUP BY 1""".stripMargin,
 
     "q15_keyword_filter" ->
       """SELECT source, count(*) AS cnt FROM documents

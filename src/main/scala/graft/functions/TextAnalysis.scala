@@ -71,4 +71,27 @@ object TextAnalysis {
   /** Normalized text for exact dedup: lowercase, strip non-alnum, collapse whitespace. */
   def normalized(text: Column): Column =
     regexp_replace(trim(lower(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))), "\\s+", " ")
+
+  /** Corpus-relative rarity: per document, the fraction of whitespace tokens whose CORPUS
+    * frequency is below `minCount` (×10000 as bigint). Unlike the per-row quality columns above,
+    * this needs a corpus-wide aggregate — the quality signal a single row can't compute.
+    *
+    * Scale shape: one word-count shuffle builds the vocabulary, then the exploded words join it
+    * on the word key (shuffle join — the vocabulary can be Zipf-long, so no broadcast
+    * assumption) and re-aggregate per document. Three shuffles total, all partial-aggregated;
+    * token payloads never move (only (doc_id, word) pairs).
+    *
+    * `df` needs (doc_id, text); returns (doc_id, n_words, n_rare, rare_x1e4).
+    */
+  def rareWordRatio(df: org.apache.spark.sql.DataFrame, minCount: Long): org.apache.spark.sql.DataFrame = {
+    val words = df.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    words.join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("cnt") < minCount, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_x1e4", // (rare·10⁴)/n order matches the SQL twin bit-for-bit
+        round(col("n_rare").cast("double") * 10000 / col("n_words")).cast("long"))
+  }
 }
