@@ -1,0 +1,81 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.fixtures.SeqGen
+import graft.planner.GridConfig
+import graft.state.Checkpoint
+import graft.table.{SeqIO, SeqTable}
+
+/** Randomized engine torture: a seeded random sequence of lifecycle operations (COW merge,
+  * MoR merge, compaction cycle, delete materialization, manifest rewrite, snapshot expiry)
+  * against an in-memory model of the table's logical content. After EVERY op the physical table
+  * must match the model exactly on (doc_id, token checksum, n_tok, source) — the end-to-end
+  * invariant none of the single-op specs can check across interleavings.
+  */
+class EngineFuzzSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val cfg = GridConfig()
+
+  private def contentOf(t: SeqTable): Map[String, (Long, Int, String)] = {
+    import spark.implicits._
+    SeqIO.read(spark, t)
+      .select(col("doc_id"), xxhash64(col("tokens")).as("th"), col("n_tok"), col("source"))
+      .as[(String, Long, Int, String)].collect()
+      .map { case (id, th, n, s) => id -> (th, n, s) }.toMap
+  }
+
+  private def modelOf(df: org.apache.spark.sql.DataFrame): Seq[(String, (Long, Int, String), String)] = {
+    import spark.implicits._
+    val hasOp = df.columns.contains("_op")
+    df.select(col("doc_id"), xxhash64(col("tokens")).as("th"), col("n_tok"), col("source"),
+        if (hasOp) col("_op") else lit("U").as("_op"))
+      .as[(String, Long, Int, String, String)].collect()
+      .map { case (id, th, n, s, op) => (id, (th, n, s), op) }.toSeq
+  }
+
+  test("random op sequences: physical content == model after every operation") {
+    for (seed <- Seq(11, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val root = Files.createTempDirectory(s"fuzz$seed-").toString + "/t"
+      val rows = 1500L
+      val (table, _) = SeqGen.fragmentedTable(spark, root, rows, 20)
+      val ckpt = new Checkpoint(s"$root/state")
+      val model = scala.collection.mutable.Map.empty[String, (Long, Int, String)]
+      modelOf(SeqGen.table(spark, rows)).foreach { case (id, v, _) => model(id) = v }
+      assert(contentOf(table) === model.toMap, "fixture must seed the model")
+
+      val opts = MaintenanceOptions(k = 8, targetRecordsPerFile = 400)
+      var step = 0
+      for (_ <- 1 to 10) {
+        step += 1
+        val op = rnd.nextInt(6)
+        val tag = op match {
+          case 0 | 1 => // merge (COW or MoR) with upserts + deletes
+            val mor = op == 1
+            val changes = SeqGen.changeSet(spark, rows,
+              changes = 100 + rnd.nextInt(200), deletes = rnd.nextInt(60)).persist()
+            MergeInto.merge(spark, table, changes, cfg, opts.targetRecordsPerFile, mor = mor)
+            modelOf(changes).foreach {
+              case (id, _, "D") => model.remove(id)
+              case (id, v, _) => model(id) = v
+            }
+            changes.unpersist()
+            s"merge(mor=$mor)"
+          case 2 =>
+            MaintenanceRunner.runCycle(spark, table, cfg, opts, ckpt); "cycle"
+          case 3 =>
+            MaterializeDeletes.run(spark, table, cfg, opts.targetRecordsPerFile); "materialize"
+          case 4 =>
+            table.rewriteManifests(); "rewrite-manifests"
+          case 5 =>
+            table.expireSnapshots(keepLast = 2); "expire"
+        }
+        assert(contentOf(table) === model.toMap,
+          s"seed=$seed step=$step op=$tag: physical content diverged from model")
+      }
+    }
+  }
+}
