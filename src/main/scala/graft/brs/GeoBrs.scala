@@ -130,16 +130,33 @@ object GeoBrsKernel {
     var peak = 0
     var lastAx = Double.NaN
     var any = false
+    // running strip weight (Kahan-compensated): an upper bound on ANY candidate anchored at ax
+    // (candidates cover subsets of the strip) — the reference's border upper-bound idea (A8,
+    // `GridIndexer.scala:128-211`) applied per anchor: once the heap is full, an anchor whose
+    // whole strip cannot strictly beat the current worst emits nothing we'd keep, so the
+    // O(W log W) sweep is skipped entirely (it still counts as `dropped` — completeness
+    // accounting unchanged). The 1e-9 relative margin absorbs compensated-summation error so a
+    // borderline anchor is never pruned (specs: brute-force parity unchanged).
+    var stripSum = 0.0
+    var stripC = 0.0
+    @inline def stripAdd(v: Double): Unit = {
+      val y = v - stripC; val t = stripSum + y; stripC = (t - stripSum) - y; stripSum = t
+    }
     while (it.hasNext || window.nonEmpty) {
       // next anchor = smallest unprocessed point x; the window head is the oldest still-relevant
       val ax =
         if (window.nonEmpty) window.head.x
-        else { window.append(it.next()); window.head.x }
+        else { val p = it.next(); window.append(p); stripAdd(p.w); window.head.x }
       // fill the strip [ax, ax+eps]
-      while (it.hasNext && it.head.x <= ax + eps) window.append(it.next())
+      while (it.hasNext && it.head.x <= ax + eps) { val p = it.next(); window.append(p); stripAdd(p.w) }
       peak = math.max(peak, window.size)
       any = true
-      if (ownsAnchorX(ax) && (lastAx.isNaN || ax != lastAx)) {
+      val heapFull = kPrime != Int.MaxValue && heap.size >= kPrime
+      val bound = stripSum * (1 + 1e-9) + 1e-9
+      if (ownsAnchorX(ax) && (lastAx.isNaN || ax != lastAx) &&
+          heapFull && bound < heap.head.score) {
+        if (stripSum > 0) dropped = true // a positive-score candidate may exist here; we skipped it
+      } else if (ownsAnchorX(ax) && (lastAx.isNaN || ax != lastAx)) {
         val active = window.toArray.sortBy(_.y)
         val edgeYs = active.iterator.filter(_.x == ax).map(_.y).toArray.sorted
         @inline def edgeCovered(ay: Double): Boolean = {
@@ -161,7 +178,7 @@ object GeoBrsKernel {
       }
       lastAx = ax
       // retire every point at the current anchor x (their anchors are done)
-      while (window.nonEmpty && window.head.x == ax) window.removeHead()
+      while (window.nonEmpty && window.head.x == ax) stripAdd(-window.removeHead().w)
     }
     if (!any) return GeoNodeResult(Vector.empty, exhausted = true, Double.PositiveInfinity)
     val emitted = heap.dequeueAll.reverse.toVector // worst-first queue → best-first list
