@@ -161,18 +161,20 @@ object BRS {
     val splitsB = spark.sparkContext.broadcast(splits)
     val usePremerge = nKeys > premergeKeys
 
+    // FLAT primitive columns (no nested Pt struct): the round loop rescans this cache every
+    // round, and Spark's in-memory columnar cache scans primitives far faster than structs
     val keyed = pts.flatMap { p =>
       grid.nodesForPoint(p.x, p.y).flatMap { n =>
         splitsB.value.get(n) match {
-          case None => Seq((n, 0, p))
+          case None => Seq((n, 0, p.x, p.y, p.w))
           case Some(bounds) =>
             val (ax0, _, _, _) = grid.anchorBox(n)
             val lo = stripIndex(bounds, math.max(ax0, p.x - eps))
             val hi = stripIndex(bounds, p.x)
-            (lo to hi).map(s => (n, s, p))
+            (lo to hi).map(s => (n, s, p.x, p.y, p.w))
         }
       }
-    }.toDF("node", "strip", "pt").persist()
+    }.toDF("node", "strip", "x", "y", "w").persist()
 
     try {
       // STREAMING per-(node, strip) kernel: repartition by key + secondary sort on x, then one
@@ -182,24 +184,29 @@ object BRS {
       // candidate — their results are valid at any K′ and are not re-run.
       def runRound(kPrime: Int, m: Int, exclusions: Vector[GeoRegion],
           cached: Map[(Long, Int), GeoNodeResult]): (Seq[GeoNodeResult], Map[(Long, Int), GeoNodeResult]) = {
-        val skip = spark.sparkContext.broadcast(cached.keySet)
+        if (cached.size >= nKeys) return (cached.values.toSeq, cached) // nothing dirty: no job
         val excl = spark.sparkContext.broadcast(exclusions)
-        val perKey = keyed
-          .as[(Long, Int, Pt)]
-          .filter(kv => !skip.value.contains((kv._1, kv._2)))
-          .toDF("node", "strip", "pt")
+        // skip-filter as a broadcast ANTI-JOIN on (node, strip): stays in whole-stage codegen —
+        // a typed filter against the cached-key set deserialized all 8M+ replicated points per
+        // round, which dwarfed the actual (few-key) recompute once rounds became incremental
+        val base =
+          if (cached.isEmpty) keyed
+          else keyed.join(
+            broadcast(cached.keySet.toSeq.toDF("node", "strip")), Seq("node", "strip"),
+            "left_anti")
+        val perKey = base
           .repartition(col("node"), col("strip"))
-          .sortWithinPartitions(col("node"), col("strip"), col("pt.x"))
-          .as[(Long, Int, Pt)]
+          .sortWithinPartitions(col("node"), col("strip"), col("x"))
+          .as[(Long, Int, Double, Double, Double)]
           .mapPartitions { it =>
             val buf = it.buffered
             new Iterator[(Long, Int, GeoNodeResult)] {
               def hasNext: Boolean = buf.hasNext
               def next(): (Long, Int, GeoNodeResult) = {
-                val (node, strip, _) = buf.head
+                val (node, strip, _, _, _) = buf.head
                 val run = new Iterator[Pt] {
                   def hasNext: Boolean = buf.hasNext && buf.head._1 == node && buf.head._2 == strip
-                  def next(): Pt = buf.next()._3
+                  def next(): Pt = { val r = buf.next(); Pt(r._3, r._4, r._5) }
                 }
                 val (ax0, ax1, ay0, ay1) = grid.anchorBox(node)
                 val owns: Double => Boolean = splitsB.value.get(node) match {
@@ -234,7 +241,11 @@ object BRS {
       // or GROWS K′/m geometrically up to KPrimeCap. Progress argument: the next true winner is
       // its node's best non-excluded candidate, so with the threshold test it is accepted unless
       // a tie at the threshold hides it — and then growth makes strict progress instead.
-      var kPrime = math.max(k, 4)
+      // start 4× deeper than k: the merge threshold is the max truncated per-key K′th-best, so
+      // deeper emission proves MORE of the greedy prefix per round — at 2M points this cut the
+      // fixed-winner rounds (each re-sweeping the hottest node) from 7 to ~2 for the cost of a
+      // slightly larger (still tiny) per-task heap
+      var kPrime = math.max(4 * k, 16)
       var m = math.max(kPrime, 4 * k)
       var fixed = Vector.empty[GeoRegion]
       var cache = Map.empty[(Long, Int), GeoNodeResult]
@@ -248,13 +259,35 @@ object BRS {
       val maxTotalRounds = maxRounds + k + growthRounds
       while (!done && round < maxTotalRounds) {
         round += 1
+        val t0 = System.nanoTime()
         val (results, newCache) =
           runRound(kPrime, m, if (distinct && sigma.isEmpty) fixed else Vector.empty, cache)
         val (acc, complete) = GeoBrsKernel.mergeTopK(
           results, k - fixed.size, overlapAllowed = !distinct, seed = fixed, sigma = sigma)
+        if (sys.env.contains("GRAFT_BRS_DEBUG"))
+          println(f"[brs-round] round=$round kPrime=$kPrime accepted=${acc.size} " +
+            f"fixed=${fixed.size + acc.size} complete=$complete premerge=$usePremerge " +
+            f"keys=$nKeys cached=${cache.size} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
         fixed = fixed ++ acc
         done = complete || fixed.size >= k
-        if (!usePremerge) cache = newCache.filter(_._2.exhausted)
+        // Per-key results are DETERMINISTIC functions of (points, K′, exclusion set), so a round
+        // invalidates only what it changed — the fixed-winner rounds stop being full recomputes:
+        //  - K′ growth invalidates truncated results (exhausted ones emitted everything, valid
+        //    at any K′);
+        //  - a newly fixed winner invalidates only keys whose candidate squares can overlap it
+        //    (anchors live in the node box; squares extend +eps) — every other key's kernel
+        //    would produce byte-identical output under the grown exclusion list.
+        if (!usePremerge) {
+          cache = newCache
+          if (!done) {
+            if (acc.isEmpty) cache = cache.filter(_._2.exhausted)
+            else if (distinct && sigma.isEmpty) cache = cache.filter { case ((node, _), _) =>
+              val (ax0, ax1, ay0, ay1) = grid.anchorBox(node)
+              !acc.exists(w => w.x + w.eps >= ax0 - eps && w.x <= ax1 + eps &&
+                w.y + w.eps >= ay0 - eps && w.y <= ay1 + eps)
+            }
+          }
+        }
         if (!done && acc.isEmpty) {
           if (kPrime >= KPrimeCap)
             throw new IllegalStateException(

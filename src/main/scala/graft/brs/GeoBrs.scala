@@ -133,22 +133,54 @@ object GeoBrsKernel {
     // running strip weight (Kahan-compensated): an upper bound on ANY candidate anchored at ax
     // (candidates cover subsets of the strip) — the reference's border upper-bound idea (A8,
     // `GridIndexer.scala:128-211`) applied per anchor: once the heap is full, an anchor whose
-    // whole strip cannot strictly beat the current worst emits nothing we'd keep, so the
-    // O(W log W) sweep is skipped entirely (it still counts as `dropped` — completeness
-    // accounting unchanged). The 1e-9 relative margin absorbs compensated-summation error so a
-    // borderline anchor is never pruned (specs: brute-force parity unchanged).
+    // whole strip cannot strictly beat the current worst emits nothing we'd keep, so the sweep
+    // is skipped entirely (it still counts as `dropped` — completeness accounting unchanged).
+    // The 1e-9 relative margin absorbs compensated-summation error so a borderline anchor is
+    // never pruned (specs: brute-force parity unchanged).
     var stripSum = 0.0
     var stripC = 0.0
     @inline def stripAdd(v: Double): Unit = {
       val y = v - stripC; val t = stripSum + y; stripC = (t - stripSum) - y; stripSum = t
     }
+    // y-SORTED mirror of the window (parallel primitive arrays, memmove insert/remove): the
+    // window between consecutive anchors changes by a handful of points, so re-sorting it per
+    // anchor (the r03 formulation) cost O(W log W) boxed comparisons per anchor and dominated
+    // dense nodes; the incremental mirror makes each anchor's sweep a plain O(W) array walk.
+    var cap = 256
+    var sy = new Array[Double](cap); var sx = new Array[Double](cap); var sw = new Array[Double](cap)
+    var m = 0
+    def insertSorted(p: Pt): Unit = {
+      if (m == cap) {
+        cap *= 2
+        sy = java.util.Arrays.copyOf(sy, cap)
+        sx = java.util.Arrays.copyOf(sx, cap)
+        sw = java.util.Arrays.copyOf(sw, cap)
+      }
+      var i = java.util.Arrays.binarySearch(sy, 0, m, p.y)
+      if (i < 0) i = -i - 1 else { i += 1; while (i < m && sy(i) == p.y) i += 1 }
+      System.arraycopy(sy, i, sy, i + 1, m - i)
+      System.arraycopy(sx, i, sx, i + 1, m - i)
+      System.arraycopy(sw, i, sw, i + 1, m - i)
+      sy(i) = p.y; sx(i) = p.x; sw(i) = p.w; m += 1
+    }
+    def removeSorted(p: Pt): Unit = {
+      var i = java.util.Arrays.binarySearch(sy, 0, m, p.y)
+      while (i > 0 && sy(i - 1) == p.y) i -= 1
+      while (sy(i) != p.y || sx(i) != p.x || sw(i) != p.w) i += 1 // exact entry exists by invariant
+      System.arraycopy(sy, i + 1, sy, i, m - i - 1)
+      System.arraycopy(sx, i + 1, sx, i, m - i - 1)
+      System.arraycopy(sw, i + 1, sw, i, m - i - 1)
+      m -= 1
+    }
     while (it.hasNext || window.nonEmpty) {
       // next anchor = smallest unprocessed point x; the window head is the oldest still-relevant
       val ax =
         if (window.nonEmpty) window.head.x
-        else { val p = it.next(); window.append(p); stripAdd(p.w); window.head.x }
+        else { val p = it.next(); window.append(p); stripAdd(p.w); insertSorted(p); window.head.x }
       // fill the strip [ax, ax+eps]
-      while (it.hasNext && it.head.x <= ax + eps) { val p = it.next(); window.append(p); stripAdd(p.w) }
+      while (it.hasNext && it.head.x <= ax + eps) {
+        val p = it.next(); window.append(p); stripAdd(p.w); insertSorted(p)
+      }
       peak = math.max(peak, window.size)
       any = true
       val heapFull = kPrime != Int.MaxValue && heap.size >= kPrime
@@ -157,20 +189,26 @@ object GeoBrsKernel {
           heapFull && bound < heap.head.score) {
         if (stripSum > 0) dropped = true // a positive-score candidate may exist here; we skipped it
       } else if (ownsAnchorX(ax) && (lastAx.isNaN || ax != lastAx)) {
-        val active = window.toArray.sortBy(_.y)
-        val edgeYs = active.iterator.filter(_.x == ax).map(_.y).toArray.sorted
+        // edge-defining ys for the canonical-anchor check: ys of window points with x == ax
+        var cnt = 0
+        var i = 0
+        while (i < m) { if (sx(i) == ax) cnt += 1; i += 1 }
+        val edgeYs = new Array[Double](cnt)
+        var e = 0
+        i = 0
+        while (i < m) { if (sx(i) == ax) { edgeYs(e) = sy(i); e += 1 }; i += 1 } // sorted already
         @inline def edgeCovered(ay: Double): Boolean = {
           var lo = java.util.Arrays.binarySearch(edgeYs, ay)
           if (lo < 0) lo = -lo - 1
           lo < edgeYs.length && edgeYs(lo) <= ay + eps
         }
         var j = 0; var start = 0; var top = 0; var sum = 0.0
-        while (j < active.length) {
-          if (j > 0 && active(j - 1).y == active(j).y) j += 1
+        while (j < m) {
+          if (j > 0 && sy(j - 1) == sy(j)) j += 1
           else {
-            val ay = active(j).y
-            while (top < active.length && active(top).y <= ay + eps) { sum += active(top).w; top += 1 }
-            while (start < j) { sum -= active(start).w; start += 1 }
+            val ay = sy(j)
+            while (top < m && sy(top) <= ay + eps) { sum += sw(top); top += 1 }
+            while (start < j) { sum -= sw(start); start += 1 }
             if (ay >= ay0 && ay < ay1 && sum > 0 && edgeCovered(ay)) offer(GeoRegion(ax, ay, eps, sum))
             j += 1
           }
@@ -178,7 +216,9 @@ object GeoBrsKernel {
       }
       lastAx = ax
       // retire every point at the current anchor x (their anchors are done)
-      while (window.nonEmpty && window.head.x == ax) stripAdd(-window.removeHead().w)
+      while (window.nonEmpty && window.head.x == ax) {
+        val p = window.removeHead(); stripAdd(-p.w); removeSorted(p)
+      }
     }
     if (!any) return GeoNodeResult(Vector.empty, exhausted = true, Double.PositiveInfinity)
     val emitted = heap.dequeueAll.reverse.toVector // worst-first queue → best-first list
