@@ -38,10 +38,24 @@ final class Checkpoint(dir: String) {
     finally ch.close()
   }
 
+  /** All logged events. A malformed FINAL line is dropped, not fatal: a crash can tear the last
+    * append mid-write (even with SYNC, the byte write is not atomic on power loss), and an event
+    * whose bytes never fully landed never happened — resume must not be bricked by it. Malformed
+    * EARLIER lines are real corruption and still throw loudly.
+    */
   def events(): Seq[StateEvent] =
     if (!Files.exists(path)) Nil
-    else Files.readAllLines(path).asScala.iterator.filter(_.nonEmpty)
-      .map(Serialization.read[StateEvent]).toSeq
+    else {
+      val lines = Files.readAllLines(path).asScala.toVector.filter(_.nonEmpty)
+      lines.zipWithIndex.flatMap { case (l, i) =>
+        try Some(Serialization.read[StateEvent](l))
+        catch {
+          case _: Exception if i == lines.size - 1 => None // torn tail from a mid-append crash
+          case e: Exception =>
+            throw new IllegalStateException(s"corrupt checkpoint line ${i + 1} of $path", e)
+        }
+      }
+    }
 
   def lastCycle(): Long = events().map(_.cycle).maxOption.getOrElse(0L)
 

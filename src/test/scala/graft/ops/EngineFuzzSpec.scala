@@ -65,7 +65,12 @@ class EngineFuzzSpec extends AnyFunSuite {
             changes.unpersist()
             s"merge(mor=$mor)"
           case 2 =>
-            MaintenanceRunner.runCycle(spark, table, cfg, opts, ckpt); "cycle"
+            // vary the planning mode too: incremental (dirty-node cache) and distributed
+            // (executor-side manifests, parquet carrier) interleave with everything else
+            val o = opts.copy(incremental = rnd.nextBoolean(),
+              distributedPlanFiles = if (rnd.nextBoolean()) 0 else Int.MaxValue)
+            MaintenanceRunner.runCycle(spark, table, cfg, o, ckpt)
+            s"cycle(incr=${o.incremental},dist=${o.distributedPlanFiles == 0})"
           case 3 =>
             MaterializeDeletes.run(spark, table, cfg, opts.targetRecordsPerFile); "materialize"
           case 4 =>

@@ -74,4 +74,23 @@ class ResumeSpec extends AnyFunSuite {
     val r2 = run(root, None, batch = true)
     assert(r2.cycle === r1.cycle + 1)
   }
+
+  test("torn final log line (crash mid-append) is dropped; earlier corruption still throws") {
+    val root = freshTable(2000, 16)
+    run(root, None, batch = true)
+    val log = java.nio.file.Paths.get(s"$root/state/maintenance-log.jsonl")
+    val intact = new Checkpoint(s"$root/state").events()
+    // crash tears the last append mid-write: resume must see exactly the intact prefix
+    java.nio.file.Files.writeString(log, "{\"event\":\"TASK_COM",
+      java.nio.file.StandardOpenOption.APPEND)
+    val ck = new Checkpoint(s"$root/state")
+    assert(ck.events() === intact, "torn tail must be ignored")
+    val r = run(root, None, batch = true) // and a new cycle still runs on top of the torn log
+    assert(r.cycle === intact.map(_.cycle).max + 1)
+    // corruption in the MIDDLE is a real integrity failure → loud error
+    val lines = java.nio.file.Files.readAllLines(log)
+    lines.set(0, "NOT JSON")
+    java.nio.file.Files.write(log, lines)
+    assertThrows[IllegalStateException](new Checkpoint(s"$root/state").events())
+  }
 }
