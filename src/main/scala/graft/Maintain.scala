@@ -95,8 +95,19 @@ object Maintain {
         val mr = MergeInto.merge(spark, table, changes, cfg, opts.targetRecordsPerFile)
         println(s"[merge] files-rewritten=${mr.filesRewritten} attempts=${mr.attempts} → v${mr.snapshot.version}")
 
+      case "query" :: path :: lonCol :: latCol :: epsS :: kS :: rest =>
+        // the reference's user-facing BRS query from the CLI, emitting its exact REST/S4 JSON
+        // shape (BRS.renderJson pins the buffer.tmp contract); optional trailing σ for the
+        // approximate mode (reference algo 8)
+        val sigma = rest.headOption.map(_.toDouble)
+        val res = graft.brs.BRS.bestRegions(spark.read.parquet(path),
+          eps = epsS.toDouble, k = kS.toInt, lonCol = lonCol, latCol = latCol, sigma = sigma)
+        println(graft.brs.BRS.renderJson(res))
+
       case other =>
-        System.err.println(s"usage: demo <dir> [rows] [files] | cycle <tableDir> | merge <tableDir> <changesParquet>; got: $other")
+        System.err.println("usage: demo <dir> [rows] [files] | cycle <tableDir> | " +
+          "merge <tableDir> <changesParquet> | query <parquet> <lonCol> <latCol> <eps> <k> [sigma]" +
+          s"; got: $other")
         sys.exit(2)
     }
     spark.stop()
