@@ -66,11 +66,21 @@ object Bench {
     */
   def maintenanceBench(spark: SparkSession, rows: Long, nFiles: Int,
       baseDir: Option[String] = None): MaintBench = {
-    val root = baseDir match {
+    val tmpRoot = baseDir match {
       case Some(d) => Files.createTempDirectory(Files.createDirectories(
-        java.nio.file.Paths.get(d)), "graft-bench-").toString + "/tbl"
-      case None => Files.createTempDirectory("graft-bench-").toString + "/tbl"
+        java.nio.file.Paths.get(d)), "graft-bench-")
+      case None => Files.createTempDirectory("graft-bench-")
     }
+    val root = tmpRoot.toString + "/tbl"
+    try maintenanceBenchAt(spark, root, rows, nFiles)
+    finally { // a leaked bench table is ~4 GB of /tmp per run — always reclaim
+      import scala.jdk.CollectionConverters._
+      Files.walk(tmpRoot).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  private def maintenanceBenchAt(
+      spark: SparkSession, root: String, rows: Long, nFiles: Int): MaintBench = {
     val cfg = GridConfig()
     val target = math.max(2000L, rows / 40)
     // k=64: one planner pass claims the whole fragmented backlog (64 x-buckets / 2-wide regions)
@@ -120,8 +130,8 @@ object Bench {
 
     if (args.headOption.contains("brs")) {
       // Flagship-query throughput at scale: exact continuous BRS over millions of deterministic
-      // points (pure column-expression generation — a fabricated skewed world: most points
-      // uniform, 30% in 8 dense city clusters, so hot-node quantile splitting actually engages).
+      // points (pure column-expression generation — a fabricated skewed world: 80% uniform,
+      // 20% in 8 dense city clusters, so dense-node kernels and pruning actually engage).
       val n = sys.env.get("SPARK_GRAFT_BRS_POINTS").map(_.toLong).getOrElse(2000000L)
       val spark = session(cpus)
       def u(salt: Int) =

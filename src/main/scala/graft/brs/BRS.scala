@@ -71,8 +71,8 @@ object BRS {
         .map { case (n, c) =>
           n -> math.min(MaxStripsPerNode, math.ceil(c.toDouble / hotNodeBudget).toInt)
         }.toMap
-      val totalKeys = counts.count() + hotCounts.values.map(_ - 1).sum
-      if (hotCounts.isEmpty) return (Map.empty, totalKeys)
+      val occupiedNodes = counts.count()
+      if (hotCounts.isEmpty) return (Map.empty, occupiedNodes)
 
       // one pass over the hot nodes' replicated points: a fixed quantile grid per node, from
       // which each node picks its nStrips-1 boundaries (grid is metadata-sized: hot × Q doubles)
@@ -87,12 +87,16 @@ object BRS {
         .as[(Long, Seq[Double])].collect().toMap
       val splits = hotCounts.map { case (n, nStrips) =>
         val qs = grids.getOrElse(n, Seq.empty)
-        val bounds = (1 until nStrips).map { s =>
-          qs(math.min(qs.size - 1, math.max(0, s * q / nStrips - 1)))
-        }.distinct.sorted.toArray // duplicate quantiles collapse (massive x-ties): fewer strips
+        val bounds =
+          if (qs.isEmpty) Array.empty[Double] // no quantile row (nondeterministic source): unsplit
+          else (1 until nStrips).map { s =>
+            qs(math.min(qs.size - 1, math.max(0, s * q / nStrips - 1)))
+          }.distinct.sorted.toArray // duplicate quantiles collapse (massive x-ties): fewer strips
         n -> bounds
       }
-      (splits, totalKeys)
+      // key count from the REALIZED split plan (dedup can collapse strips): an overcount would
+      // keep runRound's fully-cached short-circuit from ever firing
+      (splits, occupiedNodes + splits.values.map(_.length.toLong).sum)
     } finally { counts.unpersist(); () }
   }
 
@@ -148,11 +152,14 @@ object BRS {
     val pts = rows.select(col(lonCol).cast("double"), col(latCol).cast("double"), w)
       .as[(Double, Double, Double)].map { case (x, y, s) => Pt(x, y, s) }
 
-    val bbox = pts.agg(min("x"), min("y"), count(lit(1))).head()
+    val bbox = pts.agg(min("x"), min("y"), count(lit(1)), min("w")).head()
     if (bbox.getLong(2) == 0L)
       return Seq.empty[(Int, Double, Double, Double)]
         .toDF("rank", "center_lon", "center_lat", "score")
     val grid = GeoGrid(bbox.getDouble(0), bbox.getDouble(1), eps, nodeSide)
+    // the kernel's strip-sum prune is only sound for non-negative weights (a candidate covers a
+    // SUBSET of its strip) — a negative scoreCol disables it rather than silently mis-pruning
+    val allowPrune = bbox.getDouble(3) >= 0.0
 
     // hot-node split plan: nodes above budget get ceil(count/budget) x-sub-strips — a dense node
     // executes as MANY tasks with exact parity (anchors are partitioned by x; each strip's kernel
@@ -214,7 +221,8 @@ object BRS {
                   case Some(bounds) =>
                     x => x >= ax0 && x < ax1 && stripIndex(bounds, x) == strip
                 }
-                val r = GeoBrsKernel.localTopKStreaming(run, eps, kPrime, owns, ay0, ay1, excl.value)
+                val r = GeoBrsKernel.localTopKStreaming(run, eps, kPrime, owns, ay0, ay1,
+                  excl.value, allowPrune)
                 while (run.hasNext) run.next() // kernel drains, but never trust an invariant twice
                 (node, strip, r)
               }

@@ -115,7 +115,7 @@ object GeoBrsKernel {
   def localTopKStreaming(
       sortedByX: Iterator[Pt], eps: Double, kPrime: Int,
       ownsAnchorX: Double => Boolean, ay0: Double, ay1: Double,
-      exclusions: IndexedSeq[GeoRegion]): GeoNodeResult = {
+      exclusions: IndexedSeq[GeoRegion], allowPrune: Boolean = true): GeoNodeResult = {
     // worst candidate on top, so the heap evicts it when a better one arrives
     val heap = new scala.collection.mutable.PriorityQueue[GeoRegion]()(GeoRegionOrdering)
     var dropped = false
@@ -183,7 +183,9 @@ object GeoBrsKernel {
       }
       peak = math.max(peak, window.size)
       any = true
-      val heapFull = kPrime != Int.MaxValue && heap.size >= kPrime
+      // the strip-sum bound assumes NON-NEGATIVE weights (a candidate covers a subset of the
+      // strip); callers with any negative weight must pass allowPrune = false
+      val heapFull = allowPrune && kPrime != Int.MaxValue && heap.size >= kPrime
       val bound = stripSum * (1 + 1e-9) + 1e-9
       if (ownsAnchorX(ax) && (lastAx.isNaN || ax != lastAx) &&
           heapFull && bound < heap.head.score) {

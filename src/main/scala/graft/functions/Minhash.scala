@@ -1,9 +1,29 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+
+/** Input-type guards for the fused kernels: the definitional Column formulations accepted any
+  * numeric element type through SQL widening, but the kernels read raw array slots — an int
+  * array through getDouble would be silently-wrong bytes, so reject non-float/double elements
+  * at ANALYSIS time instead of computing garbage.
+  */
+private[functions] object KernelTypeCheck {
+  def vector(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<float> or array<double> input, got ${other.catalogString}" +
+        " (cast the elements explicitly; integer arrays are not supported by the fused kernel)")
+  }
+  def elem(name: String, dt: DataType, want: DataType): TypeCheckResult = dt match {
+    case ArrayType(e, _) if e == want => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<${want.catalogString}> input, got ${other.catalogString}")
+  }
+}
 
 /** Single-pass MinHash signature kernel.
   *
@@ -56,6 +76,8 @@ object Minhash {
   * On the q09/near-dup hot path — see [[Minhash]] for why this is an expression, not Columns.
   */
 case class AffineMinhashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypeCheck.elem(prettyName, child.dataType, LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "affine_minhash_sig"
   override protected def nullSafeEval(arr: Any): Any =
@@ -131,6 +153,11 @@ object CosineKernel {
 
 /** Codegen'd Catalyst expression: cosine similarity of two float/double vectors, one walk. */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = KernelTypeCheck.vector(prettyName, left.dataType)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else KernelTypeCheck.vector(prettyName, right.dataType)
+  }
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -185,6 +212,8 @@ object Simhash {
 
 /** Codegen'd Catalyst expression: 64-bit SimHash of an md5-hex-digest array, one walk. */
 case class SimhashFromMd5(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypeCheck.elem(prettyName, child.dataType, StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_from_md5"
   override protected def nullSafeEval(arr: Any): Any =
@@ -237,6 +266,8 @@ object IvfQuantizer {
   */
 case class IvfProbeCellsExpr(child: Expression, cells: Int, dims: Int, probes: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypeCheck.vector(prettyName, child.dataType)
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
   override def dataType: DataType =
@@ -263,6 +294,8 @@ case class IvfProbeCellsExpr(child: Expression, cells: Int, dims: Int, probes: I
   */
 case class HyperplaneSketchAll(child: Expression, tables: Int, planes: Int, dims: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypeCheck.vector(prettyName, child.dataType)
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

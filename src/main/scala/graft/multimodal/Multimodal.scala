@@ -143,8 +143,13 @@ object Multimodal {
         case m if m.kind == "image" => decodeImageBytes(m.id, m.payload).iterator
         case m if m.kind == "audio" =>
           decodeWavBytes(m.id, m.payload).iterator.flatMap { clip =>
-            val per = math.max(1, (clip.samples.length + frameCount - 1) / math.max(1, frameCount))
-            clip.samples.grouped(per).zipWithIndex.map { case (w, i) =>
+            // window in whole AUDIO FRAMES (one sample per channel), never splitting an
+            // interleaved channel group: width = frames per window, so the Frame contract
+            // pixels.length == width × height × channels × 2 holds like it does for images
+            val ch = math.max(1, clip.channels)
+            val audioFrames = clip.samples.length / ch
+            val perWindow = math.max(1, (audioFrames + frameCount - 1) / math.max(1, frameCount))
+            clip.samples.grouped(perWindow * ch).zipWithIndex.map { case (w, i) =>
               val b = new Array[Byte](w.length * 2)
               var j = 0
               while (j < w.length) {
@@ -152,7 +157,7 @@ object Multimodal {
                 b(2 * j + 1) = ((w(j) >> 8) & 0xff).toByte
                 j += 1
               }
-              Frame(m.id, i, w.length, 1, clip.channels, b)
+              Frame(m.id, i, w.length / ch, 1, clip.channels, b)
             }
           }
         case m => // video pseudo-decode (STUB, no JDK video codec)

@@ -32,10 +32,43 @@ final class Checkpoint(dir: String) {
   Files.createDirectories(Paths.get(dir))
 
   def append(e: StateEvent): Unit = {
+    healTornTail()
     val ch = Files.newByteChannel(path,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND, StandardOpenOption.SYNC)
     try ch.write(java.nio.ByteBuffer.wrap((Serialization.write(e) + "\n").getBytes("UTF-8")))
     finally ch.close()
+  }
+
+  /** A crash can tear the previous append: appending straight onto an unterminated tail would
+    * merge two events into one line, which later reads mis-parse (or, if the tail is a partial
+    * object, turn it into MID-file corruption once more lines follow). Before appending: if the
+    * tail parses as a complete event, just terminate its line; if it is a torn partial, drop it
+    * (those bytes never fully landed, so that event never happened). Single-writer log, so the
+    * atomic rewrite cannot race another appender.
+    */
+  private def healTornTail(): Unit = {
+    if (!Files.exists(path) || Files.size(path) == 0) return
+    val lastByte = {
+      val ch = Files.newByteChannel(path, StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(1)
+        ch.position(Files.size(path) - 1)
+        ch.read(buf)
+        buf.get(0)
+      } finally ch.close()
+    }
+    if (lastByte == '\n'.toByte) return
+    val bytes = Files.readAllBytes(path)
+    var idx = bytes.length - 1
+    while (idx >= 0 && bytes(idx) != '\n'.toByte) idx -= 1
+    val tail = new String(bytes, idx + 1, bytes.length - idx - 1, "UTF-8")
+    val healed =
+      try { Serialization.read[StateEvent](tail); bytes ++ "\n".getBytes("UTF-8") }
+      catch { case _: Exception => java.util.Arrays.copyOfRange(bytes, 0, idx + 1) }
+    val tmp = Files.createTempFile(Paths.get(dir), ".tmp-log", ".jsonl")
+    Files.write(tmp, healed, StandardOpenOption.SYNC)
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** All logged events. A malformed FINAL line is dropped, not fatal: a crash can tear the last

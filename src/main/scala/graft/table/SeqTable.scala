@@ -99,15 +99,24 @@ final class SeqTable(val root: String) {
   // Manifests are IMMUTABLE once written (UUID names, never rewritten in place), so their parsed
   // content is cached: a maintenance cycle calls liveFiles() 2–3× and commit() re-reads every
   // base manifest on rebase — at 10^7 files that re-parse was the driver bottleneck. The cache is
-  // populated on write too, so a cycle never re-reads its own output. Bounded by entry count;
-  // on overflow the whole cache drops (correct — entries are pure reads).
+  // populated on write too, so a cycle never re-reads its own output. Bounded by approximate
+  // BYTES (the docBloom payload dominates a FileMeta — an entry-count bound would let one
+  // mega-manifest pin gigabytes); on overflow the whole cache drops (correct — pure reads).
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[FileMeta]]()
-  private val MaxCachedManifests = 4096
+  private val MaxCachedManifestBytes = 256L << 20
+  private val cachedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
   /** actual manifest-file parses (cache misses) — observability for specs */
   private[table] val manifestFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  private def approxBytes(metas: Seq[FileMeta]): Long =
+    metas.iterator.map(m => 200L + m.path.length + m.docBloom.map(_.length).getOrElse(0)).sum
+
   private def cacheManifest(name: String, metas: Seq[FileMeta]): Unit = {
-    if (manifestCache.size >= MaxCachedManifests) manifestCache.clear()
+    val b = approxBytes(metas)
+    if (cachedBytes.addAndGet(b) > MaxCachedManifestBytes) {
+      manifestCache.clear()
+      cachedBytes.set(b)
+    }
     manifestCache.put(name, metas); ()
   }
 
@@ -338,7 +347,11 @@ final class SeqTable(val root: String) {
       s.deleteManifests.foreach { d => if (!liveDeleteManifests.contains(d)) deadManifests += d }
     }
     deadFiles.foreach(p => Files.deleteIfExists(Paths.get(root).resolve(p)))
-    deadManifests.foreach { m => Files.deleteIfExists(metaDir.resolve(m)); manifestCache.remove(m) }
+    deadManifests.foreach { m =>
+      Files.deleteIfExists(metaDir.resolve(m))
+      val old = manifestCache.remove(m)
+      if (old != null) { cachedBytes.addAndGet(-approxBytes(old)); () }
+    }
     expired.foreach(v => Files.deleteIfExists(metaDir.resolve(s"v$v.json")))
     (expired, deadFiles.toSeq)
   }
@@ -396,7 +409,8 @@ final class SeqTable(val root: String) {
       } catch {
         case _: FileAlreadyExistsException =>
           Files.deleteIfExists(metaDir.resolve(m))
-          manifestCache.remove(m)
+          val old = manifestCache.remove(m)
+          if (old != null) { cachedBytes.addAndGet(-approxBytes(old)); () }
           attempt += 1
           if (attempt > maxRetries)
             throw new CommitConflictException(

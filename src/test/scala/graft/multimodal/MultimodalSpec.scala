@@ -106,4 +106,23 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(back === samples)
   }
+
+  test("stereo audio windows never split an interleaved channel pair; Frame contract holds") {
+    import spark.implicits._
+    // 50 stereo frames = 100 interleaved samples; frameCount 4 → 13,13,13,11 frames per window
+    val samples = Array.tabulate(100)(i => (i * 123 - 6000).toShort)
+    val wav = Multimodal.encodeWav(16000, 2, samples)
+    val ds = spark.createDataset(Seq(MediaRow(1L, "audio", wav, Map.empty)))
+    val frames = Multimodal.decodeFrames(ds, frameCount = 4).collect().sortBy(_.frameIdx)
+    assert(frames.map(_.width).sum === 50, "windows must cover all 50 audio frames")
+    frames.foreach { f =>
+      assert(f.channels === 2)
+      assert(f.pixels.length === f.width * f.height * f.channels * 2,
+        "pixels must be width × height × channels × 2 bytes (the image-frame contract)")
+    }
+    val back = frames.flatMap { f =>
+      (0 until f.width * 2).map(j => ((f.pixels(2 * j) & 0xff) | (f.pixels(2 * j + 1) << 8)).toShort)
+    }
+    assert(back === samples, "reassembled interleaved stream must be sample-exact")
+  }
 }
