@@ -258,6 +258,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .writeStream.format("memory").queryName(qn).outputMode("complete").start()
       q.processAllAvailable(); q.stop()
+      // the memory sink holds the result; the staged source dir is done — reclaim it
+      java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(stage)
       s.table(qn).select(
         unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("cnt"))
