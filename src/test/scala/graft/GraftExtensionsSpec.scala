@@ -29,6 +29,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .selectExpr("zorder_key(cast(id % 8 AS int), cast(id / 8 AS int)) AS z")
         .distinct().count()
       assert(n === 100)
+
+      // the fused vector/sketch kernels are SQL-callable too
+      val v = spark.sql(
+        """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+          |  minhash_sig(array(7L, 9L), 4) AS ms,
+          |  simhash_md5(array(md5('a'), md5('b'))) AS sh,
+          |  lsh_buckets(array(0.5D, -0.25D), 4, 2, 2) AS bk""".stripMargin).head
+      assert(math.abs(v.getDouble(0) - 1.0) < 1e-12)
+      assert(v.getSeq[Long](1).length === 4)
+      assert(v.getSeq[Long](3).length === 2)
+      // and an unsupported element type fails at ANALYSIS, not with silent garbage
+      val err = intercept[Exception](spark.sql("SELECT cosine_sim(array(1, 2), array(1, 2))").head)
+      assert(err.getMessage.toLowerCase.contains("array<float>"),
+        s"expected the kernel type-check message, got: ${err.getMessage}")
     } finally {
       // do not stop(): SparkContext is shared process-wide with the other suites
       SparkSession.clearActiveSession()
