@@ -157,6 +157,22 @@ object SparkEntry {
     "q14_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))),
 
+    "q43_dup_clusters" -> ((s, dir) => {
+      // near-dup CLUSTER resolution: the q09 pair graph collapsed to connected components with a
+      // canonical min-id representative — the keep-one-per-cluster step after pair finding
+      val docs = t(s, dir, "documents")
+      val base = docs.select((col("doc_id") * 2).as("id"), col("text"))
+      val twins = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") * 2 + 1).as("id"), concat(col("text"), lit(" zz qq")).as("text"))
+      val (pairs, release) = Dedup.minhashLshPairsWithHandle(base.unionByName(twins),
+        k = 32, bands = 8, shingleN = 3, minJaccardX1e4 = 6000L, portable = true)
+      val clusters = Dedup.dupClusters(pairs)
+      val out = clusters.orderBy("id").collect() // materialize before releasing the caches
+      release(); clusters.unpersist()
+      import s.implicits._
+      out.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("id", "cluster")
+    }),
+
     "q42_rare_word_ratio" -> ((s, dir) =>
       // corpus-relative quality: rarity needs a corpus-wide vocabulary aggregate (vs q12's
       // per-row signals) — wordcount shuffle → words⋈vocab shuffle join → per-doc ratio
@@ -437,6 +453,33 @@ object SparkEntry {
        |$union""".stripMargin
   }
 
+  /** The q09 MinHash-LSH pair pipeline as a reusable CTE chain (shingles → md5-48 hashes →
+    * affine signatures → banded keys → hot-bucket cap → candidate pairs → exact-Jaccard `j`) —
+    * shared by the q09 oracle and q43's cluster-closure oracle.
+    */
+  private val minhashPairsCtes: String =
+    s"""u AS (
+       |  SELECT doc_id*2 AS id, ${shinglesSqlN("text", 3)} AS sh FROM documents
+       |  UNION ALL
+       |  SELECT doc_id*2+1 AS id, ${shinglesSqlN("text || ' zz qq'", 3)} AS sh
+       |  FROM documents WHERE doc_id%5 = 0),
+       |hs AS (SELECT id, list_transform(sh,
+       |  s -> ('0x' || substring(md5(s), 1, 12))::BIGINT) AS h48 FROM u),
+       |sigs AS (SELECT id, [${(0 until 32).map(i =>
+                    s"list_min(list_transform(h48, h -> (h*${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % ${Dedup.AffineMod}))")
+                    .mkString(", ")}] AS sig
+       |  FROM hs),
+       |bk AS (SELECT id, b, array_to_string(sig[b*4+1 : b*4+4], '_') AS key
+       |       FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b) _b),
+       |capped AS (SELECT * FROM (
+       |  SELECT id, b, key, count(*) OVER (PARTITION BY b, key) AS bn FROM bk) WHERE bn <= 1024),
+       |pairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |          FROM capped l JOIN capped r ON l.b = r.b AND l.key = r.key AND l.id < r.id),
+       |j AS (SELECT id_a, id_b,
+       |  cast(round(len(list_intersect(list_distinct(a.h48), list_distinct(b2.h48))) * 10000.0
+       |    / len(list_distinct(list_cat(a.h48, b2.h48)))) AS BIGINT) AS jaccard_x1e4
+       |  FROM pairs JOIN hs a ON a.id = pairs.id_a JOIN hs b2 ON b2.id = pairs.id_b)""".stripMargin
+
   /** All positive 2×2 window sums over the documents grid (the q03/q04 region enumeration). */
   private val regionSumsSql: String =
     s"""SELECT gx - dx AS ax, gy - dy AS ay, sum(cnt) AS score
@@ -713,29 +756,22 @@ object SparkEntry {
     // full algorithm oracle: portable md5 minhash family → signatures, band buckets, hot-bucket
     // cap, distinct pairs, exact-jaccard verification — every stage recomputed in SQL
     "q09_minhash_lsh_pairs" ->
-      s"""WITH u AS (
-         |  SELECT doc_id*2 AS id, ${shinglesSqlN("text", 3)} AS sh FROM documents
-         |  UNION ALL
-         |  SELECT doc_id*2+1 AS id, ${shinglesSqlN("text || ' zz qq'", 3)} AS sh
-         |  FROM documents WHERE doc_id%5 = 0),
-         |hs AS (SELECT id, list_transform(sh,
-         |  s -> ('0x' || substring(md5(s), 1, 12))::BIGINT) AS h48 FROM u),
-         |sigs AS (SELECT id, [${(0 until 32).map(i =>
-                      s"list_min(list_transform(h48, h -> (h*${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % ${Dedup.AffineMod}))")
-                      .mkString(", ")}] AS sig
-         |  FROM hs),
-         |bk AS (SELECT id, b, array_to_string(sig[b*4+1 : b*4+4], '_') AS key
-         |       FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b) _b),
-         |capped AS (SELECT * FROM (
-         |  SELECT id, b, key, count(*) OVER (PARTITION BY b, key) AS bn FROM bk) WHERE bn <= 1024),
-         |pairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
-         |          FROM capped l JOIN capped r ON l.b = r.b AND l.key = r.key AND l.id < r.id),
-         |j AS (SELECT id_a, id_b,
-         |  cast(round(len(list_intersect(list_distinct(a.h48), list_distinct(b2.h48))) * 10000.0
-         |    / len(list_distinct(list_cat(a.h48, b2.h48)))) AS BIGINT) AS jaccard_x1e4
-         |  FROM pairs JOIN hs a ON a.id = pairs.id_a JOIN hs b2 ON b2.id = pairs.id_b)
+      s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard_x1e4 FROM j WHERE jaccard_x1e4 >= 6000
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the q09 pair pipeline + a recursive-CTE transitive closure: cluster = min reachable id
+    "q43_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |verified AS (SELECT id_a, id_b FROM j WHERE jaccard_x1e4 >= 6000),
+         |e AS (SELECT id_a AS a, id_b AS b FROM verified
+         |      UNION ALL SELECT id_b, id_a FROM verified),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+         |SELECT id, min(r)::BIGINT AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     // full algorithm oracle: the LCG hyperplane family (Similarity.planeSign) recomputed in SQL →
     // per-table buckets → candidate pairs → exact cosine re-rank

@@ -189,6 +189,47 @@ object Dedup {
     */
   val SmallResultRows: Long = 1L << 17
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS (connected components) with a canonical
+    * representative per cluster (the component's minimum id) — the keep-one-per-cluster step
+    * every dedup pipeline runs after pair finding. Iterative min-label propagation on Datasets
+    * (the classic distributed-CC loop, no graph library): each round every node takes the min
+    * of its own and its neighbors' labels; LSH dup clusters are near-cliques, so the fixpoint
+    * arrives in a handful of rounds. Scale shape: one (id)-keyed shuffle join per round, labels
+    * carry (id, cluster) only — edge and label payloads never exceed two longs per row.
+    *
+    * `pairs` needs (id_a, id_b); returns (id, cluster) for every id that appears in a pair.
+    * The result comes back persisted (the loop iterated on it) — `unpersist()` when done.
+    * Throws after `maxIters` non-converged rounds (a pathological graph should be loud, not
+    * silently mislabeled).
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id")).persist()
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val nbrMin = sym.join(labels.select(col("id").as("b"), col("cluster").as("nc")), Seq("b"))
+          .groupBy(col("a").as("id")).agg(min("nc").as("nbr"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+          .persist()
+        val changed = next.join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
+          .filter(col("cluster") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(s"dupClusters: no fixpoint after $maxIters rounds")
+      labels
+    } finally { sym.unpersist(); () }
+  }
+
   /** [[minhashLshPairs]] without the eager materialization: returns the lazy pairs plan plus a
     * `release` thunk that unpersists the shingle-hash cache. Callers composing the pairs into a
     * larger pipeline should invoke `release()` after their terminal action.

@@ -80,6 +80,18 @@ class DedupSpec extends AnyFunSuite {
     assert(twinPairs.length === 10) // every constructed twin found
   }
 
+  test("dupClusters: connected components with min-id representatives, incl. chains") {
+    import spark.implicits._
+    // components: {1,2,3} (triangle), {10,11,12,13} (a CHAIN — needs multi-round propagation),
+    // {20,21} (pair); 99 appears in no pair and must not appear in the output
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("fused simhash kernel == definitional 64-pass formulation on real md5 digests") {
     import spark.implicits._
     val df = (1 to 300).map(i => (i.toLong,
