@@ -214,6 +214,25 @@ object EngineQueries {
     PortableSeq.content(SeqIO.read(s, table)) // survivors = min doc_id per distinct payload
   }
 
+  /** Table-level NEAR-dedup (q44): token-stream MinHash pairs → clusters → keep-min delete, on
+    * the portable table's ORGANIC near-copies: replicas of one document with rep ≡ r (mod 7)
+    * render identical token values and differ only in length (docnum-dependent), so shorter
+    * replicas are shingle-prefixes of longer ones — exactly the truncated-copy shape near-dedup
+    * exists for. The DuckDB oracle replays the whole pipeline (shingles → portable signatures →
+    * bands → pairs → recursive-CTE closure → min-id survivors).
+    */
+  def nearDedupTable(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    // every 8th DOCUMENT with all its replicas: keeps the per-doc organic dup structure intact
+    // while bounding the DuckDB oracle's signature recomputation (full 20k rows cost it ~6 min)
+    val port = PortableSeq.df(s, dir, reps)
+      .filter(pmod(floor(col("docnum") / (reps * 1.0)).cast("long"), lit(8)) === 0)
+    val table = fragmented(s, fresh("neardedup"), port, 12)
+    val (deleted, _) = DedupTable.dedupNear(s, table, cfg, targetFor(port.count()), portable = true)
+    require(deleted > 0, "near-dedup must find the organic prefix near-copies")
+    PortableSeq.content(SeqIO.read(s, table))
+  }
+
   /** Two-phase incremental maintenance (reference algo 6, partial recompute): phase 1 compacts to
     * a stable state with `incremental = true` (first plan runs ALL nodes — no cache); an append
     * then dirties only the cells of one source; phase 2's plan must recompute ONLY a strict
@@ -368,6 +387,27 @@ object EngineQueries {
            |SELECT printf('a%09d', docnum), n_tok::BIGINT, source,
            |  md5(array_to_string(tokens, ','))
            |FROM port WHERE source = 'src3' AND docnum%10 = 4""".stripMargin,
+      "q44_engine_near_dedup" ->
+        s"""WITH RECURSIVE port0 AS (${sql(reps)}),
+           |port AS (SELECT * FROM port0
+           |         WHERE cast(floor(docnum / ${reps}.0) AS BIGINT) % 8 = 0),
+           |${graft.SparkEntry.minhashCtesFrom(
+               s"SELECT doc_id AS id, " +
+                 graft.SparkEntry.shinglesSqlN("array_to_string(tokens, ' ')", 3) +
+                 " AS sh FROM port")},
+           |verified AS (SELECT id_a, id_b FROM j WHERE jaccard_x1e4 >= 6000),
+           |e AS (SELECT id_a AS a, id_b AS b FROM verified
+           |      UNION ALL SELECT id_b, id_a FROM verified),
+           |cnodes AS (SELECT DISTINCT a AS id FROM e),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM cnodes
+           |  UNION
+           |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r),
+           |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+           |victims AS (SELECT id FROM labels WHERE id <> cluster)
+           |SELECT $contentColsSql FROM port
+           |WHERE doc_id NOT IN (SELECT id FROM victims)""".stripMargin,
+
       "q30_engine_dedup_table" ->
         s"""WITH port AS (${sql(reps)}),
            |u AS (

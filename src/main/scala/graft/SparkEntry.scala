@@ -331,6 +331,7 @@ object SparkEntry {
     "q27_engine_snapshot_expiry" -> ((s, dir) => EngineQueries.snapshotExpiry(s, dir)),
     "q28_engine_scan_pruning" -> ((s, dir) => EngineQueries.scanPruning(s, dir)),
     "q30_engine_dedup_table" -> ((s, dir) => EngineQueries.dedupTable(s, dir)),
+    "q44_engine_near_dedup" -> ((s, dir) => EngineQueries.nearDedupTable(s, dir)),
     "q32_engine_merge_mor" -> ((s, dir) => EngineQueries.mergeMor(s, dir)),
     "q35_engine_incremental" -> ((s, dir) => EngineQueries.incrementalCycles(s, dir)),
     "q36_csv_roundtrip" -> ((s, dir) => EngineQueries.csvRoundtrip(s, dir)),
@@ -453,16 +454,13 @@ object SparkEntry {
        |$union""".stripMargin
   }
 
-  /** The q09 MinHash-LSH pair pipeline as a reusable CTE chain (shingles → md5-48 hashes →
-    * affine signatures → banded keys → hot-bucket cap → candidate pairs → exact-Jaccard `j`) —
-    * shared by the q09 oracle and q43's cluster-closure oracle.
+  /** The MinHash-LSH pair pipeline as a reusable CTE chain (md5-48 hashes → affine signatures →
+    * banded keys → hot-bucket cap → candidate pairs → exact-Jaccard `j`) over a caller-supplied
+    * `u(id, sh)` shingle source — shared by the q09 oracle, q43's cluster-closure oracle, and
+    * the engine near-dedup oracle (q44, over the portable table's token renderings).
     */
-  private val minhashPairsCtes: String =
-    s"""u AS (
-       |  SELECT doc_id*2 AS id, ${shinglesSqlN("text", 3)} AS sh FROM documents
-       |  UNION ALL
-       |  SELECT doc_id*2+1 AS id, ${shinglesSqlN("text || ' zz qq'", 3)} AS sh
-       |  FROM documents WHERE doc_id%5 = 0),
+  private[graft] def minhashCtesFrom(uSql: String): String =
+    s"""u AS ($uSql),
        |hs AS (SELECT id, list_transform(sh,
        |  s -> ('0x' || substring(md5(s), 1, 12))::BIGINT) AS h48 FROM u),
        |sigs AS (SELECT id, [${(0 until 32).map(i =>
@@ -479,6 +477,13 @@ object SparkEntry {
        |  cast(round(len(list_intersect(list_distinct(a.h48), list_distinct(b2.h48))) * 10000.0
        |    / len(list_distinct(list_cat(a.h48, b2.h48)))) AS BIGINT) AS jaccard_x1e4
        |  FROM pairs JOIN hs a ON a.id = pairs.id_a JOIN hs b2 ON b2.id = pairs.id_b)""".stripMargin
+
+  /** The documents-table instantiation used by q09 and q43 (base docs + 20% suffix twins). */
+  private lazy val minhashPairsCtes: String = minhashCtesFrom(
+    s"""SELECT doc_id*2 AS id, ${shinglesSqlN("text", 3)} AS sh FROM documents
+       |  UNION ALL
+       |  SELECT doc_id*2+1 AS id, ${shinglesSqlN("text || ' zz qq'", 3)} AS sh
+       |  FROM documents WHERE doc_id%5 = 0""".stripMargin)
 
   /** All positive 2×2 window sums over the documents grid (the q03/q04 region enumeration). */
   private val regionSumsSql: String =
@@ -507,7 +512,7 @@ object SparkEntry {
   }
 
   /** Word n-gram shingles of SQL expression `txt` — DuckDB twin of Dedup.shingles. */
-  private def shinglesSqlN(txt: String, n: Int): String = {
+  private[graft] def shinglesSqlN(txt: String, n: Int): String = {
     val w = s"string_split_regex(trim(lower(regexp_replace($txt, '[^A-Za-z0-9\\s]', '', 'g'))), '\\s+')"
     s"""(CASE WHEN len($w) < $n THEN [array_to_string($w, ' ')]
        |ELSE list_transform(generate_series(1, len($w) - ${n - 1}),

@@ -198,36 +198,38 @@ object Dedup {
     * carry (id, cluster) only — edge and label payloads never exceed two longs per row.
     *
     * `pairs` needs (id_a, id_b); returns (id, cluster) for every id that appears in a pair.
-    * The result comes back persisted (the loop iterated on it) — `unpersist()` when done.
-    * Throws after `maxIters` non-converged rounds (a pathological graph should be loud, not
-    * silently mislabeled).
+    * The result comes back locally-checkpointed (the loop iterated on it) — `unpersist()` when
+    * done. Throws after `maxIters` non-converged rounds (a pathological graph should be loud,
+    * not silently mislabeled).
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
-    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+    // id type preserved (long ids, string doc_ids, …): min-label uses the column's own ordering.
+    // Lineage is CUT each round with an eager localCheckpoint: a loop of joins otherwise embeds
+    // the (potentially enormous) pair-finding plan into every iteration's logical plan — plan
+    // size grows exponentially with rounds and analysis itself becomes the bottleneck.
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
     var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("cluster", col("id")).persist()
-    try {
-      var iter = 0
-      var converged = false
-      while (!converged && iter < maxIters) {
-        val nbrMin = sym.join(labels.select(col("id").as("b"), col("cluster").as("nc")), Seq("b"))
-          .groupBy(col("a").as("id")).agg(min("nc").as("nbr"))
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
-          .persist()
-        val changed = next.join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
-          .filter(col("cluster") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
-        iter += 1
-      }
-      if (!converged)
-        throw new IllegalStateException(s"dupClusters: no fixpoint after $maxIters rounds")
-      labels
-    } finally { sym.unpersist(); () }
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = sym.join(labels.select(col("id").as("b"), col("cluster").as("nc")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min("nc").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"dupClusters: no fixpoint after $maxIters rounds")
+    labels
   }
 
   /** [[minhashLshPairs]] without the eager materialization: returns the lazy pairs plan plus a

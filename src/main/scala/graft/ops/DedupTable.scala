@@ -42,8 +42,40 @@ object DedupTable {
 
   /** Run the dedup: returns (#deleted, merge result). No-op commit is skipped. */
   def dedupExact(spark: SparkSession, table: SeqTable, cfg: GridConfig,
-      targetRecordsPerFile: Long, hashBits: Int = 64): (Long, Option[MergeResult]) = {
-    val dupes = exactDuplicates(spark, table, hashBits).persist()
+      targetRecordsPerFile: Long, hashBits: Int = 64): (Long, Option[MergeResult]) =
+    deleteIds(spark, table, cfg, targetRecordsPerFile, exactDuplicates(spark, table, hashBits))
+
+  /** NEAR-duplicate doc_ids to remove: MinHash-LSH pairs over the TOKEN STREAM (each sequence
+    * rendered as its space-joined token ids — numeric "words", so the shared shingle/signature
+    * path applies unchanged), resolved to clusters by [[graft.functions.Dedup.dupClusters]],
+    * keep-min-doc_id policy. The near twin of [[exactDuplicates]]: catches sequences that share
+    * most of their token n-grams (truncated/extended/slightly-edited copies) that byte-exact
+    * hashing can never see.
+    */
+  def nearDuplicates(spark: SparkSession, table: SeqTable, k: Int = 32, bands: Int = 8,
+      shingleN: Int = 3, minJaccardX1e4: Long = 6000L, maxBucket: Int = 1024,
+      portable: Boolean = false): DataFrame = {
+    val rows = SeqIO.read(spark, table)
+      .select(col("doc_id").as("id"), concat_ws(" ", col("tokens")).as("text"))
+    val (pairs, release) = graft.functions.Dedup.minhashLshPairsWithHandle(
+      rows, k, bands, shingleN, minJaccardX1e4, maxBucket, portable)
+    val clusters = graft.functions.Dedup.dupClusters(pairs) // materializes during its iterations
+    release()
+    val victims = clusters.filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
+    victims // backed by the persisted cluster labels; freed when the caller's action completes
+  }
+
+  /** Run the near-dedup (see [[nearDuplicates]]): returns (#deleted, merge result). */
+  def dedupNear(spark: SparkSession, table: SeqTable, cfg: GridConfig,
+      targetRecordsPerFile: Long, k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      minJaccardX1e4: Long = 6000L, portable: Boolean = false): (Long, Option[MergeResult]) =
+    deleteIds(spark, table, cfg, targetRecordsPerFile,
+      nearDuplicates(spark, table, k, bands, shingleN, minJaccardX1e4, portable = portable))
+
+  /** Apply a (doc_id) victim set through the transactional MERGE delete path. */
+  private def deleteIds(spark: SparkSession, table: SeqTable, cfg: GridConfig,
+      targetRecordsPerFile: Long, ids: DataFrame): (Long, Option[MergeResult]) = {
+    val dupes = ids.persist()
     val n = dupes.count()
     val res =
       if (n == 0) None
