@@ -73,9 +73,14 @@ object Bench {
     }
     val root = tmpRoot.toString + "/tbl"
     try maintenanceBenchAt(spark, root, rows, nFiles)
-    finally { // a leaked bench table is ~4 GB of /tmp per run — always reclaim
-      import scala.jdk.CollectionConverters._
-      Files.walk(tmpRoot).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally { // a leaked bench table is ~4 GB of /tmp per run — always reclaim; but never let
+      // cleanup trouble mask the bench's own exception
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(tmpRoot)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      } catch { case e: Exception => System.err.println(s"[bench] cleanup failed: $e") }
     }
   }
 

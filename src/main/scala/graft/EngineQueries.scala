@@ -395,15 +395,7 @@ object EngineQueries {
                s"SELECT doc_id AS id, " +
                  graft.SparkEntry.shinglesSqlN("array_to_string(tokens, ' ')", 3) +
                  " AS sh FROM port")},
-           |verified AS (SELECT id_a, id_b FROM j WHERE jaccard_x1e4 >= 6000),
-           |e AS (SELECT id_a AS a, id_b AS b FROM verified
-           |      UNION ALL SELECT id_b, id_a FROM verified),
-           |cnodes AS (SELECT DISTINCT a AS id FROM e),
-           |reach(id, r) AS (
-           |  SELECT id, id FROM cnodes
-           |  UNION
-           |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r),
-           |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+           |${graft.SparkEntry.closureCtes(6000L)},
            |victims AS (SELECT id FROM labels WHERE id <> cluster)
            |SELECT $contentColsSql FROM port
            |WHERE doc_id NOT IN (SELECT id FROM victims)""".stripMargin,

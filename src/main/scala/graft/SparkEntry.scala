@@ -478,6 +478,21 @@ object SparkEntry {
        |    / len(list_distinct(list_cat(a.h48, b2.h48)))) AS BIGINT) AS jaccard_x1e4
        |  FROM pairs JOIN hs a ON a.id = pairs.id_a JOIN hs b2 ON b2.id = pairs.id_b)""".stripMargin
 
+  /** Connected-components closure over the pipeline's `j` pair relation: recursive reach CTE →
+    * `labels(id, cluster = min reachable id)` — shared by the q43 and q44 oracles (requires the
+    * enclosing WITH to be RECURSIVE).
+    */
+  private[graft] def closureCtes(minJaccardX1e4: Long): String =
+    s"""verified AS (SELECT id_a, id_b FROM j WHERE jaccard_x1e4 >= $minJaccardX1e4),
+       |e AS (SELECT id_a AS a, id_b AS b FROM verified
+       |      UNION ALL SELECT id_b, id_a FROM verified),
+       |cnodes AS (SELECT DISTINCT a AS id FROM e),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM cnodes
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r),
+       |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
+
   /** The documents-table instantiation used by q09 and q43 (base docs + 20% suffix twins). */
   private lazy val minhashPairsCtes: String = minhashCtesFrom(
     s"""SELECT doc_id*2 AS id, ${shinglesSqlN("text", 3)} AS sh FROM documents
@@ -765,18 +780,11 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard_x1e4 FROM j WHERE jaccard_x1e4 >= 6000
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // the q09 pair pipeline + a recursive-CTE transitive closure: cluster = min reachable id
+    // the q09 pair pipeline + the shared recursive-CTE closure: cluster = min reachable id
     "q43_dup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
-         |verified AS (SELECT id_a, id_b FROM j WHERE jaccard_x1e4 >= 6000),
-         |e AS (SELECT id_a AS a, id_b AS b FROM verified
-         |      UNION ALL SELECT id_b, id_a FROM verified),
-         |nodes AS (SELECT DISTINCT a AS id FROM e),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
-         |SELECT id, min(r)::BIGINT AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+         |${closureCtes(6000L)}
+         |SELECT id, cluster::BIGINT AS cluster FROM labels ORDER BY id""".stripMargin,
 
     // full algorithm oracle: the LCG hyperplane family (Similarity.planeSign) recomputed in SQL →
     // per-table buckets → candidate pairs → exact cosine re-rank

@@ -152,14 +152,11 @@ object BRS {
     val pts = rows.select(col(lonCol).cast("double"), col(latCol).cast("double"), w)
       .as[(Double, Double, Double)].map { case (x, y, s) => Pt(x, y, s) }
 
-    val bbox = pts.agg(min("x"), min("y"), count(lit(1)), min("w")).head()
+    val bbox = pts.agg(min("x"), min("y"), count(lit(1))).head()
     if (bbox.getLong(2) == 0L)
       return Seq.empty[(Int, Double, Double, Double)]
         .toDF("rank", "center_lon", "center_lat", "score")
     val grid = GeoGrid(bbox.getDouble(0), bbox.getDouble(1), eps, nodeSide)
-    // the kernel's strip-sum prune is only sound for non-negative weights (a candidate covers a
-    // SUBSET of its strip) — a negative scoreCol disables it rather than silently mis-pruning
-    val allowPrune = bbox.getDouble(3) >= 0.0
 
     // hot-node split plan: nodes above budget get ceil(count/budget) x-sub-strips — a dense node
     // executes as MANY tasks with exact parity (anchors are partitioned by x; each strip's kernel
@@ -222,7 +219,7 @@ object BRS {
                     x => x >= ax0 && x < ax1 && stripIndex(bounds, x) == strip
                 }
                 val r = GeoBrsKernel.localTopKStreaming(run, eps, kPrime, owns, ay0, ay1,
-                  excl.value, allowPrune)
+                  excl.value)
                 while (run.hasNext) run.next() // kernel drains, but never trust an invariant twice
                 (node, strip, r)
               }

@@ -115,7 +115,7 @@ object GeoBrsKernel {
   def localTopKStreaming(
       sortedByX: Iterator[Pt], eps: Double, kPrime: Int,
       ownsAnchorX: Double => Boolean, ay0: Double, ay1: Double,
-      exclusions: IndexedSeq[GeoRegion], allowPrune: Boolean = true): GeoNodeResult = {
+      exclusions: IndexedSeq[GeoRegion]): GeoNodeResult = {
     // worst candidate on top, so the heap evicts it when a better one arrives
     val heap = new scala.collection.mutable.PriorityQueue[GeoRegion]()(GeoRegionOrdering)
     var dropped = false
@@ -130,18 +130,20 @@ object GeoBrsKernel {
     var peak = 0
     var lastAx = Double.NaN
     var any = false
-    // running strip weight (Kahan-compensated): an upper bound on ANY candidate anchored at ax
-    // (candidates cover subsets of the strip) — the reference's border upper-bound idea (A8,
-    // `GridIndexer.scala:128-211`) applied per anchor: once the heap is full, an anchor whose
-    // whole strip cannot strictly beat the current worst emits nothing we'd keep, so the sweep
-    // is skipped entirely (it still counts as `dropped` — completeness accounting unchanged).
-    // The 1e-9 relative margin absorbs compensated-summation error so a borderline anchor is
-    // never pruned (specs: brute-force parity unchanged).
+    // running POSITIVE-PART strip weight (Kahan-compensated): an upper bound on ANY candidate
+    // anchored at ax even with mixed-sign weights (a candidate covers a subset of the strip, and
+    // dropping its negative members only raises the sum) — the reference's border upper-bound
+    // idea (A8, `GridIndexer.scala:128-211`) applied per anchor: once the heap is full, an
+    // anchor whose whole strip cannot strictly beat the current worst emits nothing we'd keep,
+    // so the sweep is skipped entirely (it still counts as `dropped` — completeness accounting
+    // unchanged). The 1e-9 relative margin absorbs compensated-summation error so a borderline
+    // anchor is never pruned (specs: brute-force parity unchanged).
     var stripSum = 0.0
     var stripC = 0.0
     @inline def stripAdd(v: Double): Unit = {
       val y = v - stripC; val t = stripSum + y; stripC = (t - stripSum) - y; stripSum = t
     }
+    @inline def posPart(w: Double): Double = if (w > 0) w else 0.0
     // y-SORTED mirror of the window (parallel primitive arrays, memmove insert/remove): the
     // window between consecutive anchors changes by a handful of points, so re-sorting it per
     // anchor (the r03 formulation) cost O(W log W) boxed comparisons per anchor and dominated
@@ -176,16 +178,14 @@ object GeoBrsKernel {
       // next anchor = smallest unprocessed point x; the window head is the oldest still-relevant
       val ax =
         if (window.nonEmpty) window.head.x
-        else { val p = it.next(); window.append(p); stripAdd(p.w); insertSorted(p); window.head.x }
+        else { val p = it.next(); window.append(p); stripAdd(posPart(p.w)); insertSorted(p); window.head.x }
       // fill the strip [ax, ax+eps]
       while (it.hasNext && it.head.x <= ax + eps) {
-        val p = it.next(); window.append(p); stripAdd(p.w); insertSorted(p)
+        val p = it.next(); window.append(p); stripAdd(posPart(p.w)); insertSorted(p)
       }
       peak = math.max(peak, window.size)
       any = true
-      // the strip-sum bound assumes NON-NEGATIVE weights (a candidate covers a subset of the
-      // strip); callers with any negative weight must pass allowPrune = false
-      val heapFull = allowPrune && kPrime != Int.MaxValue && heap.size >= kPrime
+      val heapFull = kPrime != Int.MaxValue && heap.size >= kPrime
       val bound = stripSum * (1 + 1e-9) + 1e-9
       if (ownsAnchorX(ax) && (lastAx.isNaN || ax != lastAx) &&
           heapFull && bound < heap.head.score) {
@@ -219,7 +219,7 @@ object GeoBrsKernel {
       lastAx = ax
       // retire every point at the current anchor x (their anchors are done)
       while (window.nonEmpty && window.head.x == ax) {
-        val p = window.removeHead(); stripAdd(-p.w); removeSorted(p)
+        val p = window.removeHead(); stripAdd(-posPart(p.w)); removeSorted(p)
       }
     }
     if (!any) return GeoNodeResult(Vector.empty, exhausted = true, Double.PositiveInfinity)

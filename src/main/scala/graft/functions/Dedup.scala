@@ -212,24 +212,34 @@ object Dedup {
       .localCheckpoint(true)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      val nbrMin = sym.join(labels.select(col("id").as("b"), col("cluster").as("nc")), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min("nc").as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(s"dupClusters: no fixpoint after $maxIters rounds")
-    labels
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val nbrMin = sym.join(labels.select(col("id").as("b"), col("cluster").as("nc")), Seq("b"))
+          .groupBy(col("a").as("id")).agg(min("nc").as("nbr"))
+        val hop = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        // POINTER JUMPING: also adopt the label of my current label (cluster-of-cluster), so a
+        // path-shaped component converges in O(log diameter) rounds, not O(diameter) — a plain
+        // neighbor-min loop would abort on a legitimate ~25-link chain of progressive edits
+        val next = hop.join(
+            hop.select(col("id").as("cluster"), col("cluster").as("cc")), Seq("cluster"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("cc"), col("cluster"))).as("cluster"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
+          .filter(col("cluster") =!= col("old")).count()
+        labels.unpersist() // superseded round snapshot — don't stack maxIters block sets
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(s"dupClusters: no fixpoint after $maxIters rounds")
+      labels
+    } finally { sym.unpersist(); () }
   }
 
   /** [[minhashLshPairs]] without the eager materialization: returns the lazy pairs plan plus a

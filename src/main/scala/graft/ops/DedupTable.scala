@@ -61,8 +61,12 @@ object DedupTable {
       rows, k, bands, shingleN, minJaccardX1e4, maxBucket, portable)
     val clusters = graft.functions.Dedup.dupClusters(pairs) // materializes during its iterations
     release()
+    // the victim set is tiny; checkpoint it and free the label blocks NOW — leaving them to the
+    // caller leaked one label snapshot per dedup cycle in a long-lived driver
     val victims = clusters.filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
-    victims // backed by the persisted cluster labels; freed when the caller's action completes
+      .localCheckpoint(true)
+    clusters.unpersist()
+    victims
   }
 
   /** Run the near-dedup (see [[nearDuplicates]]): returns (#deleted, merge result). */

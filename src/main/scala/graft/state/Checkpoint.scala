@@ -30,6 +30,16 @@ final class Checkpoint(dir: String) {
   import Checkpoint.formats
   private val path = Paths.get(dir, "maintenance-log.jsonl")
   Files.createDirectories(Paths.get(dir))
+  // reclaim temp files stranded by a crash between createTempFile and the atomic move (heal /
+  // planner-state writes) — nothing else ever deletes them
+  locally {
+    val s = Files.list(Paths.get(dir))
+    try s.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith(".tmp-log") || n.startsWith(".tmp-pstate")
+    }.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
 
   def append(e: StateEvent): Unit = {
     healTornTail()

@@ -111,7 +111,9 @@ final class SeqTable(val root: String) {
   private def approxBytes(metas: Seq[FileMeta]): Long =
     metas.iterator.map(m => 200L + m.path.length + m.docBloom.map(_.length).getOrElse(0)).sum
 
-  private def cacheManifest(name: String, metas: Seq[FileMeta]): Unit = {
+  // synchronized: the add/clear/set sequence is not atomic and racing commit threads would
+  // otherwise lose bytes from the counter (silently unbounding the cache) or double-count
+  private def cacheManifest(name: String, metas: Seq[FileMeta]): Unit = synchronized {
     val b = approxBytes(metas)
     if (cachedBytes.addAndGet(b) > MaxCachedManifestBytes) {
       manifestCache.clear()
