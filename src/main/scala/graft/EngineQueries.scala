@@ -108,6 +108,25 @@ object EngineQueries {
   private def fresh(tag: String): String =
     Files.createTempDirectory(s"graft-$tag-").toString + "/tbl"
 
+  /** Eagerly materialize the result content (localCheckpoint → executor blocks, a few MB at the
+    * verify SF; no driver round-trip), then DELETE the query's scratch root(s): each engine query
+    * otherwise stranded a multi-hundred-MB table under /tmp per Verify pass (the
+    * [[Bench]]-cleanup discipline applied to the harness).
+    */
+  private def sealAndReclaim(content: DataFrame, roots: String*): DataFrame = {
+    val out = content.localCheckpoint(true)
+    roots.foreach { r =>
+      val top = java.nio.file.Paths.get(r).getParent
+      if (top != null && top.getFileName.toString.startsWith("graft-") && Files.exists(top)) {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(top)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+    out
+  }
+
   private def targetFor(n: Long): Long = math.max(500L, n / 25)
 
   /** Build a deliberately fragmented table from the portable input. */
@@ -135,7 +154,8 @@ object EngineQueries {
     }
     require(table.liveFiles().size < filesBefore,
       s"compaction did not reduce files: $filesBefore -> ${table.liveFiles().size}")
-    PortableSeq.content(SeqIO.read(s, table)) // compaction must preserve content byte-for-byte
+    // compaction must preserve content byte-for-byte
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
   def mergeInto(s: SparkSession, dir: String): DataFrame = {
@@ -144,7 +164,7 @@ object EngineQueries {
     val n = port.count()
     val table = fragmented(s, fresh("merge"), port, (n / 500).toInt.max(10))
     MergeInto.merge(s, table, PortableSeq.changes(port), cfg, targetFor(n))
-    PortableSeq.content(SeqIO.read(s, table))
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
   def mergeMor(s: SparkSession, dir: String): DataFrame = {
@@ -156,7 +176,7 @@ object EngineQueries {
     require(mr.filesRewritten == 0, "MoR merge must not rewrite data files")
     require(table.currentSnapshot().deleteManifests.nonEmpty, "MoR merge must add a delete manifest")
     // content read through the merge-on-read delete-application path (before materialization)
-    PortableSeq.content(SeqIO.read(s, table))
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
   def snapshotExpiry(s: SparkSession, dir: String): DataFrame = {
@@ -182,7 +202,8 @@ object EngineQueries {
     require(table.snapshotVersions().size < versionsBefore, "expiry removed no snapshots")
     require(diskAfter < diskBefore, "expiry deleted no unreachable data files")
     port.unpersist()
-    PortableSeq.content(SeqIO.read(s, table)) // current snapshot content intact after expiry
+    // current snapshot content intact after expiry
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
   def scanPruning(s: SparkSession, dir: String): DataFrame = {
@@ -198,7 +219,8 @@ object EngineQueries {
     require(after.filesScanned.toDouble / after.totalFiles <
       before.filesScanned.toDouble / before.totalFiles,
       "clustering did not improve pruning ratio")
-    PortableSeq.content(df) // pruned scan returns exactly the predicate's rows
+    // pruned scan returns exactly the predicate's rows
+    sealAndReclaim(PortableSeq.content(df), table.root)
   }
 
   def dedupTable(s: SparkSession, dir: String): DataFrame = {
@@ -211,7 +233,8 @@ object EngineQueries {
     val table = fragmented(s, fresh("dedup"), all, 12)
     val (deleted, _) = DedupTable.dedupExact(s, table, cfg, targetFor(port.count()))
     require(deleted > 0, "dedup found no duplicates despite injected ones")
-    PortableSeq.content(SeqIO.read(s, table)) // survivors = min doc_id per distinct payload
+    // survivors = min doc_id per distinct payload
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
   /** Table-level NEAR-dedup (q44): token-stream MinHash pairs → clusters → keep-min delete, on
@@ -230,7 +253,7 @@ object EngineQueries {
     val table = fragmented(s, fresh("neardedup"), port, 12)
     val (deleted, _) = DedupTable.dedupNear(s, table, cfg, targetFor(port.count()), portable = true)
     require(deleted > 0, "near-dedup must find the organic prefix near-copies")
-    PortableSeq.content(SeqIO.read(s, table))
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
   /** Two-phase incremental maintenance (reference algo 6, partial recompute): phase 1 compacts to
@@ -272,7 +295,7 @@ object EngineQueries {
     require(ran2.subsetOf(allNodes), s"incremental plan ran unknown nodes: ${ran2 -- allNodes}")
     require(ran2.size < allNodes.size,
       s"incremental plan re-ran every node (${ran2.size}/${allNodes.size}) — no partial recompute")
-    PortableSeq.content(SeqIO.read(s, table))
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
   /** CSV sink + CSV source roundtrip (reference S5/S2 driver-green): a deterministic slice is
@@ -291,7 +314,7 @@ object EngineQueries {
       s"$tmp/csv", "csv")
     val table = SeqTable.create(s"$tmp/tbl")
     graft.sources.Ingest.fromCsv(s, table, s"$tmp/csv")
-    PortableSeq.content(SeqIO.read(s, table))
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
   /** Resume-after-failure driver-green (north rule: "resumable from checkpoint with
@@ -320,7 +343,7 @@ object EngineQueries {
     val tags = table.snapshotVersions().map(table.snapshot)
       .flatMap(_.summary.get("maintenance-task"))
     require(tags.distinct.size == tags.size, s"double-applied tasks: $tags")
-    PortableSeq.content(SeqIO.read(s, table))
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
   /** JDBC source driver-green (reference S1 — its actual input path is Proteus over JDBC,
@@ -347,7 +370,7 @@ object EngineQueries {
       ps.executeBatch()
       val table = SeqTable.create(fresh("jdbc"))
       graft.sources.Ingest.fromJdbc(s, table, url, "seqs")
-      PortableSeq.content(SeqIO.read(s, table))
+      sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
     } finally {
       conn.close()
       // in-memory Derby DBs live in driver heap until explicitly dropped — repeated invocations

@@ -167,10 +167,11 @@ object SparkEntry {
       val (pairs, release) = Dedup.minhashLshPairsWithHandle(base.unionByName(twins),
         k = 32, bands = 8, shingleN = 3, minJaccardX1e4 = 6000L, portable = true)
       val clusters = Dedup.dupClusters(pairs)
-      val out = clusters.orderBy("id").collect() // materialize before releasing the caches
+      // eager localCheckpoint materializes the labeling distributed-side (no full-result driver
+      // round-trip — the DedupTable.nearDuplicates pattern), then the upstream caches can go
+      val out = clusters.orderBy("id").localCheckpoint(true)
       release(); clusters.unpersist()
-      import s.implicits._
-      out.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("id", "cluster")
+      out
     }),
 
     "q42_rare_word_ratio" -> ((s, dir) =>

@@ -140,7 +140,13 @@ object GeoBrsKernel {
     // anchor is never pruned (specs: brute-force parity unchanged).
     var stripSum = 0.0
     var stripC = 0.0
+    // total churned magnitude: Kahan drift scales with WHAT FLOWED THROUGH the accumulator, not
+    // with the current sum — under heavy cancellation (large weights entering and leaving) a
+    // sum-relative margin alone could in principle undershoot and prune a tying anchor, so the
+    // margin below also grows with churn (4 ulps per churned unit, conservatively)
+    var stripChurn = 0.0
     @inline def stripAdd(v: Double): Unit = {
+      stripChurn += math.abs(v)
       val y = v - stripC; val t = stripSum + y; stripC = (t - stripSum) - y; stripSum = t
     }
     @inline def posPart(w: Double): Double = if (w > 0) w else 0.0
@@ -186,7 +192,7 @@ object GeoBrsKernel {
       peak = math.max(peak, window.size)
       any = true
       val heapFull = kPrime != Int.MaxValue && heap.size >= kPrime
-      val bound = stripSum * (1 + 1e-9) + 1e-9
+      val bound = stripSum * (1 + 1e-9) + 1e-9 + stripChurn * 4e-16
       if (ownsAnchorX(ax) && (lastAx.isNaN || ax != lastAx) &&
           heapFull && bound < heap.head.score) {
         if (stripSum > 0) dropped = true // a positive-score candidate may exist here; we skipped it

@@ -38,7 +38,8 @@ private[functions] object KernelTypeCheck {
   */
 object Minhash {
 
-  private val MaxK = 4096
+  /** Max supported signature width (size of the precomputed affine-family tables). */
+  val MaxK = 4096
   // affine family tables, shared with the SQL-portable definition in [[Dedup]]
   private lazy val As: Array[Long] = Array.tabulate(MaxK)(Dedup.affineA)
   private lazy val Bs: Array[Long] = Array.tabulate(MaxK)(Dedup.affineB)
@@ -76,8 +77,14 @@ object Minhash {
   * On the q09/near-dup hot path — see [[Minhash]] for why this is an expression, not Columns.
   */
 case class AffineMinhashSig(child: Expression, k: Int) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult =
-    KernelTypeCheck.elem(prettyName, child.dataType, LongType)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // validate k at ANALYSIS time like every other input guard — the execution-time require
+    // inside the kernel would fail mid-job on e.g. minhash_sig(h, 5000) from SQL
+    if (k <= 0 || k > Minhash.MaxK)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects 0 < k <= ${Minhash.MaxK}, got $k")
+    else KernelTypeCheck.elem(prettyName, child.dataType, LongType)
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "affine_minhash_sig"
   override protected def nullSafeEval(arr: Any): Any =
@@ -94,9 +101,15 @@ case class AffineMinhashSig(child: Expression, k: Int) extends UnaryExpression {
   * whole dot (no bit), and the sign factors are the shared [[Similarity.planeSign]] LCG family.
   */
 object Hyperplanes {
+  /** null when the vector width differs from `dims` — truncating with min(dims, n) silently
+    * computed a partial dot, diverging from the library entry points' checkedDims guard; the
+    * raw SQL surface (lsh_buckets) needs the same protection, and null (→ zero exploded rows)
+    * is the observable, non-corrupting outcome.
+    */
   def sketchAll(vec: ArrayData, isFloat: Boolean, tables: Int, planes: Int,
-      dims: Int): ArrayData = {
-    val n = math.min(dims, vec.numElements())
+      dims: Int): Any = {
+    if (vec.numElements() != dims) return null
+    val n = dims
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -230,16 +243,31 @@ case class SimhashFromMd5(child: Expression) extends UnaryExpression {
   * a null element nulls every dot there, so here the whole result is null.
   */
 object IvfQuantizer {
-  /** top-`probes` cell ids by (dot desc, cell asc), best-first; null on any null element. */
-  def probes(vec: ArrayData, isFloat: Boolean, cells: Int, dims: Int, probes: Int): Any = {
-    val n = math.min(dims, vec.numElements())
+  /** top-`probes` cell ids by (dot desc, cell asc), best-first; null on any null element OR a
+    * vector width differing from `dims` (see [[Hyperplanes.sketchAll]] — no silent truncation).
+    */
+  def probes(vec: ArrayData, isFloat: Boolean, cells: Int, dims: Int, probes: Int): Any =
+    probesWith(vec, isFloat, cells, dims, probes, null)
+
+  /** [[probes]] against an explicit row-major `[cells][dims]` centroid matrix — the TRAINED
+    * quantizer path ([[Similarity.trainIvfCentroids]]); `centroids = null` → the deterministic
+    * LCG family (the SQL-oracle variant). Same selection semantics either way.
+    */
+  def probesWith(vec: ArrayData, isFloat: Boolean, cells: Int, dims: Int, probes: Int,
+      centroids: Array[Double]): Any = {
+    if (vec.numElements() != dims) return null
+    val n = dims
     val dots = new Array[Double](cells)
     var d = 0
     while (d < n) {
       if (vec.isNullAt(d)) return null
       val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
       var c = 0
-      while (c < cells) { dots(c) += x * Similarity.ivfCentroid(c, d); c += 1 }
+      if (centroids == null) {
+        while (c < cells) { dots(c) += x * Similarity.ivfCentroid(c, d); c += 1 }
+      } else {
+        while (c < cells) { dots(c) += x * centroids(c * dims + d); c += 1 }
+      }
       d += 1
     }
     val p = math.min(probes, cells)
@@ -263,11 +291,22 @@ object IvfQuantizer {
 
 /** Codegen'd Catalyst expression: the `probes` nearest IVF cells of a vector, best-first
   * (array<int>; pass probes = 1 and take element 0 for plain cell assignment).
+  *
+  * `trained` = row-major `[cells][dims]` k-means centroid matrix (value-equal Seq so plan
+  * canonicalization works); None → the deterministic LCG centroid family (the SQL-reproducible
+  * oracle variant). The matrix rides the serialized plan as a codegen reference object — at the
+  * production shape (≤4096 cells × ≤4096 dims of doubles) that is a broadcast-sized constant,
+  * not a per-row cost.
   */
-case class IvfProbeCellsExpr(child: Expression, cells: Int, dims: Int, probes: Int)
-    extends UnaryExpression {
+case class IvfProbeCellsExpr(child: Expression, cells: Int, dims: Int, probes: Int,
+    trained: Option[Seq[Double]] = None) extends UnaryExpression {
+  @transient private lazy val centroidArr: Array[Double] = trained.map(_.toArray).orNull
   override def checkInputDataTypes(): TypeCheckResult =
-    KernelTypeCheck.vector(prettyName, child.dataType)
+    if (trained.exists(_.length != cells * dims))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName trained centroid matrix must have cells*dims = ${cells * dims} entries, " +
+          s"got ${trained.get.length}")
+    else KernelTypeCheck.vector(prettyName, child.dataType)
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
   override def dataType: DataType =
@@ -275,12 +314,15 @@ case class IvfProbeCellsExpr(child: Expression, cells: Int, dims: Int, probes: I
   override def nullable: Boolean = true
   override def prettyName: String = "ivf_probe_cells"
   override protected def nullSafeEval(arr: Any): Any =
-    IvfQuantizer.probes(arr.asInstanceOf[ArrayData], isFloat, cells, dims, probes)
+    IvfQuantizer.probesWith(arr.asInstanceOf[ArrayData], isFloat, cells, dims, probes, centroidArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val f = isFloat
+    val cref =
+      if (centroidArr == null) "(double[]) null"
+      else ctx.addReferenceObj("ivfCentroids", centroidArr, "double[]")
     nullSafeCodeGen(ctx, ev, c => {
       val tmp = ctx.freshName("ivfTmp")
-      s"""Object $tmp = graft.functions.IvfQuantizer.probes($c, $f, $cells, $dims, $probes);
+      s"""Object $tmp = graft.functions.IvfQuantizer.probesWith($c, $f, $cells, $dims, $probes, $cref);
          |if ($tmp == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
          |""".stripMargin
@@ -299,11 +341,19 @@ case class HyperplaneSketchAll(child: Expression, tables: Int, planes: Int, dims
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // dims-mismatched vectors → null, not a truncated sketch
   override def prettyName: String = "hyperplane_sketch_all"
   override protected def nullSafeEval(arr: Any): Any =
     Hyperplanes.sketchAll(arr.asInstanceOf[ArrayData], isFloat, tables, planes, dims)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.Hyperplanes.sketchAll($c, $isFloat, $tables, $planes, $dims)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = isFloat
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("hpTmp")
+      s"""Object $tmp = graft.functions.Hyperplanes.sketchAll($c, $f, $tables, $planes, $dims);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+         |""".stripMargin
+    })
+  }
   override protected def withNewChildInternal(c: Expression): HyperplaneSketchAll = copy(child = c)
 }

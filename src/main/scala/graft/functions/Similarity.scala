@@ -137,14 +137,117 @@ object Similarity {
   /** IVF cell of `vec`: argmax-dot coarse centroid (ties → smaller cell id). Evaluated by the
     * fused single-pass [[IvfProbeCellsExpr]] kernel (see [[graft.functions.IvfQuantizer]]);
     * the definitional variants below are the spec oracles.
+    *
+    * `centroids` = trained row-major matrix from [[trainIvfCentroids]]; None → LCG family.
     */
-  def ivfCell(vec: Column, cells: Int, dims: Int): Column =
-    element_at(ivfProbeCells(vec, cells, 1, dims), 1)
+  def ivfCell(vec: Column, cells: Int, dims: Int,
+      centroids: Option[Array[Double]] = None): Column =
+    element_at(ivfProbeCells(vec, cells, 1, dims, centroids), 1)
 
   /** The `probes` nearest cells of `vec`, best-first. */
-  def ivfProbeCells(vec: Column, cells: Int, probes: Int, dims: Int): Column =
+  def ivfProbeCells(vec: Column, cells: Int, probes: Int, dims: Int,
+      centroids: Option[Array[Double]] = None): Column =
     org.apache.spark.sql.GraftSqlBridge.column(IvfProbeCellsExpr(
-      org.apache.spark.sql.GraftSqlBridge.expression(vec), cells, dims, probes))
+      org.apache.spark.sql.GraftSqlBridge.expression(vec), cells, dims, probes,
+      centroids.map(_.toSeq)))
+
+  /** TRAINED coarse quantizer: sampled k-means++ / Lloyd's, dropping into the same
+    * [[IvfProbeCellsExpr]] seam as the LCG family (which stays the SQL-oracle variant).
+    *
+    * Scale shape (the Faiss-style discipline, public design): IVF training never needs the full
+    * corpus — a bounded deterministic sample (`sampleN` rows, ordered by id so reruns see the
+    * same set) is collected once, and Lloyd's runs driver-side on that sample (sampleN × dims
+    * doubles; 64k × 1k = ~0.5 GB worst case, far below driver heap). The resulting matrix ships
+    * to executors as one plan constant. Empty clusters reseed to the point farthest from its
+    * center (standard repair).
+    *
+    * @return row-major `[cells][dims]` centroid matrix for [[ivfTopK]]'s `centroids` parameter
+    */
+  def trainIvfCentroids(items: DataFrame, cells: Int, dims: Int, iters: Int = 10,
+      sampleN: Int = 16384, seed: Long = 42L): Array[Double] = {
+    val sample: Array[Array[Double]] = items
+      .select(col("id"), checkedDims("trainIvfCentroids", col("vec"), dims).as("vec"))
+      .orderBy(col("id")).limit(sampleN)
+      .select(col("vec").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "trainIvfCentroids: no vectors to train on")
+    val rnd = new scala.util.Random(seed)
+    @inline def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var d = 0
+      while (d < dims) { val t = a(d) - b(d); s += t * t; d += 1 }
+      s
+    }
+    // k-means++ seeding: first center uniform, then D²-weighted
+    val centers = Array.ofDim[Double](cells, dims)
+    centers(0) = sample(rnd.nextInt(sample.length)).clone()
+    val minD2 = Array.fill(sample.length)(Double.MaxValue)
+    var c = 1
+    while (c < cells) {
+      var i = 0
+      while (i < sample.length) {
+        val d2 = dist2(sample(i), centers(c - 1))
+        if (d2 < minD2(i)) minD2(i) = d2
+        i += 1
+      }
+      val total = minD2.sum
+      var pick = 0
+      if (total > 0) {
+        var r = rnd.nextDouble() * total
+        while (pick < sample.length - 1 && r > minD2(pick)) { r -= minD2(pick); pick += 1 }
+      } else pick = rnd.nextInt(sample.length) // all points identical: any seed works
+      centers(c) = sample(pick).clone()
+      c += 1
+    }
+    // Lloyd's iterations
+    val assign = new Array[Int](sample.length)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var k = 0
+        while (k < cells) {
+          val d2 = dist2(sample(i), centers(k))
+          if (d2 < bestD) { bestD = d2; best = k }
+          k += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.ofDim[Double](cells, dims)
+      val counts = new Array[Int](cells)
+      i = 0
+      while (i < sample.length) {
+        val k = assign(i); counts(k) += 1
+        var d = 0
+        while (d < dims) { sums(k)(d) += sample(i)(d); d += 1 }
+        i += 1
+      }
+      var k = 0
+      while (k < cells) {
+        if (counts(k) > 0) {
+          var d = 0
+          while (d < dims) { centers(k)(d) = sums(k)(d) / counts(k); d += 1 }
+        } else {
+          // empty cluster: reseed to the sample point farthest from its assigned center
+          var far = 0; var farD = -1.0
+          var j = 0
+          while (j < sample.length) {
+            val d2 = dist2(sample(j), centers(assign(j)))
+            if (d2 > farD) { farD = d2; far = j }
+            j += 1
+          }
+          centers(k) = sample(far).clone()
+        }
+        k += 1
+      }
+      it += 1
+    }
+    val flat = new Array[Double](cells * dims)
+    c = 0
+    while (c < cells) { System.arraycopy(centers(c), 0, flat, c * dims, dims); c += 1 }
+    flat
+  }
 
   private[functions] def ivfCellDefinitional(vec: Column, cells: Int, dims: Int): Column =
     -array_max(centroidScores(vec, cells, dims)).getField("nc")
@@ -165,16 +268,17 @@ object Similarity {
     * degenerate quantizer's hot list exactly like the LSH hot-bucket cap.
     */
   def ivfTopK(items: DataFrame, queries: DataFrame, k: Int, cells: Int, probes: Int,
-      dims: Int = 64, maxCell: Int = 65536): DataFrame = {
+      dims: Int = 64, maxCell: Int = 65536,
+      centroids: Option[Array[Double]] = None): DataFrame = {
     val it = items.select(col("id").as("neighbor_id"),
         checkedDims("ivfTopK", col("vec"), dims).as("vec"))
-      .withColumn("cell", ivfCell(col("vec"), cells, dims))
+      .withColumn("cell", ivfCell(col("vec"), cells, dims, centroids))
     val capped = it
       .withColumn("_cn", count(lit(1)).over(Window.partitionBy(col("cell"))))
       .filter(col("_cn") <= maxCell).drop("_cn")
     val qs = queries.select(col("id").as("query_id"),
         checkedDims("ivfTopK", col("vec"), dims).as("qvec"))
-      .withColumn("cell", explode(ivfProbeCells(col("qvec"), cells, probes, dims)))
+      .withColumn("cell", explode(ivfProbeCells(col("qvec"), cells, probes, dims, centroids)))
     val cands = capped.join(broadcast(qs), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))

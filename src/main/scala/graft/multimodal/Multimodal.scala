@@ -149,7 +149,13 @@ object Multimodal {
             val ch = math.max(1, clip.channels)
             val audioFrames = clip.samples.length / ch
             val perWindow = math.max(1, (audioFrames + frameCount - 1) / math.max(1, frameCount))
-            clip.samples.grouped(perWindow * ch).zipWithIndex.map { case (w, i) =>
+            // trim to whole channel groups FIRST: a malformed stream whose PCM byte count isn't
+            // frame-aligned would otherwise give the last window a length not divisible by ch,
+            // breaking the pixels.length == width*height*channels*2 contract
+            val aligned =
+              if (clip.samples.length == audioFrames * ch) clip.samples
+              else clip.samples.take(audioFrames * ch)
+            aligned.grouped(perWindow * ch).zipWithIndex.map { case (w, i) =>
               val b = new Array[Byte](w.length * 2)
               var j = 0
               while (j < w.length) {

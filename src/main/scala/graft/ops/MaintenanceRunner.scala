@@ -163,7 +163,13 @@ object MaintenanceRunner {
     }
 
     // ---- housekeeping ----
-    if (opts.rewriteManifests) table.rewriteManifests()
+    // above the distributed-planning threshold the manifest must not materialize on the driver
+    // for the REWRITE either — build the merged manifest with a Spark job (parts = manifests)
+    if (opts.rewriteManifests) {
+      if (useDistributed) graft.table.SeqIO.rewriteManifestsDistributed(spark, table)
+      else table.rewriteManifests()
+      ()
+    }
     if (opts.expireKeepLast > 0) table.expireSnapshots(opts.expireKeepLast)
     failpoint("housekeeping")
 

@@ -118,10 +118,18 @@ object Ingest {
   }
 
   /** Result export sink (reference S4/S5 stdout/WKT analog): write any result DataFrame as
-    * parquet or single-header CSV.
+    * parquet or CSV.
+    *
+    * CSV with `singleFile = true` (the default, a convenience for small result sets — one file,
+    * one header) serializes the WHOLE export through a single task; for a large export pass
+    * `singleFile = false` to keep the write parallel (one header per part file, the standard
+    * Spark CSV layout — every part is independently parseable with `header=true`).
     */
-  def export(df: DataFrame, path: String, format: String = "parquet"): Unit = format match {
-    case "csv" => df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+  def export(df: DataFrame, path: String, format: String = "parquet",
+      singleFile: Boolean = true): Unit = format match {
+    case "csv" =>
+      val out = if (singleFile) df.coalesce(1) else df
+      out.write.mode("overwrite").option("header", "true").csv(path)
     case _ => df.write.mode("overwrite").parquet(path)
   }
 }

@@ -192,14 +192,6 @@ object SeqIO {
     names
   }
 
-  /** @deprecated shim — delete application now needs to build the read itself (see
-    * [[readWithDeletes]]); `df` is ignored.
-    */
-  def applyDeletes(spark: SparkSession, table: SeqTable, snap: Snapshot,
-      metas: Seq[FileMeta], df: DataFrame): DataFrame =
-    if (snap.deleteManifests.isEmpty || metas.isEmpty) df
-    else readWithDeletes(spark, table, snap, metas)
-
   /** Full-table read at the current snapshot (merge-on-read deletes applied). */
   def read(spark: SparkSession, table: SeqTable): DataFrame = {
     val snap = table.currentSnapshot()
@@ -247,6 +239,71 @@ object SeqIO {
     ).flatten
     if (parts.isEmpty) spark.emptyDataset[FileMeta]
     else parts.reduce(_ unionByName _).as[FileMeta]
+  }
+
+  /** Distributed manifest rewrite — the 10^7-file replacement for the driver-side
+    * [[SeqTable.rewriteManifests]], which materializes and sorts the ENTIRE live manifest on the
+    * driver (the exact funnel the distributed planner path exists to avoid; at 10^7 files with
+    * ~13 KB docBloom payloads that is ~130 GB of driver heap). Here the merged manifest is built
+    * by a Spark job: the live-manifest Dataset (executor-side scan of the jsonl/parquet carriers)
+    * is `repartitionByRange`-partitioned and sorted on (first source, minNtok, path) — so each
+    * output part covers a contiguous key range, preserving the scan-locality contract of the
+    * driver path — and each parquet part file BECOMES one manifest. The driver only moves part
+    * files into place and runs the CAS commit (same optimistic retry loop, with
+    * `base.properties`/`deleteManifests` carried forward); it parses ZERO manifest entries
+    * ([[SeqTable.manifestFileReads]]-proven in the spec).
+    *
+    * @param targetEntriesPerManifest manifest granularity: bounds both part size and the unit of
+    *   future commit rewrites (a commit rewrites only manifests that lost files — one mega-
+    *   manifest would make every small commit re-write the world, many small ones keep commits
+    *   proportional to their edits)
+    */
+  def rewriteManifestsDistributed(spark: SparkSession, table: SeqTable,
+      targetEntriesPerManifest: Long = 100000L, maxRetries: Int = 5): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val base = table.currentSnapshot()
+      val ds = fileMetaDSOf(spark, table, base) // full width: the new manifests must keep docBloom
+      val total = ds.count()
+      val names: Seq[String] =
+        if (total == 0) Nil
+        else {
+          val nParts = math.min(total, (total + targetEntriesPerManifest - 1) /
+            targetEntriesPerManifest).toInt
+          val tmp = Files.createTempDirectory(table.metaDirPath, ".tmp-manifest-rw")
+          try {
+            ds.toDF()
+              // get() not element_at(): overflow files have EMPTY sources, and ANSI mode (the
+              // Spark 4 default) makes element_at throw on the out-of-bounds index
+              .withColumn("_src0", coalesce(get(col("sources"), lit(0)), lit("")))
+              .repartitionByRange(nParts, col("_src0"), col("minNtok"), col("path"))
+              .sortWithinPartitions(col("_src0"), col("minNtok"), col("path"))
+              .drop("_src0")
+              .write.mode("overwrite").parquet(tmp.toString)
+            SeqTable.listDir(tmp)
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .sortBy(_.getFileName.toString)
+              .map { p =>
+                val n = s"manifest-${java.util.UUID.randomUUID()}.parquet"
+                Files.move(p, table.metaDirPath.resolve(n))
+                n
+              }
+          } finally {
+            SeqTable.listDir(tmp).foreach(Files.deleteIfExists(_))
+            Files.deleteIfExists(tmp); ()
+          }
+        }
+      table.tryCommitManifestRewrite(base, names, total) match {
+        case Some(next) => return next
+        case None =>
+          names.foreach(table.uncacheManifestFile)
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new table.CommitConflictException(
+              s"rewriteManifestsDistributed: lost the version race $maxRetries times")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   final case class ScanStats(filesScanned: Int, totalFiles: Int, recordsScanned: Long)

@@ -122,6 +122,14 @@ final class SeqTable(val root: String) {
     manifestCache.put(name, metas); ()
   }
 
+  // removal must hold the SAME lock as cacheManifest: a bare remove+addAndGet interleaved
+  // between its clear() and set(b) double-subtracts, driving the counter negative and silently
+  // loosening the byte bound
+  private def uncacheManifest(name: String): Unit = synchronized {
+    val old = manifestCache.remove(name)
+    if (old != null) { cachedBytes.addAndGet(-approxBytes(old)); () }
+  }
+
   // ---------- snapshot access ----------
 
   def currentVersion(): Long = {
@@ -351,8 +359,7 @@ final class SeqTable(val root: String) {
     deadFiles.foreach(p => Files.deleteIfExists(Paths.get(root).resolve(p)))
     deadManifests.foreach { m =>
       Files.deleteIfExists(metaDir.resolve(m))
-      val old = manifestCache.remove(m)
-      if (old != null) { cachedBytes.addAndGet(-approxBytes(old)); () }
+      uncacheManifest(m)
     }
     expired.foreach(v => Files.deleteIfExists(metaDir.resolve(s"v$v.json")))
     (expired, deadFiles.toSeq)
@@ -400,19 +407,11 @@ final class SeqTable(val root: String) {
       val base = currentSnapshot()
       val entries = liveFiles(base).sortBy(f => (f.sources.headOption.getOrElse(""), f.minNtok, f.path))
       val m = writeManifest(entries)
-      val next = Snapshot(base.version + 1, base.version, "rewrite-manifests", Seq(m),
-        Map("manifests-before" -> base.manifests.size.toString, "manifests-after" -> "1",
-          "total-files" -> entries.size.toString),
-        System.currentTimeMillis(), base.deleteManifests)
-      try {
-        writeSnapshotFile(next)
-        writeVersionHint(next.version)
-        return next
-      } catch {
-        case _: FileAlreadyExistsException =>
+      tryCommitManifestRewrite(base, Seq(m), entries.size) match {
+        case Some(next) => return next
+        case None =>
           Files.deleteIfExists(metaDir.resolve(m))
-          val old = manifestCache.remove(m)
-          if (old != null) { cachedBytes.addAndGet(-approxBytes(old)); () }
+          uncacheManifest(m)
           attempt += 1
           if (attempt > maxRetries)
             throw new CommitConflictException(
@@ -421,4 +420,34 @@ final class SeqTable(val root: String) {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** One CAS attempt of a manifest-rewrite commit on top of `base`: the new snapshot references
+    * exactly `manifests` (pre-written by the caller — driver-side [[rewriteManifests]] or the
+    * distributed [[graft.table.SeqIO.rewriteManifestsDistributed]]) and — like every commit —
+    * CARRIES FORWARD `base.deleteManifests` and `base.properties` (the table-properties contract
+    * at [[Snapshot.properties]]: dropping them here silently erased streaming-ingest high-water
+    * marks, breaking exactly-once after manifest rewrite + snapshot expiry). Returns None when
+    * the version race is lost; the caller deletes its orphaned manifests and retries from the
+    * new head.
+    */
+  private[table] def tryCommitManifestRewrite(
+      base: Snapshot, manifests: Seq[String], totalFiles: Long): Option[Snapshot] = {
+    val next = Snapshot(base.version + 1, base.version, "rewrite-manifests", manifests,
+      Map("manifests-before" -> base.manifests.size.toString,
+        "manifests-after" -> manifests.size.toString,
+        "total-files" -> totalFiles.toString),
+      System.currentTimeMillis(), base.deleteManifests, base.properties)
+    try {
+      writeSnapshotFile(next)
+      writeVersionHint(next.version)
+      Some(next)
+    } catch { case _: FileAlreadyExistsException => None }
+  }
+
+  private[table] def uncacheManifestFile(name: String): Unit = {
+    Files.deleteIfExists(metaDir.resolve(name))
+    uncacheManifest(name)
+  }
+
+  private[table] def metaDirPath: Path = metaDir
 }

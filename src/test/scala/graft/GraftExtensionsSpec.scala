@@ -43,6 +43,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val err = intercept[Exception](spark.sql("SELECT cosine_sim(array(1, 2), array(1, 2))").head)
       assert(err.getMessage.toLowerCase.contains("array<float>"),
         s"expected the kernel type-check message, got: ${err.getMessage}")
+      // an oversized signature width fails at ANALYSIS too (was a per-row execution require)
+      val kerr = intercept[Exception](spark.sql("SELECT minhash_sig(array(7L), 5000)").head)
+      assert(kerr.getMessage.contains("4096"),
+        s"expected the analysis-time k bound message, got: ${kerr.getMessage}")
+      // a dims-mismatched vector through the raw SQL surface yields NULL, never a truncated
+      // partial-dot sketch (library entry points guard with checkedDims; SQL has no such wrapper)
+      val mm = spark.sql(
+        """SELECT lsh_buckets(array(0.5D), 4, 2, 2) AS bk,
+          |  cosine_sim(array(1.0D, 0.0D), array(1.0D)) AS c""".stripMargin).head
+      assert(mm.isNullAt(0), "lsh_buckets on a short vector must be NULL, not bucket-0")
+      assert(mm.isNullAt(1), "cosine_sim on mismatched lengths must be NULL")
     } finally {
       // do not stop(): SparkContext is shared process-wide with the other suites
       SparkSession.clearActiveSession()

@@ -107,6 +107,36 @@ class SimilaritySpec extends AnyFunSuite {
     fdf.unpersist(); ddf.unpersist()
   }
 
+  test("trained IVF quantizer: recall >= LCG-centroid recall at equal probe count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    // a separable 8-cluster mixture: items/queries = cluster center + small noise. A TRAINED
+    // 8-cell quantizer should recover the clusters (probes=1 ≈ perfect recall); the LCG family
+    // is data-blind, so this is exactly where training must pay.
+    val centers = Array.fill(8)(Array.fill(dims)(rnd.nextDouble() * 4 - 2))
+    val items = (0L until 400L).map { i =>
+      (i, centers((i % 8).toInt).map(v => (v + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("id", "vec").persist()
+    val queries = (0L until 40L).map { q =>
+      (1000L + q, centers((q % 8).toInt).map(v => (v + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("id", "vec").persist()
+    val k = 10
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.filter(col("rank") <= k).select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = resultSet(Similarity.bruteForceTopK(items, queries, k))
+    def recall(res: org.apache.spark.sql.DataFrame): Double =
+      (truth & resultSet(res)).size.toDouble / truth.size
+    val lcg = recall(Similarity.ivfTopK(items, queries, k, cells = 8, probes = 1, dims = dims))
+    val matrix = Similarity.trainIvfCentroids(items, cells = 8, dims = dims,
+      iters = 10, sampleN = 400, seed = 5L)
+    val trained = recall(Similarity.ivfTopK(items, queries, k, cells = 8, probes = 1,
+      dims = dims, centroids = Some(matrix)))
+    assert(trained >= lcg, s"trained recall $trained < LCG recall $lcg")
+    assert(trained > 0.9, s"trained quantizer should nail a separable mixture (recall=$trained)")
+    items.unpersist(); queries.unpersist(); ()
+  }
+
   test("lshTopK candidate dedup shuffles ids only — no vector payload in any aggregate") {
     import spark.implicits._
     val items = (0L until 20L).map(i => (i, vec(i))).toDF("id", "vec")

@@ -10,10 +10,12 @@ import graft.state.Checkpoint
 import graft.table.{SeqIO, SeqTable}
 
 /** Randomized engine torture: a seeded random sequence of lifecycle operations (COW merge,
-  * MoR merge, compaction cycle, delete materialization, manifest rewrite, snapshot expiry)
-  * against an in-memory model of the table's logical content. After EVERY op the physical table
-  * must match the model exactly on (doc_id, token checksum, n_tok, source) — the end-to-end
-  * invariant none of the single-op specs can check across interleavings.
+  * MoR merge, compaction cycle, delete materialization, manifest rewrite — driver AND
+  * distributed, snapshot expiry, STREAMING APPEND) against an in-memory model of the table's
+  * logical content. After EVERY op the physical table must match the model exactly on
+  * (doc_id, token checksum, n_tok, source), and once a stream has appended, the streaming
+  * high-water-mark table property must survive every subsequent op — the exact interleaving
+  * (stream → rewrite-manifests → expiry) where the round-4 properties-drop bug hid.
   */
 class EngineFuzzSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -48,10 +50,12 @@ class EngineFuzzSpec extends AnyFunSuite {
       assert(contentOf(table) === model.toMap, "fixture must seed the model")
 
       val opts = MaintenanceOptions(k = 8, targetRecordsPerFile = 400)
+      val srcDir = Files.createTempDirectory(s"fuzz$seed-stream-").toString
+      var streamHwm = Long.MinValue
       var step = 0
-      for (_ <- 1 to 10) {
+      for (_ <- 1 to 12) {
         step += 1
-        val op = rnd.nextInt(6)
+        val op = rnd.nextInt(7)
         val tag = op match {
           case 0 | 1 => // merge (COW or MoR) with upserts + deletes
             val mor = op == 1
@@ -74,12 +78,31 @@ class EngineFuzzSpec extends AnyFunSuite {
           case 3 =>
             MaterializeDeletes.run(spark, table, cfg, opts.targetRecordsPerFile); "materialize"
           case 4 =>
-            table.rewriteManifests(); "rewrite-manifests"
+            if (rnd.nextBoolean()) { table.rewriteManifests(); "rewrite-manifests" }
+            else { SeqIO.rewriteManifestsDistributed(spark, table); "rewrite-manifests-dist" }
           case 5 =>
             table.expireSnapshots(keepLast = 2); "expire"
+          case 6 => // streaming append of a fresh uniquely-keyed batch through the HWM machinery
+            val batch = SeqGen.table(spark, 40, parts = 1)
+              .withColumn("doc_id", concat(lit(s"s$step-"), col("doc_id"))).persist()
+            batch.write.parquet(s"$srcDir/b$step")
+            val src = spark.readStream.schema(graft.table.SeqSchema.schema).parquet(s"$srcDir/b*")
+            val q = graft.sources.Ingest.stream(spark, table, src, s"$srcDir/ckpt")
+            q.awaitTermination(120000); q.stop()
+            modelOf(batch).foreach { case (id, v, _) => model(id) = v }
+            batch.unpersist()
+            "stream-append"
         }
         assert(contentOf(table) === model.toMap,
           s"seed=$seed step=$step op=$tag: physical content diverged from model")
+        // once streamed, the HWM property must survive EVERY op (monotone, never dropped)
+        if (tag == "stream-append" || streamHwm != Long.MinValue) {
+          val hwms = table.currentSnapshot().properties.collect {
+            case (k, v) if k.startsWith("stream-batch-") => v.toLong }
+          assert(hwms.nonEmpty, s"seed=$seed step=$step op=$tag: streaming HWM property dropped")
+          assert(hwms.max >= streamHwm, s"seed=$seed step=$step op=$tag: HWM went backwards")
+          streamHwm = hwms.max
+        }
       }
     }
   }

@@ -120,6 +120,48 @@ class IngestSpec extends AnyFunSuite {
       "replayed batch after snapshot expiry must not duplicate rows")
   }
 
+  // The round-4 bug: rewriteManifests rebuilt the snapshot WITHOUT base.properties, silently
+  // erasing the streaming high-water mark — rewrite + expiry + crash-replay then duplicated the
+  // redelivered batch. Both rewrite paths (driver-side and distributed) must carry properties.
+  for ((mode, rewrite) <- Seq[(String, (SeqTable) => Unit)](
+      ("driver", t => { t.rewriteManifests(); () }),
+      ("distributed", t => { SeqIO.rewriteManifestsDistributed(spark, t); () }))) {
+    test(s"streaming exactly-once survives $mode manifest rewrite + snapshot expiry") {
+      val dir = fresh()
+      val t = SeqTable.create(s"$dir/t")
+      val srcDir = s"$dir/incoming"
+      Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      SeqGen.table(spark, 100, parts = 1).write.parquet(s"$srcDir/b1")
+      def run(): Unit = {
+        val src = spark.readStream.schema(graft.table.SeqSchema.schema).parquet(s"$srcDir/b*")
+        val q = Ingest.stream(spark, t, src, s"$dir/ckpt")
+        q.awaitTermination(120000)
+        q.stop()
+        ()
+      }
+      run()
+      assert(SeqIO.read(spark, t).count() === 100)
+      // maintenance cycle with manifest rewrite, then expiry: the stream-append snapshot AND its
+      // summary die; only the carried-forward head properties can still hold the HWM
+      rewrite(t)
+      t.commit("noise", Nil, Set.empty)
+      t.expireSnapshots(keepLast = 2)
+      assert(!t.snapshotVersions().map(t.snapshot).exists(_.operation == "stream-append"),
+        "precondition: the stream-append snapshot must be gone")
+      assert(t.currentSnapshot().properties.keys.exists(_.startsWith("stream-batch-")),
+        "manifest rewrite must carry the stream HWM table property forward")
+      import scala.jdk.CollectionConverters._
+      val commits = java.nio.file.Paths.get(s"$dir/ckpt/commits")
+      val newest = Files.list(commits).iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.forall(_.isDigit)).maxBy(_.getFileName.toString.toInt)
+      Files.delete(newest)
+      Files.deleteIfExists(commits.resolve(s".${newest.getFileName}.crc"))
+      run()
+      assert(SeqIO.read(spark, t).count() === 100,
+        s"replayed batch after $mode manifest rewrite + expiry must not duplicate rows")
+    }
+  }
+
   test("jdbc ingest (derby in-memory) with ;-delimited token strings") {
     val dir = fresh()
     // derby ships with Spark's jars; in-memory DB = the reference's Proteus-over-JDBC stand-in
@@ -156,5 +198,19 @@ class IngestSpec extends AnyFunSuite {
     Ingest.export(Seq((1, "a"), (2, "b")).toDF("k", "v"), s"$dir/out", "csv")
     val back = spark.read.option("header", "true").csv(s"$dir/out")
     assert(back.count() === 2)
+  }
+
+  test("export sink multi-file csv mode keeps the write parallel and roundtrips") {
+    val dir = fresh()
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i, s"v$i")).toDF("k", "v").repartition(8)
+    Ingest.export(df, s"$dir/out", "csv", singleFile = false)
+    import scala.jdk.CollectionConverters._
+    val st = Files.list(java.nio.file.Paths.get(s"$dir/out"))
+    val parts = try st.iterator().asScala.count(_.getFileName.toString.startsWith("part-"))
+      finally st.close()
+    assert(parts > 1, s"multi-file export must not serialize through one task (parts=$parts)")
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+    assert(back.count() === 1000)
   }
 }

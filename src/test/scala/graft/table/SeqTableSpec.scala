@@ -142,6 +142,58 @@ class SeqTableSpec extends AnyFunSuite {
     assert(SeqIO.read(spark, t).count() === 300)
   }
 
+  test("rewriteManifests carries table properties and delete manifests forward") {
+    val t = SeqTable.create(fresh())
+    val metas = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 200, parts = 2))
+    t.commit("append", metas, Set.empty, propertyUpdates = Map("stream-batch-x" -> "7"))
+    val s = t.rewriteManifests()
+    assert(s.properties.get("stream-batch-x") === Some("7"),
+      "rewrite-manifests must honor the Snapshot.properties carry-forward contract")
+  }
+
+  test("distributed manifest rewrite: parity with live set, range-ordered parts, zero driver parses") {
+    val root = fresh()
+    val t = SeqTable.create(root)
+    t.manifestFormat = "parquet"
+    // several appends with distinct sources / n_tok ranges → several manifests to merge
+    (1 to 4).foreach { i =>
+      val m = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 150, parts = 2)
+        .withColumn("doc_id", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(s"b$i-"),
+          org.apache.spark.sql.functions.col("doc_id"))))
+      t.commit("append", m, Set.empty,
+        propertyUpdates = if (i == 1) Map("stream-batch-y" -> "3") else Map.empty)
+    }
+    val before = t.liveFiles().toSet
+    assert(t.currentSnapshot().manifests.size > 1)
+
+    // run the rewrite on a COLD handle: the driver must parse zero manifest entries
+    val t2 = SeqTable.load(root)
+    t2.manifestFormat = "parquet"
+    val snap = SeqIO.rewriteManifestsDistributed(spark, t2, targetEntriesPerManifest = 3)
+    assert(t2.manifestFileReads.get() === 0L,
+      "distributed manifest rewrite must not parse any manifest on the driver")
+    assert(snap.operation === "rewrite-manifests")
+    assert(snap.properties.get("stream-batch-y") === Some("3"), "properties carried forward")
+    assert(snap.manifests.size > 1, "granularity: multiple range parts expected")
+
+    // parity: the live file set (full metadata, bloom included) is unchanged
+    val after = t.liveFiles(snap).toSet
+    assert(after === before)
+
+    // contiguity: entries sorted within each manifest and across manifests in snapshot order
+    def key(f: FileMeta) = (f.sources.headOption.getOrElse(""), f.minNtok, f.path)
+    val perManifest = snap.manifests.map(m => t.readManifest(m).map(key))
+    perManifest.foreach(ks => assert(ks === ks.sorted, "entries within a manifest must be sorted"))
+    val nonEmpty = perManifest.filter(_.nonEmpty)
+    nonEmpty.sliding(2).foreach {
+      case Seq(a, b) => assert(implicitly[Ordering[(String, Int, String)]].lteq(a.last, b.head),
+        "consecutive manifests must cover contiguous, ordered key ranges")
+      case _ => ()
+    }
+    assert(SeqIO.read(spark, t).count() === 600)
+  }
+
   test("manifest cache: repeated liveFiles() and a rebasing commit parse each manifest at most once") {
     val root = fresh()
     val t = SeqTable.create(root)
