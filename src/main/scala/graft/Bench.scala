@@ -148,19 +148,91 @@ object Bench {
         when(u(1) < 0.2, cluster * 20 - 80 + (u(5) + u(6) - 1) * 8)
           .otherwise(u(7) * 170 - 85).as("lat")).persist()
       pts.count() // materialize: time the QUERY, not the generator
-      def once(): Double = {
-        val (df, sec) = time {
-          val r = graft.brs.BRS.bestRegions(pts, eps = 0.5, k = 10, distinct = true)
+      def once(sigma: Option[Double]): Double = {
+        val (_, sec) = time {
+          val r = graft.brs.BRS.bestRegions(pts, eps = 0.5, k = 10, distinct = true, sigma = sigma)
           require(r.count() == 10, "BRS must find k winners"); r
         }
         sec
       }
-      once() // warmup
-      val secs = Seq.fill(2)(once())
+      once(None) // warmup
+      val secs = Seq.fill(2)(once(None))
       val best = secs.min
       println(f"[brs] points=$n exact k=10 eps=0.5: best=${best}%.1f s (" +
         secs.map(s => f"$s%.1f").mkString(", ") + f") throughput=${n / best}%.0f pts/s")
+      // σ-approximate legs (reference algo 8, the q39-verified semantics): the documented lever
+      // for the exact mode's quadratic-in-density enumeration — σ relaxes the non-overlap
+      // constraint, so the merge needs no fixed-winner exclusion rounds and the round cache
+      // stays whole. SPARK_GRAFT_BRS_SIGMA="0.7,0.9" (JVM already warm from the exact legs).
+      sys.env.get("SPARK_GRAFT_BRS_SIGMA").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).map(_.toDouble).foreach { sg =>
+        val ss = Seq.fill(2)(once(Some(sg)))
+        println(f"[brs] points=$n sigma=$sg%.1f k=10 eps=0.5: best=${ss.min}%.1f s (" +
+          ss.map(s => f"$s%.1f").mkString(", ") + f") throughput=${n / ss.min}%.0f pts/s")
+      }
       spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("planner")) {
+      // Metadata-only planning at the 10^6-file scale (the 10^7-file design claim's measured
+      // stand-in): synthesize a fragmented manifest of SPARK_GRAFT_PLANNER_FILES FileMeta rows
+      // (no data files — planning never touches data), then run the DRIVER planner (liveFiles()
+      // materializes the manifest on the driver) vs the DISTRIBUTED planner (manifest Dataset on
+      // executors) and the driver vs distributed manifest REWRITE, recording wall time, retained
+      // driver heap, and driver manifest parses.
+      val nf = sys.env.get("SPARK_GRAFT_PLANNER_FILES").map(_.toInt).getOrElse(1000000)
+      val spark = session(cpus)
+      val root = Files.createTempDirectory("graft-planner-bench-").toString + "/tbl"
+      val table = graft.table.SeqTable.create(root)
+      table.manifestFormat = "parquet"
+      // realistic mix: ~40% small fragments, some unclustered wide-span files, 64 source buckets
+      val metas = (0 until nf).iterator.map { i =>
+        val lo = 16 + (i * 37) % 2000
+        val hi = lo + 8 + (i % 5) * 400
+        val recs = if (i % 5 < 2) 500L + i % 1000 else 20000L
+        graft.table.FileMeta(s"data/f$i.parquet", recs, recs * 100, lo, hi,
+          f"d$i%09d", f"e$i%09d", Seq(s"src${i % 64}"), 1L, clustered = i % 5 >= 2)
+      }.toVector
+      table.commit("append", metas, Set.empty)
+      val cfg = GridConfig()
+      val target = 20000L
+      def usedHeap(): Long = {
+        System.gc(); Thread.sleep(300); System.gc()
+        Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+      }
+      // DISTRIBUTED first, on a cold handle: proves zero driver manifest parses end-to-end
+      val dist = graft.table.SeqTable.load(root)
+      dist.manifestFormat = "parquet"
+      val hd0 = usedHeap()
+      val (distTasks, tDist) = time(MaintenancePlanner.planCompactionDistributed(
+        spark, SeqIO.fileMetaDS(spark, dist, narrow = true), cfg, 64, 1.0, target))
+      val hd1 = usedHeap()
+      val (_, tRwDist) = time(SeqIO.rewriteManifestsDistributed(spark, dist))
+      require(dist.manifestFileReads.get() == 0L,
+        "distributed planning+rewrite must parse zero manifests on the driver")
+      // DRIVER path on its own cold handle
+      val drv = graft.table.SeqTable.load(root)
+      drv.manifestFormat = "parquet"
+      val hv0 = usedHeap()
+      val (drvTasks, tDrv) = time(MaintenancePlanner.planCompaction(
+        spark, drv.liveFiles(), cfg, 64, 1.0, target))
+      val hv1 = usedHeap()
+      val (_, tRwDrv) = time(drv.rewriteManifests())
+      println(f"[planner] files=$nf distributed: plan=${tDist}%.1fs tasks=${distTasks.size} " +
+        f"rewrite=${tRwDist}%.1fs driverParses=${dist.manifestFileReads.get()} " +
+        f"heapDelta=${(hd1 - hd0) / 1e6}%.0fMB")
+      println(f"[planner] files=$nf driver:      plan=${tDrv}%.1fs tasks=${drvTasks.size} " +
+        f"rewrite=${tRwDrv}%.1fs driverParses=${drv.manifestFileReads.get()} " +
+        f"heapDelta=${(hv1 - hv0) / 1e6}%.0fMB")
+      println(s"[planner] task parity: claimed-file sets equal = " +
+        (distTasks.map(_.filePaths.toSet).toSet == drvTasks.map(_.filePaths.toSet).toSet))
+      spark.stop()
+      import scala.jdk.CollectionConverters._
+      val top = java.nio.file.Paths.get(root).getParent
+      val walk = Files.walk(top)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
       return
     }
 

@@ -298,6 +298,41 @@ object EngineQueries {
     sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
+  /** Distributed manifest rewrite driver-green (q45): a multi-append table's manifests are
+    * merged by the EXECUTOR-side rewrite ([[SeqIO.rewriteManifestsDistributed]]) on a cold table
+    * handle — the driver must parse ZERO manifest entries, the manifest count must shrink, table
+    * properties must survive (the round-4 exactly-once bug), and the content must be intact.
+    */
+  def manifestRewrite(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps).persist()
+    val table = SeqTable.create(fresh("rwmanifest"))
+    table.manifestFormat = "parquet"
+    val bounds = (0 to 4).map(i => i * reps / 4)
+    bounds.sliding(2).foreach { case Seq(lo, hi) =>
+      val batch = port.filter(pmod(col("docnum"), lit(reps)) >= lo &&
+        pmod(col("docnum"), lit(reps)) < hi)
+      val metas = SeqIO.writeFiles(s, table,
+        batch.select("doc_id", "tokens", "n_tok", "source").repartition(3))
+      table.commit("append", metas, Set.empty,
+        propertyUpdates = Map("stream-batch-q45" -> "11"))
+      ()
+    }
+    port.unpersist()
+    val manifestsBefore = table.currentSnapshot().manifests.size
+    require(manifestsBefore >= 4, s"multi-append premise void: $manifestsBefore manifests")
+    val cold = SeqTable.load(table.root)
+    cold.manifestFormat = "parquet"
+    val snap = SeqIO.rewriteManifestsDistributed(s, cold, targetEntriesPerManifest = 6)
+    require(cold.manifestFileReads.get() == 0L,
+      s"distributed rewrite parsed ${cold.manifestFileReads.get()} manifests on the driver")
+    require(snap.properties.get("stream-batch-q45").contains("11"),
+      "manifest rewrite dropped table properties")
+    require(snap.manifests.size < manifestsBefore,
+      s"rewrite did not merge manifests: $manifestsBefore -> ${snap.manifests.size}")
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
+  }
+
   /** CSV sink + CSV source roundtrip (reference S5/S2 driver-green): a deterministic slice is
     * exported as the reference's `;`-delimited-array CSV convention, ingested back through the
     * CSV source into a fresh table, and read out — content must equal the slice exactly (the
@@ -389,6 +424,7 @@ object EngineQueries {
     import PortableSeq._
     Map(
       "q25_engine_compaction" -> portContentSql(reps),
+      "q45_engine_manifest_rewrite" -> portContentSql(reps),
       "q26_engine_merge_into" -> mergedContentSql(reps),
       "q32_engine_merge_mor" -> mergedContentSql(reps),
       "q27_engine_snapshot_expiry" -> portContentSql(reps),

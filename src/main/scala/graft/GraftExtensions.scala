@@ -6,6 +6,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.{AffineMinhashSig, CosineSim, HilbertKey, HyperplaneSketchAll,
   SimhashFromMd5, ZOrderKey}
 
@@ -25,6 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$fn expects a literal INT, got $other")
+  }
+
+  private def strArg(e: Expression, fn: String): String = e match {
+    case Literal(v: UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(s"$fn expects a literal STRING, got $other")
+  }
+
+  private def dblArg(e: Expression, fn: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(s"$fn expects a literal DOUBLE, got $other")
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -48,6 +63,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_md5"),
       info("simhash_md5", "simhash_md5(digests ARRAY<STRING>) - 64-bit SimHash of md5 digests"),
       (args: Seq[Expression]) => SimhashFromMd5(args(0))))
+    // The reference's ONE user-facing query as a SQL table function:
+    //   SELECT * FROM best_regions('pts_view', 0.02, 5[, 'weight'[, 0.9]])
+    // `best_regions` is a top-k DRIVER-COORDINATED pipeline (bbox pass, hot-node split plan,
+    // fixed-winner rounds — /root/reference/src/main/scala/SDL/main/Run.scala:22-189), not a
+    // single lazy plan, so the TVF executes it eagerly at resolution and returns the k ranked
+    // rows as a LocalRelation — exact [[graft.brs.BRS.bestRegions]] parity by construction, and
+    // k rows is by definition a driver-sized result.
+    e.injectTableFunction((
+      FunctionIdentifier("best_regions"),
+      info("best_regions",
+        "best_regions(table STRING, eps DOUBLE, k INT[, scoreCol STRING[, sigma DOUBLE]]) - " +
+          "top-k eps×eps best regions over a table/view with lon/lat columns"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 3 && args.size <= 5,
+          s"best_regions expects 3-5 arguments, got ${args.size}")
+        val table = strArg(args(0), "best_regions")
+        val eps = dblArg(args(1), "best_regions")
+        val k = intArg(args(2), "best_regions")
+        val score = if (args.size > 3) Some(strArg(args(3), "best_regions")).filter(_.nonEmpty)
+          else None
+        val sigma = if (args.size > 4) Some(dblArg(args(4), "best_regions")) else None
+        val spark = org.apache.spark.sql.SparkSession.active
+        val out = graft.brs.BRS.bestRegions(spark.table(table), eps, k,
+          scoreCol = score, sigma = sigma)
+        LocalRelation(out.queryExecution.analyzed.output,
+          out.queryExecution.executedPlan.executeCollect().toIndexedSeq): LogicalPlan
+      }))
     e.injectFunction((
       FunctionIdentifier("lsh_buckets"),
       info("lsh_buckets",

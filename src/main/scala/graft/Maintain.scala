@@ -21,6 +21,7 @@ object Maintain {
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
     .appName("graft-maintain")
+    .withExtensions(new GraftExtensions) // SQL surface: fused kernels + best_regions TVF
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
@@ -104,9 +105,40 @@ object Maintain {
           eps = epsS.toDouble, k = kS.toInt, lonCol = lonCol, latCol = latCol, sigma = sigma)
         println(graft.brs.BRS.renderJson(res))
 
+      case "rewrite-manifests" :: dir :: _ =>
+        // distributed by default: the merged manifest is built by a Spark job (parts become
+        // manifests), the driver parses zero manifest entries
+        val table = SeqTable.load(dir)
+        table.manifestFormat = "parquet"
+        val snap = SeqIO.rewriteManifestsDistributed(spark, table)
+        println(s"[rewrite-manifests] manifests=${snap.manifests.size} " +
+          s"files=${snap.summary.getOrElse("total-files", "?")} → v${snap.version}")
+
+      case "expire" :: dir :: rest =>
+        val keep = rest.headOption.map(_.toInt).getOrElse(2)
+        val table = SeqTable.load(dir)
+        val (vs, fs) = table.expireSnapshots(keep)
+        println(s"[expire] expired=${vs.size} snapshots, deleted=${fs.size} data files")
+
+      case "dedup" :: dir :: rest =>
+        val near = rest.headOption.contains("near")
+        val table = SeqTable.load(dir)
+        val (n, _) =
+          if (near) DedupTable.dedupNear(spark, table, cfg, opts.targetRecordsPerFile)
+          else DedupTable.dedupExact(spark, table, cfg, opts.targetRecordsPerFile)
+        println(s"[dedup] mode=${if (near) "near" else "exact"} deleted=$n → " +
+          s"v${table.currentVersion()}")
+
+      case "sql" :: stmt :: _ =>
+        // ad-hoc SQL with the graft extensions registered — e.g.
+        //   sql "SELECT * FROM best_regions('pts', 0.5D, 5)"  (after a CREATE TEMP VIEW)
+        spark.sql(stmt).show(100, truncate = false)
+
       case other =>
         System.err.println("usage: demo <dir> [rows] [files] | cycle <tableDir> | " +
-          "merge <tableDir> <changesParquet> | query <parquet> <lonCol> <latCol> <eps> <k> [sigma]" +
+          "merge <tableDir> <changesParquet> | query <parquet> <lonCol> <latCol> <eps> <k> [sigma] | " +
+          "rewrite-manifests <tableDir> | expire <tableDir> [keepLast] | " +
+          "dedup <tableDir> [near] | sql <statement>" +
           s"; got: $other")
         sys.exit(2)
     }

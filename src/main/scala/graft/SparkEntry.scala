@@ -337,6 +337,7 @@ object SparkEntry {
     "q35_engine_incremental" -> ((s, dir) => EngineQueries.incrementalCycles(s, dir)),
     "q36_csv_roundtrip" -> ((s, dir) => EngineQueries.csvRoundtrip(s, dir)),
     "q37_engine_resume" -> ((s, dir) => EngineQueries.resumeCycle(s, dir)),
+    "q45_engine_manifest_rewrite" -> ((s, dir) => EngineQueries.manifestRewrite(s, dir)),
     "q38_jdbc_roundtrip" -> ((s, dir) => EngineQueries.jdbcRoundtrip(s, dir)),
 
     "q33_image_roundtrip" -> ((s, dir) => {

@@ -105,8 +105,8 @@ final class SeqTable(val root: String) {
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[FileMeta]]()
   private val MaxCachedManifestBytes = 256L << 20
   private val cachedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
-  /** actual manifest-file parses (cache misses) — observability for specs */
-  private[table] val manifestFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** actual manifest-file parses (cache misses) — observability for specs and the planner bench */
+  private[graft] val manifestFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def approxBytes(metas: Seq[FileMeta]): Long =
     metas.iterator.map(m => 200L + m.path.length + m.docBloom.map(_.length).getOrElse(0)).sum

@@ -54,6 +54,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  cosine_sim(array(1.0D, 0.0D), array(1.0D)) AS c""".stripMargin).head
       assert(mm.isNullAt(0), "lsh_buckets on a short vector must be NULL, not bucket-0")
       assert(mm.isNullAt(1), "cosine_sim on mismatched lengths must be NULL")
+
+      // the BRS query itself is reachable from SQL as a table function, with exact library parity
+      {
+        import spark.implicits._
+        val rnd = new scala.util.Random(13)
+        val pts = (0 until 500).map { i =>
+          // two dense clusters + uniform noise, weighted
+          val (cx, cy) = if (i % 5 == 0) (2.0, 3.0) else if (i % 5 == 1) (7.0, 1.0) else
+            (rnd.nextDouble() * 10, rnd.nextDouble() * 10)
+          (cx + rnd.nextDouble() * 0.3, cy + rnd.nextDouble() * 0.3, 1.0 + (i % 3))
+        }.toDF("lon", "lat", "w")
+        pts.createOrReplaceTempView("brs_pts")
+        val viaSql = spark.sql(
+          "SELECT * FROM best_regions('brs_pts', 0.5D, 3, 'w')").collect().toSeq
+        val viaApi = graft.brs.BRS.bestRegions(spark.table("brs_pts"), eps = 0.5, k = 3,
+          scoreCol = Some("w")).collect().toSeq
+        assert(viaSql === viaApi, "SQL table function must match BRS.bestRegions exactly")
+        assert(viaSql.size === 3 && viaSql.head.getAs[Int]("rank") === 1)
+      }
     } finally {
       // do not stop(): SparkContext is shared process-wide with the other suites
       SparkSession.clearActiveSession()
