@@ -129,10 +129,12 @@ object Maintain {
         println(s"[dedup] mode=${if (near) "near" else "exact"} deleted=$n → " +
           s"v${table.currentVersion()}")
 
-      case "sql" :: stmt :: _ =>
+      case "sql" :: stmt :: rest =>
         // ad-hoc SQL with the graft extensions registered — e.g.
         //   sql "SELECT * FROM best_regions('pts', 0.5D, 5)"  (after a CREATE TEMP VIEW)
-        spark.sql(stmt).show(100, truncate = false)
+        // unquoted statements arrive as many argv tokens: join them instead of silently
+        // executing only the first word
+        spark.sql((stmt :: rest).mkString(" ")).show(100, truncate = false)
 
       case other =>
         System.err.println("usage: demo <dir> [rows] [files] | cycle <tableDir> | " +

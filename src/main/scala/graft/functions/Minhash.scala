@@ -251,10 +251,38 @@ object IvfQuantizer {
 
   /** [[probes]] against an explicit row-major `[cells][dims]` centroid matrix — the TRAINED
     * quantizer path ([[Similarity.trainIvfCentroids]]); `centroids = null` → the deterministic
-    * LCG family (the SQL-oracle variant). Same selection semantics either way.
+    * LCG family (the SQL-oracle variant).
+    *
+    * Selection rule: the LCG family ranks by raw dot product (the SQL-reproducible oracle
+    * definition). TRAINED centroids rank by `dot(x, c) − ½‖c‖²` — exactly argmin ‖x − c‖², the
+    * objective k-means trained for. Raw dot against unequal-norm trained centroids would pile
+    * every vector into the largest-norm cell (two collinear clusters at radii 1 and 3 both
+    * prefer the radius-3 centroid by dot), emptying cells and breaking the partition.
     */
   def probesWith(vec: ArrayData, isFloat: Boolean, cells: Int, dims: Int, probes: Int,
-      centroids: Array[Double]): Any = {
+      centroids: Array[Double]): Any =
+    probesWith(vec, isFloat, cells, dims, probes, centroids,
+      if (centroids == null) null else halfNorms(centroids, cells, dims))
+
+  /** ½‖c‖² per cell — the L2 bias the trained selection subtracts; computed ONCE per plan by
+    * [[IvfProbeCellsExpr]] and shipped alongside the matrix (per-row recompute would be
+    * O(cells·dims) each).
+    */
+  def halfNorms(centroids: Array[Double], cells: Int, dims: Int): Array[Double] = {
+    val out = new Array[Double](cells)
+    var c = 0
+    while (c < cells) {
+      var nrm = 0.0
+      var d = 0
+      while (d < dims) { val v = centroids(c * dims + d); nrm += v * v; d += 1 }
+      out(c) = 0.5 * nrm
+      c += 1
+    }
+    out
+  }
+
+  def probesWith(vec: ArrayData, isFloat: Boolean, cells: Int, dims: Int, probes: Int,
+      centroids: Array[Double], bias: Array[Double]): Any = {
     if (vec.numElements() != dims) return null
     val n = dims
     val dots = new Array[Double](cells)
@@ -269,6 +297,10 @@ object IvfQuantizer {
         while (c < cells) { dots(c) += x * centroids(c * dims + d); c += 1 }
       }
       d += 1
+    }
+    if (bias != null) {
+      var c = 0
+      while (c < cells) { dots(c) -= bias(c); c += 1 }
     }
     val p = math.min(probes, cells)
     val out = new Array[Int](p)
@@ -301,6 +333,8 @@ object IvfQuantizer {
 case class IvfProbeCellsExpr(child: Expression, cells: Int, dims: Int, probes: Int,
     trained: Option[Seq[Double]] = None) extends UnaryExpression {
   @transient private lazy val centroidArr: Array[Double] = trained.map(_.toArray).orNull
+  @transient private lazy val biasArr: Array[Double] = // ½‖c‖² — computed once, not per row
+    if (centroidArr == null) null else IvfQuantizer.halfNorms(centroidArr, cells, dims)
   override def checkInputDataTypes(): TypeCheckResult =
     if (trained.exists(_.length != cells * dims))
       TypeCheckResult.TypeCheckFailure(
@@ -314,15 +348,19 @@ case class IvfProbeCellsExpr(child: Expression, cells: Int, dims: Int, probes: I
   override def nullable: Boolean = true
   override def prettyName: String = "ivf_probe_cells"
   override protected def nullSafeEval(arr: Any): Any =
-    IvfQuantizer.probesWith(arr.asInstanceOf[ArrayData], isFloat, cells, dims, probes, centroidArr)
+    IvfQuantizer.probesWith(arr.asInstanceOf[ArrayData], isFloat, cells, dims, probes,
+      centroidArr, biasArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val f = isFloat
     val cref =
       if (centroidArr == null) "(double[]) null"
       else ctx.addReferenceObj("ivfCentroids", centroidArr, "double[]")
+    val bref =
+      if (biasArr == null) "(double[]) null"
+      else ctx.addReferenceObj("ivfBias", biasArr, "double[]")
     nullSafeCodeGen(ctx, ev, c => {
       val tmp = ctx.freshName("ivfTmp")
-      s"""Object $tmp = graft.functions.IvfQuantizer.probesWith($c, $f, $cells, $dims, $probes, $cref);
+      s"""Object $tmp = graft.functions.IvfQuantizer.probesWith($c, $f, $cells, $dims, $probes, $cref, $bref);
          |if ($tmp == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
          |""".stripMargin

@@ -229,7 +229,10 @@ object Similarity {
           var d = 0
           while (d < dims) { centers(k)(d) = sums(k)(d) / counts(k); d += 1 }
         } else {
-          // empty cluster: reseed to the sample point farthest from its assigned center
+          // empty cluster: reseed to the sample point farthest from its assigned center, then
+          // RE-ASSIGN that point to this cell — without the update, two clusters empty in the
+          // same iteration both clone the identical farthest point (duplicate centroids that
+          // re-empty forever)
           var far = 0; var farD = -1.0
           var j = 0
           while (j < sample.length) {
@@ -238,6 +241,7 @@ object Similarity {
             j += 1
           }
           centers(k) = sample(far).clone()
+          assign(far) = k
         }
         k += 1
       }

@@ -170,7 +170,13 @@ object MaintenanceRunner {
       else table.rewriteManifests()
       ()
     }
-    if (opts.expireKeepLast > 0) table.expireSnapshots(opts.expireKeepLast)
+    // expiry must stay off the driver at scale too: its manifest diff materializes every kept
+    // live set AND every dead manifest on the driver in the plain variant
+    if (opts.expireKeepLast > 0) {
+      if (useDistributed) graft.table.SeqIO.expireSnapshotsDistributed(spark, table, opts.expireKeepLast)
+      else table.expireSnapshots(opts.expireKeepLast)
+      ()
+    }
     failpoint("housekeeping")
 
     // post-cycle file count from the new head's summary (a manifest parse at 10^7 files is

@@ -264,7 +264,10 @@ object SeqIO {
     while (true) {
       val base = table.currentSnapshot()
       val ds = fileMetaDSOf(spark, table, base) // full width: the new manifests must keep docBloom
-      val total = ds.count()
+      // live-file count from the snapshot summary (every commit records it — the same field the
+      // runner trusts for its reports); the count() job over all manifest carriers is only the
+      // legacy-snapshot fallback, not a second full pass per attempt
+      val total = base.summary.get("total-files").flatMap(_.toLongOption).getOrElse(ds.count())
       val names: Seq[String] =
         if (total == 0) Nil
         else {
@@ -304,6 +307,64 @@ object SeqIO {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Just the `path` column of a set of manifest carriers, scanned by executors (jsonl reads
+    * only that field; parquet column-prunes to it) — the expiry diff needs nothing else.
+    */
+  private def manifestPathsDF(spark: SparkSession, table: SeqTable,
+      names: Seq[String]): DataFrame = {
+    def abs(m: String) = java.nio.file.Paths.get(table.root, "metadata", m).toString
+    val schema = StructType(Seq(StructField("path", StringType)))
+    val (pq, jl) = names.partition(_.endsWith(".parquet"))
+    val parts = Seq(
+      if (jl.nonEmpty) Some(spark.read.schema(schema).json(jl.map(abs): _*)) else None,
+      if (pq.nonEmpty) Some(spark.read.schema(schema).parquet(pq.map(abs): _*)) else None
+    ).flatten
+    if (parts.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** [[SeqTable.expireSnapshots]] with the manifest diff on EXECUTORS — the 10^7-file path.
+    * The driver variant materializes every kept snapshot's live set AND every dead manifest's
+    * entries on the driver (at 10^7 files with bloom payloads, ~130 GB — the funnel the
+    * distributed planner/rewrite exist to avoid); here dead manifests and live manifests meet
+    * in a path anti-join, and only the ACTUALLY-DEAD file paths (the ones about to be deleted —
+    * driver-sized by definition) are collected. Semantics identical to the driver variant:
+    * same expired versions, same deleted files (parity spec).
+    */
+  def expireSnapshotsDistributed(spark: SparkSession, table: SeqTable,
+      keepLast: Int): (Seq[Long], Seq[String]) = {
+    val versions = table.snapshotVersions()
+    val keep = versions.takeRight(math.max(1, keepLast)).toSet
+    val expired = versions.filterNot(keep)
+    if (expired.isEmpty) return (Nil, Nil)
+
+    val keptSnaps = keep.toSeq.sorted.map(table.snapshot)
+    val liveManifests = keptSnaps.flatMap(_.manifests).toSet
+    val liveDeleteManifests = keptSnaps.flatMap(_.deleteManifests).toSet
+
+    val deadManifests = scala.collection.mutable.LinkedHashSet.empty[String]
+    expired.map(table.snapshot).foreach { s =>
+      s.manifests.foreach { m => if (!liveManifests.contains(m)) deadManifests += m }
+      s.deleteManifests.foreach { d => if (!liveDeleteManifests.contains(d)) deadManifests += d }
+    }
+    val (deadDataManifests, deadDeleteManifests) =
+      deadManifests.toSeq.partition(m => !m.startsWith("delete-"))
+    // dead files = paths referenced only by dead manifests: executor-side anti-join, then
+    // collect the (to-be-deleted, driver-sized) survivors
+    val deadFiles: Seq[String] =
+      if (deadDataManifests.isEmpty) Nil
+      else manifestPathsDF(spark, table, deadDataManifests)
+        .join(manifestPathsDF(spark, table, liveManifests.toSeq), Seq("path"), "left_anti")
+        .distinct().collect().map(_.getString(0)).toSeq
+
+    deadFiles.foreach(p => Files.deleteIfExists(java.nio.file.Paths.get(table.root).resolve(p)))
+    (deadDataManifests ++ deadDeleteManifests).foreach(table.uncacheManifestFile)
+    expired.foreach(v =>
+      Files.deleteIfExists(java.nio.file.Paths.get(table.root, "metadata", s"v$v.json")))
+    (expired, deadFiles)
   }
 
   final case class ScanStats(filesScanned: Int, totalFiles: Int, recordsScanned: Long)

@@ -379,7 +379,8 @@ final class SeqTable(val root: String) {
     */
   def removeOrphans(olderThanMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = {
     val now = System.currentTimeMillis()
-    val referenced = snapshotVersions().map(snapshot).flatMap(liveFiles).map(_.path).toSet
+    val snaps = snapshotVersions().map(snapshot)
+    val referenced = snaps.flatMap(liveFiles).map(_.path).toSet
     val dead = SeqTable.listDir(dataDir).iterator
       .filter(p => Files.isRegularFile(p))
       .filter(p => !p.getFileName.toString.startsWith(".")) // tmp staging dirs/files excluded
@@ -390,7 +391,19 @@ final class SeqTable(val root: String) {
       }
       .toSeq
     dead.foreach { case (_, p) => Files.deleteIfExists(p); () }
-    dead.map(_._1)
+    // manifest files referenced by NO snapshot — a writer that crashed between publishing its
+    // manifests into metadata/ and its CAS commit (rewriteManifestsDistributed moves part files
+    // first; commit() writes manifests before the snapshot) strands them exactly like data
+    // files; expiry can't see them (no snapshot ever did). Same age guard as above.
+    val refManifests = snaps.flatMap(s => s.manifests ++ s.deleteManifests).toSet
+    val deadManifests = SeqTable.listDir(metaDir).iterator
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("manifest-") || n.startsWith("delete-"))
+      .filterNot(refManifests)
+      .filter(n => now - Files.getLastModifiedTime(metaDir.resolve(n)).toMillis >= olderThanMs)
+      .toSeq
+    deadManifests.foreach { n => Files.deleteIfExists(metaDir.resolve(n)); uncacheManifest(n) }
+    dead.map(_._1) ++ deadManifests.map(n => s"metadata/$n")
   }
 
   /** Merge all live manifests into one, entries sorted by (first source, minNtok) so range scans

@@ -137,6 +137,33 @@ class SimilaritySpec extends AnyFunSuite {
     items.unpersist(); queries.unpersist(); ()
   }
 
+  test("trained IVF ranks by nearest-centroid, not raw dot: unequal-norm clusters stay partitioned") {
+    import spark.implicits._
+    // two clusters COLLINEAR with the origin at radii 1 and 3: raw dot against trained centroids
+    // would send BOTH clusters to the radius-3 centroid (dot(x, c_far) > dot(x, c_near) for every
+    // x on the ray), emptying the near cell; the L2 rule (dot − ½‖c‖²) keeps them apart
+    val rnd = new scala.util.Random(101)
+    val dir = Array.fill(dims)(rnd.nextDouble() + 0.1)
+    val nrm = math.sqrt(dir.map(d => d * d).sum)
+    val unit = dir.map(d => (d / nrm).toFloat)
+    def pt(radius: Double): Array[Float] =
+      unit.map(u => (u * radius + rnd.nextGaussian() * 0.02).toFloat)
+    val items = (0L until 200L).map(i => (i, pt(if (i % 2 == 0) 1.0 else 3.0)))
+      .toDF("id", "vec").persist()
+    val matrix = Similarity.trainIvfCentroids(items, cells = 2, dims = dims,
+      iters = 10, sampleN = 200, seed = 7L)
+    val cellsUsed = items.select(
+      Similarity.ivfCell(col("vec"), 2, dims, Some(matrix)).as("cell"))
+      .groupBy("cell").count().collect()
+    assert(cellsUsed.length === 2, s"both trained cells must be occupied: ${cellsUsed.toSeq}")
+    // and each cell holds one radius class (the trained Voronoi partition)
+    val byClass = items.select((col("id") % 2).as("cls"),
+      Similarity.ivfCell(col("vec"), 2, dims, Some(matrix)).as("cell"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(byClass.size === 2, s"each radius class must map to exactly one cell: $byClass")
+    items.unpersist(); ()
+  }
+
   test("lshTopK candidate dedup shuffles ids only — no vector payload in any aggregate") {
     import spark.implicits._
     val items = (0L until 20L).map(i => (i, vec(i))).toDF("id", "vec")

@@ -194,6 +194,58 @@ class SeqTableSpec extends AnyFunSuite {
     assert(SeqIO.read(spark, t).count() === 600)
   }
 
+  test("distributed snapshot expiry == driver expiry: same versions, same deletions, zero driver parses") {
+    // identical physical fixture, cloned byte-for-byte (UUID file names must match for parity)
+    val rootA = fresh()
+    val t = SeqTable.create(rootA)
+    (1 to 3).foreach { i =>
+      val m = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 120, parts = 2)
+        .withColumn("doc_id", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(s"b$i-"),
+          org.apache.spark.sql.functions.col("doc_id"))))
+      t.commit("append", m, Set.empty)
+    }
+    // rewrite everything so the early snapshots hold dead files
+    val liveBefore = t.liveFiles().map(_.path).toSet
+    val newMetas = SeqIO.writeFiles(spark, t, SeqIO.readFiles(spark, t, t.liveFiles()))
+    t.commit("compact", newMetas, liveBefore)
+    val rootB = rootA + "-clone"
+    import scala.jdk.CollectionConverters._
+    Files.walk(java.nio.file.Paths.get(rootA)).iterator().asScala.toSeq.foreach { p =>
+      val dst = java.nio.file.Paths.get(rootB).resolve(java.nio.file.Paths.get(rootA).relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else { Files.createDirectories(dst.getParent); Files.copy(p, dst) }
+    }
+    val (expA, delA) = t.expireSnapshots(keepLast = 1)
+    val cold = SeqTable.load(rootB)
+    val (expB, delB) = SeqIO.expireSnapshotsDistributed(spark, cold, keepLast = 1)
+    assert(cold.manifestFileReads.get() === 0L,
+      "distributed expiry must not parse any manifest on the driver")
+    assert(expB === expA)
+    assert(delB.toSet === delA.toSet)
+    assert(delB.toSet === liveBefore) // exactly the rewritten-away files die
+    delB.foreach(p => assert(!Files.exists(java.nio.file.Paths.get(rootB).resolve(p))))
+    assert(SeqIO.read(spark, cold).count() === 360)
+    assert(SeqIO.read(spark, t).count() === 360)
+  }
+
+  test("removeOrphans reclaims crash-stranded manifests in metadata/, never referenced ones") {
+    val t = SeqTable.create(fresh())
+    val metas = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 100, parts = 1))
+    t.commit("append", metas, Set.empty)
+    val referenced = t.currentSnapshot().manifests
+    // a writer that died between publishing its manifest and its CAS commit
+    val stranded = "manifest-deadbeef-crashed.jsonl"
+    Files.writeString(java.nio.file.Paths.get(t.root, "metadata", stranded), "")
+    val removed = t.removeOrphans(olderThanMs = 0L)
+    assert(removed.contains(s"metadata/$stranded"))
+    assert(!Files.exists(java.nio.file.Paths.get(t.root, "metadata", stranded)))
+    referenced.foreach(m =>
+      assert(Files.exists(java.nio.file.Paths.get(t.root, "metadata", m)),
+        s"referenced manifest $m must survive the orphan sweep"))
+    assert(SeqIO.read(spark, t).count() === 100)
+  }
+
   test("manifest cache: repeated liveFiles() and a rebasing commit parse each manifest at most once") {
     val root = fresh()
     val t = SeqTable.create(root)
