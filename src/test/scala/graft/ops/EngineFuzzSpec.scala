@@ -81,7 +81,8 @@ class EngineFuzzSpec extends AnyFunSuite {
             if (rnd.nextBoolean()) { table.rewriteManifests(); "rewrite-manifests" }
             else { SeqIO.rewriteManifestsDistributed(spark, table); "rewrite-manifests-dist" }
           case 5 =>
-            table.expireSnapshots(keepLast = 2); "expire"
+            if (rnd.nextBoolean()) { table.expireSnapshots(keepLast = 2); "expire" }
+            else { SeqIO.expireSnapshotsDistributed(spark, table, keepLast = 2); "expire-dist" }
           case 6 => // streaming append of a fresh uniquely-keyed batch through the HWM machinery
             val batch = SeqGen.table(spark, 40, parts = 1)
               .withColumn("doc_id", concat(lit(s"s$step-"), col("doc_id"))).persist()
