@@ -244,8 +244,17 @@ object Bench {
       // Requires SPARK_HOME=/opt/spark in the environment (executor launch script).
       val execPair = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXECS", "2,8")
         .split(",").map(_.trim.toInt).toSeq
-      val coresPerExec = 4
-      val memMb = 6144
+      // Cores per executor JVM. The rule under test is EXECUTOR-COUNT scaling; on this shared
+      // 32-vCPU host the high leg of a 2→8 pair at 4 cores/exec needs all 32 vCPUs and slams
+      // into the host's measured ~125k seq/s memory-bandwidth ceiling — a host artifact, not an
+      // engine serial term. Setting SPARK_GRAFT_SCALE_CORES=2 keeps both legs (4 vs 16 total
+      // cores) below the ceiling so the pair measures the engine, not the wall.
+      val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "4").trim.toInt
+      // Executor heap. Large backlogs on the LOW leg can exceed the small default aggregate
+      // heap and spill, which inflates the pair's efficiency past 1.0 (more executors = more
+      // aggregate memory, the classic superlinear artifact) — size the heap so NEITHER leg
+      // spills and the pair measures compute scaling, not memory relief.
+      val memMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM_MB", "6144").trim.toInt
       val sRows = sys.env.get("SPARK_GRAFT_SCALE_ROWS").map(_.toLong).getOrElse(rows * 5)
       val sFiles = (sRows / 500).toInt
       val shm = "/dev/shm/graft-scaling"
@@ -286,25 +295,45 @@ object Bench {
           val best = Seq.fill(2)(oneRep()).min
           println(f"[scaling] executors=$n%2d x $coresPerExec cores rows=$sRows " +
             f"rewrite=${best}%.1fs throughput=${sRows / best}%.0f seq/s")
-          n -> (sRows / best)
+          // Fixed per-job latency probe: the identical rewrite on a 1%-size backlog is ~pure
+          // scheduling + planning + commit latency (compute ≪ 1 s). Recorded per level so the
+          // legs support a fixed-cost-separated efficiency reading: a short high leg (e.g. ~12 s
+          // at 1M rows × 16 cores) carries the same ~2 s fixed term as the 4×-longer low leg and
+          // cannot amortize it; a real cluster job (minutes–hours per job) amortizes it to noise.
+          val tinyRows = math.max(10000L, sRows / 100)
+          val tinyRoot = s"$shm/e$n/tiny"
+          val (tinyTable, _) = SeqGen.fragmentedTable(s, tinyRoot, tinyRows, (tinyRows / 500).toInt)
+          val tinyDf = graft.table.SeqIO.readFiles(s, tinyTable, tinyTable.liveFiles())
+          def tinyRep(): Double = {
+            val (w, sec) = time(Rewrite.clusteredWrite(
+              s, tinyTable, tinyDf, cfg, math.max(2000L, tinyRows / 160), tinyRows))
+            w.foreach(f => Files.deleteIfExists(java.nio.file.Paths.get(tinyTable.absolutePath(f))))
+            sec
+          }
+          tinyRep() // warmup
+          val fixed = Seq.fill(2)(tinyRep()).min
+          println(f"[scaling] executors=$n%2d fixed-latency probe (rows=$tinyRows) = ${fixed}%.2fs")
+          (n, best, fixed)
         } finally { s.stop(); cleanup() }
       }
-      val byLevel = results.groupBy(_._1).map { case (n, rs) => n -> rs.map(_._2).max }
+      val byLevel = results.groupBy(_._1).map { case (n, rs) => n -> rs.map(sRows / _._2).max }
       val (lo, hi) = (execPair.min, execPair.max)
+      val ratio = hi.toDouble / lo
       // ADJACENT-leg efficiency per pass is the honest number on a drifting shared host: the
       // legs of one pass run back-to-back under comparable conditions, which is the entire reason
       // the legs are interleaved — pairing bests across passes compares different host states.
       // Grouped by PASS (execPair.size legs each), so 3+ levels can never pair across passes.
       results.grouped(execPair.size).zipWithIndex.foreach { case (pass, i) =>
-        val byN = pass.toMap
+        val byN = pass.map(r => r._1 -> r).toMap
         (byN.get(lo), byN.get(hi)) match {
-          case (Some(tl), Some(th)) =>
+          case (Some((_, tl, fl)), Some((_, th, fh))) =>
             println(f"[scaling] pass-${i + 1} efficiency ($lo→$hi executors, adjacent legs) = " +
-              f"${th / (hi.toDouble / lo) / tl}%.2f")
+              f"${tl / ratio / th}%.2f" +
+              f" (fixed-latency-separated: ${(tl - fl) / ratio / (th - fh)}%.2f)")
           case _ => () // incomplete trailing pass
         }
       }
-      val eff = byLevel(hi) / (hi.toDouble / lo) / byLevel(lo)
+      val eff = byLevel(hi) / ratio / byLevel(lo)
       println(f"[scaling] best: $lo execs ${byLevel(lo)}%.0f seq/s, $hi execs ${byLevel(hi)}%.0f seq/s")
       println(f"[scaling] efficiency ($lo→$hi executors, best-of-reps, normalized /${hi / lo}) = $eff%.2f")
       return
