@@ -387,6 +387,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q46_video_roundtrip" -> ((s, dir) => {
+      // REAL video codec roundtrip, fully SQL-oracled (the q33/q40 pattern): deterministic RGB
+      // frames from the text chars → RIFF/AVI ENCODE (uncompressed 24-bpp DIB, real container
+      // both ways) → AVI DECODE (the in-repo RIFF walker) — raw DIB is lossless, so the decoded
+      // pixels must equal the synthesized ones and DuckDB predicts the features from the same
+      // char function without touching a codec. Width 6 exercises the 4-byte DIB row padding.
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .filter(_._2.nonEmpty)
+        .mapPartitions(_.map { case (id, text) =>
+          val frames = (0 until 2).map { f =>
+            Array.tabulate(6 * 4 * 3)(j => (text.charAt((j + 7 * f) % text.length) & 0x7f).toByte)
+          }
+          val avi = graft.multimodal.Multimodal.encodeAvi(6, 4, 5, frames)
+          val decoded = graft.multimodal.Multimodal.decodeAviBytes(id, avi)
+          require(decoded.length == 2 &&
+            decoded.zip(frames).forall { case (d, o) => d.pixels.sameElements(o) },
+            s"AVI roundtrip must be lossless (doc $id)")
+          val vals = decoded.flatMap(_.pixels).map(b => (b & 0xff).toLong)
+          val r3 = decoded.map(fr =>
+            (0 until fr.pixels.length by 3).map(j => (fr.pixels(j) & 0xff).toLong).sum).sum
+          (id, decoded.length.toLong, decoded.head.width.toLong, decoded.head.height.toLong,
+            vals.sum, vals.max, r3)
+        })
+        .toDF("doc_id", "n_frames", "width", "height", "px_sum", "px_max", "r3_sum")
+        .orderBy("doc_id")
+    }),
+
     "q39_brs_points_approx" -> ((s, dir) => {
       // σ-approximate continuous BRS (reference algo 8 on raw points): overlapping winners
       // admitted within σ of every accepted region they overlap
@@ -773,6 +802,19 @@ object SparkEntry {
         |     FROM generate_series(0, 63) s(j))::BIGINT AS s_max,
         |  (SELECT sum((ord(substr(text, (j % length(text))::INT + 1, 1)) % 128) * 100 - 6000)
         |     FROM generate_series(0, 63, 3) s(j))::BIGINT AS s3_sum
+        |FROM documents WHERE length(text) > 0""".stripMargin,
+
+    // q33's pattern for video: raw-DIB AVI is lossless, so the decoded-pixel features are pure
+    // char math in SQL — frame f pixel j = char((j + 7f) mod len) & 127, two 6x4 RGB frames.
+    // Same BIGINT casts and ASCII caveat as q33/q40.
+    "q46_video_roundtrip" ->
+      """SELECT doc_id, 2::BIGINT AS n_frames, 6::BIGINT AS width, 4::BIGINT AS height,
+        |  (SELECT sum(ord(substr(text, ((j + 7*f) % length(text))::INT + 1, 1)) % 128)
+        |     FROM generate_series(0, 71) s(j), generate_series(0, 1) t(f))::BIGINT AS px_sum,
+        |  (SELECT max(ord(substr(text, ((j + 7*f) % length(text))::INT + 1, 1)) % 128)
+        |     FROM generate_series(0, 71) s(j), generate_series(0, 1) t(f))::BIGINT AS px_max,
+        |  (SELECT sum(ord(substr(text, ((j + 7*f) % length(text))::INT + 1, 1)) % 128)
+        |     FROM generate_series(0, 69, 3) s(j), generate_series(0, 1) t(f))::BIGINT AS r3_sum
         |FROM documents WHERE length(text) > 0""".stripMargin,
 
     // full algorithm oracle: portable md5 minhash family → signatures, band buckets, hot-bucket

@@ -26,14 +26,17 @@ final case class AudioClip(id: Long, sampleRate: Int, channels: Int, samples: Ar
 
 /** Multimodal plumbing for training-data pipelines.
   *
-  * IMAGE decode is REAL (`javax.imageio`: PNG/BMP/JPEG/GIF) and AUDIO decode is REAL
-  * (`javax.sound.sampled`: WAV/AU/AIFF PCM — also in-JDK). VIDEO is the one remaining STUB (no
-  * video codec ships in the JDK or this container), implemented as a deterministic pseudo-decode
-  * so the Spark-side contract stays real and testable for every kind: schemas, `mapPartitions`
-  * batching (one decoder init per partition, the JVM analog of a Pandas `mapInPandas` UDF),
-  * partition sizing, and the feature-extraction shapes downstream ops consume.
-  * Corrupt/undecodable image/audio payloads emit no frame (at 10^12-row scale corrupt media is
-  * routine; a throwing decoder would kill the stage).
+  * ALL three decode paths are REAL: IMAGE via `javax.imageio` (PNG/BMP/JPEG/GIF), AUDIO via
+  * `javax.sound.sampled` (WAV/AU/AIFF PCM), and VIDEO via the in-repo RIFF/AVI container codec
+  * below — uncompressed 24-bpp DIB frames (`00db`, lossless) and MJPEG frames (`00dc`, each a
+  * JPEG decoded through `javax.imageio`). AVI is the RIFF video sibling of PCM WAV: same
+  * container family, uncompressed sample payloads, so parsing it needs no out-of-JDK codec.
+  * Inter-frame-compressed codecs (H.264 etc.) have no JDK decoder and are out of scope; such
+  * payloads fall under the corrupt/undecodable rule. The Spark-side contract is identical for
+  * every kind: schemas, `mapPartitions` batching (one decoder init per partition, the JVM
+  * analog of a Pandas `mapInPandas` UDF), partition sizing, and the feature-extraction shapes
+  * downstream ops consume. Corrupt/undecodable payloads emit no frame (at 10^12-row scale
+  * corrupt media is routine; a throwing decoder would kill the stage).
   */
 object Multimodal {
 
@@ -126,12 +129,185 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---- RIFF/AVI video codec (pure JDK, mirrors the WAV path: RIFF container, raw samples) ----
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** One RIFF chunk: fourcc + little-endian size + data (+ pad byte when the size is odd). */
+  private def aviChunk(fourcc: String, data: Array[Byte]): Array[Byte] =
+    fourcc.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+      (if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+
+  private def aviList(listType: String, contents: Array[Byte]): Array[Byte] =
+    aviChunk("LIST", listType.getBytes("US-ASCII") ++ contents)
+
+  /** Encode RGB frames as an AVI payload. `codec = "raw"` writes uncompressed 24-bpp DIB
+    * (`00db`) frames — bottom-up BGR rows padded to 4 bytes, LOSSLESS:
+    * `decodeAvi(encodeAvi(frames)) == frames`. `codec = "mjpeg"` writes each frame as a JPEG
+    * (`00dc`, `javax.imageio` — lossy, so roundtrip preserves dimensions and frame count but
+    * not exact bytes). Every frame must be `w*h*3` RGB bytes.
+    */
+  def encodeAvi(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]], codec: String = "raw"): Array[Byte] = {
+    require(w > 0 && h > 0 && fps > 0, s"bad AVI geometry: ${w}x$h @ $fps")
+    require(codec == "raw" || codec == "mjpeg", s"unsupported AVI codec: $codec")
+    frames.foreach(f => require(f.length == w * h * 3, s"expected ${w * h * 3} RGB bytes, got ${f.length}"))
+    val mjpeg = codec == "mjpeg"
+    val rowSize = (w * 3 + 3) & ~3
+    val dibBytes = rowSize * h
+    val payloads = frames.map { rgb =>
+      if (mjpeg) {
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = (y * w + x) * 3
+            img.setRGB(x, y, ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", out)
+        out.toByteArray
+      } else {
+        val b = new Array[Byte](dibBytes)
+        var y = 0
+        while (y < h) {
+          val dstRow = (h - 1 - y) * rowSize // bottom-up
+          var x = 0
+          while (x < w) {
+            val src = (y * w + x) * 3
+            val dst = dstRow + x * 3
+            b(dst) = rgb(src + 2) // BGR order
+            b(dst + 1) = rgb(src + 1)
+            b(dst + 2) = rgb(src)
+            x += 1
+          }
+          y += 1
+        }
+        b
+      }
+    }
+    val bufSize = if (payloads.isEmpty) dibBytes else payloads.map(_.length).max
+    val handler = if (mjpeg) "MJPG" else "DIB "
+    val biCompression = if (mjpeg) 0x47504a4d /* 'MJPG' LE */ else 0
+    val avih = aviChunk("avih", Array.concat(
+      le32(1000000 / fps), le32(bufSize * fps), le32(0), le32(0),
+      le32(frames.length), le32(0), le32(1), le32(bufSize),
+      le32(w), le32(h), le32(0), le32(0), le32(0), le32(0)))
+    val strh = aviChunk("strh", Array.concat(
+      "vids".getBytes("US-ASCII"), handler.getBytes("US-ASCII"),
+      le32(0), le32(0), le32(0), le32(1), le32(fps), le32(0),
+      le32(frames.length), le32(bufSize), le32(-1), le32(0),
+      Array[Byte](0, 0, 0, 0, (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+        (h & 0xff).toByte, ((h >> 8) & 0xff).toByte))) // rcFrame = (0, 0, w, h)
+    val strf = aviChunk("strf", Array.concat(
+      le32(40), le32(w), le32(h),
+      Array[Byte](1, 0, 24, 0), // biPlanes = 1, biBitCount = 24
+      le32(biCompression), le32(dibBytes), le32(0), le32(0), le32(0), le32(0)))
+    val hdrl = aviList("hdrl", avih ++ aviList("strl", strh ++ strf))
+    val movi = aviList("movi",
+      Array.concat(payloads.map(p => aviChunk(if (mjpeg) "00dc" else "00db", p)): _*))
+    val contents = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(contents.length) ++ contents
+  }
+
+  /** Decode an AVI payload to RGB [[Frame]]s: a RIFF chunk walk that reads the `vids` stream's
+    * BITMAPINFOHEADER for geometry, then converts each `..db` chunk (uncompressed bottom-up or
+    * top-down 24-bpp DIB) directly and hands each `..dc` chunk (per-frame compressed, e.g.
+    * MJPEG) to `javax.imageio`. Undecodable/corrupt payloads — including inter-frame codecs the
+    * JDK cannot decode — return no frames rather than throwing (decodable frames found before
+    * a torn tail are kept).
+    */
+  def decodeAviBytes(id: Long, bytes: Array[Byte]): Seq[Frame] =
+    try {
+      if (bytes.length < 12 || new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "AVI ") Seq.empty
+      else {
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+        var w = 0; var hSigned = 0; var bpp = 0; var lastStrhVids = false
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          var ok = true
+          while (ok && off + 8 <= end) {
+            val cc = fourcc(off)
+            val sz = bb.getInt(off + 4)
+            if (sz < 0) ok = false
+            else if (cc == "RIFF" || cc == "LIST") {
+              // tolerate a truncated list (torn tail): decode the whole children it still holds
+              if (sz >= 4 && off + 12 <= end) walk(off + 12, math.min(off + 8 + sz, end))
+              off += 8 + sz + (sz & 1)
+            } else if (off + 8 + sz > end) ok = false // torn leaf chunk: keep frames so far
+            else {
+              cc match {
+                case "strh" if sz >= 4 => lastStrhVids = fourcc(off + 8) == "vids"
+                case "strf" if lastStrhVids && sz >= 40 =>
+                  w = bb.getInt(off + 12); hSigned = bb.getInt(off + 16)
+                  bpp = bb.getShort(off + 22) & 0xffff
+                case c if c.endsWith("db") && w > 0 && bpp == 24 =>
+                  val h = math.abs(hSigned)
+                  val rowSize = (w * 3 + 3) & ~3
+                  if (sz >= rowSize * h) {
+                    val px = new Array[Byte](w * h * 3)
+                    var y = 0
+                    while (y < h) {
+                      val srcRow = off + 8 + (if (hSigned > 0) h - 1 - y else y) * rowSize
+                      var x = 0
+                      while (x < w) {
+                        val dst = (y * w + x) * 3
+                        px(dst) = bytes(srcRow + x * 3 + 2) // BGR → RGB
+                        px(dst + 1) = bytes(srcRow + x * 3 + 1)
+                        px(dst + 2) = bytes(srcRow + x * 3)
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    frames += Frame(id, frames.size, w, h, 3, px)
+                  }
+                case c if c.endsWith("dc") && sz > 0 =>
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes, off + 8, sz))
+                  if (img != null) {
+                    val (fw, fh) = (img.getWidth, img.getHeight)
+                    val px = new Array[Byte](fw * fh * 3)
+                    var y = 0
+                    while (y < fh) {
+                      var x = 0
+                      while (x < fw) {
+                        val rgb = img.getRGB(x, y)
+                        val o = (y * fw + x) * 3
+                        px(o) = ((rgb >> 16) & 0xff).toByte
+                        px(o + 1) = ((rgb >> 8) & 0xff).toByte
+                        px(o + 2) = (rgb & 0xff).toByte
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    frames += Frame(id, frames.size, fw, fh, 3, px)
+                  }
+                case _ => () // unknown chunk (idx1, junk, audio stream): skip
+              }
+              off += 8 + sz + (sz & 1) // chunks are word-aligned
+            }
+          }
+        }
+        walk(12, bytes.length)
+        frames.toSeq
+      }
+    } catch { case _: Exception => Seq.empty }
+
   /** Frame decoder, routed by `kind`:
     *  - `image` → REAL javax.imageio decode, one RGB frame per payload (undecodable → 0 frames);
     *  - `audio` → REAL javax.sound.sampled decode to 16-bit PCM, windowed into up to
     *    `frameCount` equal sample windows: width = window length in samples, height = 1,
     *    channels = audio channels, pixels = little-endian PCM bytes (undecodable → 0 frames);
-    *  - `video` → STUB pseudo-decode (no JDK video codec), `frameCount` deterministic frames.
+    *  - `video` → REAL RIFF/AVI decode ([[decodeAviBytes]]: uncompressed-DIB and MJPEG
+    *    streams), one RGB frame per container frame — `frameCount` does not apply (use
+    *    [[sampleFrames]] for stride sampling); undecodable/non-AVI payloads → 0 frames.
     */
   def decodeFrames(ds: Dataset[MediaRow], frameCount: Int = 4): Dataset[Frame] = {
     import ds.sparkSession.implicits._
@@ -166,14 +342,7 @@ object Multimodal {
               Frame(m.id, i, w.length / ch, 1, clip.channels, b)
             }
           }
-        case m => // video pseudo-decode (STUB, no JDK video codec)
-          val w = 8 + math.floorMod(m.payload.length, 8)
-          val h = 8
-          (0 until frameCount).iterator.map { i =>
-            val px = Array.tabulate(w * h * 3)(j =>
-              (m.payload(math.floorMod(i * 31 + j, math.max(1, m.payload.length))) ^ i).toByte)
-            Frame(m.id, i, w, h, 3, px)
-          }
+        case m => decodeAviBytes(m.id, m.payload).iterator // real RIFF/AVI (DIB + MJPEG)
       }
     }
   }

@@ -7,11 +7,49 @@ import graft.SparkTestSession
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  /** Deterministic RGB frame content per (id, frame). */
+  private def rgbFrame(id: Long, f: Int, w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(j => ((id * 31 + f * 7 + j) % 251).toByte)
+
+  private def aviFor(id: Long, nFrames: Int = 6, w: Int = 8, h: Int = 8): Array[Byte] =
+    Multimodal.encodeAvi(w, h, 5, (0 until nFrames).map(rgbFrame(id, _, w, h)))
+
   private def media = {
     import spark.implicits._
-    Multimodal.fromBinary(
-      spark.range(20).select(col("id"), concat(lit("payload-"), col("id")).cast("binary").as("payload")),
-      "video")
+    (0L until 20L).map(id => MediaRow(id, "video", aviFor(id), Map.empty)).toDS()
+  }
+
+  test("REAL video decode: raw-DIB AVI roundtrip is pixel-exact incl. padded odd widths") {
+    val rnd = new scala.util.Random(17)
+    for (w <- Seq(5, 6, 8); h <- Seq(3, 4)) { // w=5,6 exercise the 4-byte DIB row padding
+      val frames = (0 until 3).map(_ => Array.fill(w * h * 3)(rnd.nextInt(256).toByte))
+      val avi = Multimodal.encodeAvi(w, h, 10, frames)
+      val out = Multimodal.decodeAviBytes(42L, avi)
+      assert(out.length === 3, s"${w}x$h: expected 3 frames")
+      out.zipWithIndex.foreach { case (fr, i) =>
+        assert(fr.width === w && fr.height === h && fr.channels === 3 && fr.frameIdx === i)
+        assert(fr.pixels.toSeq === frames(i).toSeq, s"${w}x$h frame $i must roundtrip lossless")
+      }
+    }
+    assert(Multimodal.decodeAviBytes(1L, Array[Byte](1, 2, 3, 4)).isEmpty, "corrupt → no frames")
+    assert(Multimodal.decodeAviBytes(2L, Array.empty[Byte]).isEmpty)
+    // a WAV payload is RIFF but not AVI: must decode to zero VIDEO frames, not throw
+    val wav = Multimodal.encodeWav(8000, 1, Array.tabulate(32)(i => (i * 100).toShort))
+    assert(Multimodal.decodeAviBytes(3L, wav).isEmpty)
+  }
+
+  test("MJPEG AVI: frame count and geometry survive; truncated payload keeps whole frames") {
+    val frames = (0 until 4).map(rgbFrame(7L, _, 16, 8))
+    val avi = Multimodal.encodeAvi(16, 8, 10, frames, codec = "mjpeg")
+    val out = Multimodal.decodeAviBytes(7L, avi)
+    assert(out.length === 4, "every MJPEG frame must decode via javax.imageio")
+    assert(out.forall(f => f.width == 16 && f.height == 8 && f.channels == 3))
+    // JPEG is lossy: pixels are close, not equal
+    val err = out.head.pixels.zip(frames.head).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
+    assert(err.sum.toDouble / err.length < 32.0, "MJPEG decode must be visually close")
+    // torn tail: cut inside the LAST movi chunk — earlier whole frames are kept
+    val torn = Multimodal.decodeAviBytes(7L, avi.take(avi.length - 10))
+    assert(torn.length >= 1 && torn.length < 4, "torn payload keeps only whole earlier frames")
   }
 
   test("decode → sample → resize → features keeps shapes and is deterministic") {
