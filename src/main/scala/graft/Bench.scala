@@ -327,9 +327,14 @@ object Bench {
         val byN = pass.map(r => r._1 -> r).toMap
         (byN.get(lo), byN.get(hi)) match {
           case (Some((_, tl, fl)), Some((_, th, fh))) =>
+            // the separated reading is only meaningful when the probe is genuinely small next to
+            // both legs — otherwise (tiny SPARK_GRAFT_SCALE_ROWS, or a noisy host window where
+            // fh >= th) the subtraction prints NaN/negative garbage
+            val separated =
+              if (fl < 0.5 * tl && fh < 0.5 * th) f" (fixed-latency-separated: ${(tl - fl) / ratio / (th - fh)}%.2f)"
+              else " (fixed-latency probe too large vs leg; separated reading suppressed)"
             println(f"[scaling] pass-${i + 1} efficiency ($lo→$hi executors, adjacent legs) = " +
-              f"${tl / ratio / th}%.2f" +
-              f" (fixed-latency-separated: ${(tl - fl) / ratio / (th - fh)}%.2f)")
+              f"${tl / ratio / th}%.2f" + separated)
           case _ => () // incomplete trailing pass
         }
       }

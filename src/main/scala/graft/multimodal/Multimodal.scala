@@ -40,27 +40,51 @@ final case class AudioClip(id: Long, sampleRate: Int, channels: Int, samples: Ar
   */
 object Multimodal {
 
+  /** sRGB int raster → packed RGB bytes — the one pixel-extraction loop every decode path
+    * (image, AVI `..dc`) shares.
+    */
+  private def imageToRgb(img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) // sRGB int — lossless for PNG/BMP sources
+        val o = (y * w + x) * 3
+        px(o) = ((rgb >> 16) & 0xff).toByte
+        px(o + 1) = ((rgb >> 8) & 0xff).toByte
+        px(o + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Packed RGB bytes → sRGB raster — shared by every encode path (PNG, AVI MJPEG). */
+  private def rgbToImage(w: Int, h: Int, rgb: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
   /** Decode one image payload to an RGB [[Frame]] (frameIdx 0). None on undecodable bytes. */
   def decodeImageBytes(id: Long, bytes: Array[Byte]): Option[Frame] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
       else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val px = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y) // sRGB int — lossless for PNG/BMP sources
-            val o = (y * w + x) * 3
-            px(o) = ((rgb >> 16) & 0xff).toByte
-            px(o + 1) = ((rgb >> 8) & 0xff).toByte
-            px(o + 2) = (rgb & 0xff).toByte
-            x += 1
-          }
-          y += 1
-        }
+        val (w, h, px) = imageToRgb(img)
         Some(Frame(id, 0, w, h, 3, px))
       }
     } catch { case _: Exception => None }
@@ -68,20 +92,8 @@ object Multimodal {
   /** Encode an RGB pixel buffer as PNG bytes (lossless — decode(encode(px)) == px). */
   def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     require(rgb.length == w * h * 3, s"expected ${w * h * 3} RGB bytes, got ${rgb.length}")
-    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val o = (y * w + x) * 3
-        val rgbInt = ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff)
-        img.setRGB(x, y, rgbInt)
-        x += 1
-      }
-      y += 1
-    }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    javax.imageio.ImageIO.write(rgbToImage(w, h, rgb), "png", out)
     out.toByteArray
   }
 
@@ -157,19 +169,8 @@ object Multimodal {
     val dibBytes = rowSize * h
     val payloads = frames.map { rgb =>
       if (mjpeg) {
-        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val o = (y * w + x) * 3
-            img.setRGB(x, y, ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
-            x += 1
-          }
-          y += 1
-        }
         val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "jpg", out)
+        javax.imageio.ImageIO.write(rgbToImage(w, h, rgb), "jpg", out)
         out.toByteArray
       } else {
         val b = new Array[Byte](dibBytes)
@@ -221,27 +222,31 @@ object Multimodal {
     * JDK cannot decode — return no frames rather than throwing (decodable frames found before
     * a torn tail are kept).
     */
-  def decodeAviBytes(id: Long, bytes: Array[Byte]): Seq[Frame] =
+  def decodeAviBytes(id: Long, bytes: Array[Byte]): Seq[Frame] = {
+    // frames lives OUTSIDE the try: a mid-stream exception (bit-rotted JPEG chunk, hostile
+    // declared size) keeps everything decoded before it, per the contract above.
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
     try {
-      if (bytes.length < 12 || new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
-        new String(bytes, 8, 4, "US-ASCII") != "AVI ") Seq.empty
-      else {
+      if (bytes.length >= 12 && new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "AVI ") {
         val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
         var w = 0; var hSigned = 0; var bpp = 0; var lastStrhVids = false
-        val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
         def walk(start: Int, end: Int): Unit = {
           var off = start
           var ok = true
           while (ok && off + 8 <= end) {
             val cc = fourcc(off)
             val sz = bb.getInt(off + 4)
+            // long arithmetic throughout: a hostile sz near Int.MaxValue must not wrap the
+            // torn-leaf check or the chunk advance into a negative offset
+            val next = off.toLong + 8 + sz + (sz & 1)
             if (sz < 0) ok = false
             else if (cc == "RIFF" || cc == "LIST") {
               // tolerate a truncated list (torn tail): decode the whole children it still holds
-              if (sz >= 4 && off + 12 <= end) walk(off + 12, math.min(off + 8 + sz, end))
-              off += 8 + sz + (sz & 1)
-            } else if (off + 8 + sz > end) ok = false // torn leaf chunk: keep frames so far
+              if (sz >= 4 && off + 12 <= end) walk(off + 12, math.min(off.toLong + 8 + sz, end.toLong).toInt)
+              if (next > end) ok = false else off = next.toInt
+            } else if (off.toLong + 8 + sz > end) ok = false // torn leaf chunk: keep frames so far
             else {
               cc match {
                 case "strh" if sz >= 4 => lastStrhVids = fourcc(off + 8) == "vids"
@@ -249,9 +254,12 @@ object Multimodal {
                   w = bb.getInt(off + 12); hSigned = bb.getInt(off + 16)
                   bpp = bb.getShort(off + 22) & 0xffff
                 case c if c.endsWith("db") && w > 0 && bpp == 24 =>
-                  val h = math.abs(hSigned)
-                  val rowSize = (w * 3 + 3) & ~3
-                  if (sz >= rowSize * h) {
+                  val h = math.abs(hSigned) // Int.MinValue stays negative → rejected below
+                  val rowSizeL = (w.toLong * 3 + 3) & ~3L
+                  // h > 0 rejects the degenerate biHeight=0 header that would otherwise emit an
+                  // empty Frame and crash downstream resize; the long guards bound allocation
+                  if (h > 0 && rowSizeL * h <= sz && w.toLong * h * 3 <= Int.MaxValue) {
+                    val rowSize = rowSizeL.toInt
                     val px = new Array[Byte](w * h * 3)
                     var y = 0
                     while (y < h) {
@@ -269,36 +277,21 @@ object Multimodal {
                     frames += Frame(id, frames.size, w, h, 3, px)
                   }
                 case c if c.endsWith("dc") && sz > 0 =>
-                  val img = javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(bytes, off + 8, sz))
-                  if (img != null) {
-                    val (fw, fh) = (img.getWidth, img.getHeight)
-                    val px = new Array[Byte](fw * fh * 3)
-                    var y = 0
-                    while (y < fh) {
-                      var x = 0
-                      while (x < fw) {
-                        val rgb = img.getRGB(x, y)
-                        val o = (y * fw + x) * 3
-                        px(o) = ((rgb >> 16) & 0xff).toByte
-                        px(o + 1) = ((rgb >> 8) & 0xff).toByte
-                        px(o + 2) = (rgb & 0xff).toByte
-                        x += 1
-                      }
-                      y += 1
-                    }
-                    frames += Frame(id, frames.size, fw, fh, 3, px)
-                  }
+                  // decodeImageBytes guards each compressed frame individually: one rotten JPEG
+                  // chunk is skipped, not fatal to the frames around it
+                  decodeImageBytes(id, java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz))
+                    .foreach(f => frames += f.copy(frameIdx = frames.size))
                 case _ => () // unknown chunk (idx1, junk, audio stream): skip
               }
-              off += 8 + sz + (sz & 1) // chunks are word-aligned
+              if (next > end) ok = false else off = next.toInt // chunks are word-aligned
             }
           }
         }
         walk(12, bytes.length)
-        frames.toSeq
       }
-    } catch { case _: Exception => Seq.empty }
+    } catch { case _: Exception => () } // torn mid-walk: keep the frames decoded so far
+    frames.toSeq
+  }
 
   /** Frame decoder, routed by `kind`:
     *  - `image` → REAL javax.imageio decode, one RGB frame per payload (undecodable → 0 frames);

@@ -52,6 +52,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(torn.length >= 1 && torn.length < 4, "torn payload keeps only whole earlier frames")
   }
 
+  /** Byte offset of the n-th occurrence (0-based) of a fourcc in an AVI payload. */
+  private def fourccAt(bytes: Array[Byte], cc: String, n: Int = 0): Int = {
+    val pat = cc.getBytes("US-ASCII")
+    var seen = -1
+    (0 to bytes.length - 4).find { i =>
+      if (pat.indices.forall(j => bytes(i + j) == pat(j))) { seen += 1; seen == n } else false
+    }.getOrElse(fail(s"fourcc $cc #$n not found"))
+  }
+
+  test("hostile headers: biHeight=0, negative height flag, huge declared sizes never emit degenerate frames") {
+    val good = aviFor(9L, nFrames = 2)
+    // biHeight := 0 in the vids strf (BITMAPINFOHEADER: biSize at data+0, biWidth at data+4,
+    // biHeight at data+8 = chunk+16): the guard must reject the 00db frames entirely — an
+    // empty-pixels Frame would crash resize downstream
+    val zeroH = good.clone()
+    val strf = fourccAt(zeroH, "strf")
+    for (j <- 0 until 4) zeroH(strf + 16 + j) = 0
+    assert(Multimodal.decodeAviBytes(9L, zeroH).isEmpty, "biHeight=0 must emit no frames")
+    locally {
+      import spark.implicits._
+      val ds = Seq(MediaRow(9L, "video", zeroH, Map.empty)).toDS()
+      assert(Multimodal.resize(Multimodal.decodeFrames(ds), 4, 4).count() === 0L,
+        "decodeFrames → resize must not throw on the degenerate header")
+    }
+    // declared chunk size near Int.MaxValue: the long-arithmetic walk must neither wrap negative
+    // nor throw, and must keep frames decoded before the hostile chunk
+    val hugeSz = good.clone()
+    val secondDb = fourccAt(hugeSz, "00db", 1)
+    hugeSz(secondDb + 4) = -1; hugeSz(secondDb + 5) = -1; hugeSz(secondDb + 6) = -1; hugeSz(secondDb + 7) = 0x7f
+    val kept = Multimodal.decodeAviBytes(9L, hugeSz)
+    assert(kept.length === 1, "frame before the hostile-size chunk is kept")
+    assert(kept.head.pixels.toSeq === rgbFrame(9L, 0, 8, 8).toSeq)
+  }
+
+  test("rotten mid-stream MJPEG chunk is skipped; frames before AND after it survive") {
+    val frames = (0 until 3).map(rgbFrame(11L, _, 16, 8))
+    val avi = Multimodal.encodeAvi(16, 8, 10, frames, codec = "mjpeg")
+    val rotten = avi.clone()
+    val midChunk = fourccAt(rotten, "00dc", 1)
+    for (j <- 0 until 8) rotten(midChunk + 8 + j) = 0x55 // destroy the JPEG magic of frame 1
+    val out = Multimodal.decodeAviBytes(11L, rotten)
+    assert(out.length === 2, "frames 0 and 2 must survive a bit-rotted frame 1")
+    assert(out.map(_.frameIdx) === Seq(0, 1), "kept frames are re-indexed densely")
+    assert(out.forall(f => f.width == 16 && f.height == 8 && f.pixels.length == 16 * 8 * 3))
+  }
+
   test("decode → sample → resize → features keeps shapes and is deterministic") {
     val frames = Multimodal.decodeFrames(media, frameCount = 6)
     assert(frames.count() === 120)
