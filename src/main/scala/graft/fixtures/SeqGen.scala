@@ -15,21 +15,37 @@ import graft.table.{FileMeta, SeqIO, SeqTable}
 object SeqGen {
 
   def table(spark: SparkSession, n: Long, nSources: Int = 20, parts: Int = 32,
-      tokensScale: Double = 1.0): DataFrame = {
+      tokensScale: Double = 1.0): DataFrame =
+    payloadFor(spark.range(0, n, 1, parts).toDF("id"), nSources, tokensScale)
+
+  /** Row content as a pure function of the `id` column (any bijective id source gives the same
+    * table CONTENT regardless of how ids are laid out across partitions).
+    */
+  private def payloadFor(ids: DataFrame, nSources: Int, tokensScale: Double): DataFrame = {
     val id = col("id")
     // independent per-row uniforms in [0,1) from distinct hash channels
     def u(salt: Int) = (pmod(xxhash64(id, lit(salt)), lit(1000000L)).cast("double") / 1000000.0)
     val nTok = when(u(1) < 0.7, (lit(16) + u(2) * 2032).cast("int"))
       .otherwise((lit(16) + pow(u(2), 4.0) * 8176).cast("int"))
     val srcIdx = least((pow(u(3), 3.0) * nSources).cast("int"), lit(nSources - 1))
-    spark.range(0, n, 1, parts)
-      .select(
-        format_string("doc-%010d", id).as("doc_id"),
-        transform(
-          sequence(lit(1), (nTok * tokensScale).cast("int")),
-          i => pmod(hash(id, i), lit(50304))).as("tokens"),
-        nTok.as("n_tok"),
-        concat(lit("src"), srcIdx).as("source"))
+    ids.select(
+      format_string("doc-%010d", id).as("doc_id"),
+      transform(
+        sequence(lit(1), (nTok * tokensScale).cast("int")),
+        i => pmod(hash(id, i), lit(50304))).as("tokens"),
+      nTok.as("n_tok"),
+      concat(lit("src"), srcIdx).as("source"))
+  }
+
+  /** A multiplier `a` with gcd(a, n) = 1 near the golden-ratio fraction of n, capped so that
+    * `a * (n-1)` cannot overflow a Long — `slot -> (a*slot + b) mod n` is then a bijection on
+    * [0, n) computable inside codegen.
+    */
+  private def affineCoprime(n: Long): Long = {
+    val cap = Long.MaxValue / math.max(1L, n)
+    var a = math.max(1L, math.min((n * 0.6180339887).toLong | 1L, cap))
+    while (BigInt(a).gcd(BigInt(n)) != BigInt(1)) a -= 2
+    math.max(1L, a)
   }
 
   /** T-frag: write `n` rows as ~`nFiles` deliberately tiny files with sources and lengths
@@ -39,7 +55,14 @@ object SeqGen {
   def fragmentedTable(spark: SparkSession, dir: String, n: Long, nFiles: Int,
       nSources: Int = 20): (SeqTable, Seq[FileMeta]) = {
     val t = SeqTable.create(dir)
-    val df = table(spark, n, nSources).repartition(nFiles, col("doc_id"))
+    // Shuffle-free scatter: each output file is one generator partition of SLOTS, and the affine
+    // bijection slot -> (a*slot + b) mod n spreads every file's doc ids evenly over the whole
+    // key space — the same full-span fragmentation `repartition(nFiles, doc_id)` produced, but
+    // the multi-KB token payloads are generated IN the writing task instead of moving through a
+    // shuffle (at bench scale that shuffle was ~1 GB, half of m_ingest).
+    val a = affineCoprime(n)
+    val ids = spark.range(0, n, 1, nFiles).select(pmod(col("id") * a + 17L, lit(n)).as("id"))
+    val df = payloadFor(ids, nSources, tokensScale = 1.0)
     val metas = SeqIO.writeFiles(spark, t, df)
     t.commit("append", metas, Set.empty)
     (t, metas)
