@@ -76,21 +76,27 @@ object TextAnalysis {
     * frequency is below `minCount` (×10000 as bigint). Unlike the per-row quality columns above,
     * this needs a corpus-wide aggregate — the quality signal a single row can't compute.
     *
-    * Scale shape: one word-count shuffle builds the vocabulary, then the exploded words join it
-    * on the word key (shuffle join — the vocabulary can be Zipf-long, so no broadcast
-    * assumption) and re-aggregate per document. Three shuffles total, all partial-aggregated;
-    * token payloads never move (only (doc_id, word) pairs).
+    * Scale shape: one word-count shuffle builds the vocabulary, then the exploded words join
+    * ONLY the RARE slice of it (cnt < minCount) on the word key and re-aggregate per document;
+    * n_words comes from a direct per-doc aggregate with no join at all. The word-key join is
+    * skew-immune BY CONSTRUCTION: a key can appear at most minCount−1 times on the probe side
+    * (more occurrences would make it non-rare), so the Zipf head — the stop-word that lands
+    * every pair of a naive words⋈vocab join on one partition — never enters the join. Token
+    * payloads never move (only (doc_id, word) pairs, and only the tail's).
     *
     * `df` needs (doc_id, text); returns (doc_id, n_words, n_rare, rare_x1e4).
     */
   def rareWordRatio(df: org.apache.spark.sql.DataFrame, minCount: Long): org.apache.spark.sql.DataFrame = {
     val words = df.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(col("w") =!= "")
-    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
-    words.join(vocab, Seq("w"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum(when(col("cnt") < minCount, 1L).otherwise(0L)).as("n_rare"))
+    val rareVocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") < minCount).select("w")
+    val perDocRare = words.join(rareVocab, Seq("w"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    // both sides are doc_id aggregates → hash-partitioned alike, so this join adds no exchange
+    words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+      .join(perDocRare, Seq("doc_id"), "left")
+      .withColumn("n_rare", coalesce(col("n_rare"), lit(0L)))
       .withColumn("rare_x1e4", // (rare·10⁴)/n order matches the SQL twin bit-for-bit
         round(col("n_rare").cast("double") * 10000 / col("n_words")).cast("long"))
   }
