@@ -44,13 +44,17 @@ object SeqGen {
   private def affineCoprime(n: Long): Long = {
     val cap = Long.MaxValue / math.max(1L, n)
     var a = math.max(1L, math.min((n * 0.6180339887).toLong | 1L, cap))
-    while (BigInt(a).gcd(BigInt(n)) != BigInt(1)) a -= 2
+    // the overflow cap can land on an EVEN a; keep a odd or `a -= 2` against an even n never
+    // reaches gcd 1 (the loop then terminates at worst at a = 1, coprime with everything)
+    if ((a & 1) == 0) a -= 1
+    while (a > 1 && BigInt(a).gcd(BigInt(n)) != BigInt(1)) a -= 2
     math.max(1L, a)
   }
 
   /** T-frag: write `n` rows as ~`nFiles` deliberately tiny files with sources and lengths
-    * interleaved across every file (hash-scattered) — maximal fragmentation, the compaction
-    * planner's worst case.
+    * interleaved across every file (each file's doc ids form a golden-ratio-stride progression
+    * spanning the whole key space, and sources/lengths are hash-derived from the id) — maximal
+    * fragmentation, the compaction planner's worst case.
     */
   def fragmentedTable(spark: SparkSession, dir: String, n: Long, nFiles: Int,
       nSources: Int = 20): (SeqTable, Seq[FileMeta]) = {

@@ -76,25 +76,30 @@ object TextAnalysis {
     * frequency is below `minCount` (×10000 as bigint). Unlike the per-row quality columns above,
     * this needs a corpus-wide aggregate — the quality signal a single row can't compute.
     *
-    * Scale shape: one word-count shuffle builds the vocabulary, then the exploded words join
-    * ONLY the RARE slice of it (cnt < minCount) on the word key and re-aggregate per document;
-    * n_words comes from a direct per-doc aggregate with no join at all. The word-key join is
-    * skew-immune BY CONSTRUCTION: a key can appear at most minCount−1 times on the probe side
-    * (more occurrences would make it non-rare), so the Zipf head — the stop-word that lands
-    * every pair of a naive words⋈vocab join on one partition — never enters the join. Token
-    * payloads never move (only (doc_id, word) pairs, and only the tail's).
+    * Scale shape, built around where Zipf skew can and cannot hurt:
+    *  - every aggregate keyed on `w` is safe regardless of skew — partial (map-side) aggregation
+    *    collapses the head word to one row per task before its exchange;
+    *  - the one skew-VULNERABLE exchange is the word-key JOIN. Everything routed through it is
+    *    first collapsed to (doc_id, w, c) — keyed on (doc_id, w), a skew-free exchange — so the
+    *    probe side carries at most ONE row per document for the head word (not one per
+    *    occurrence), and it joins only the RARE slice of the vocabulary (cnt < minCount), so a
+    *    matched key contributes < minCount rows of output by definition. The residual probe
+    *    imbalance (head word present in many docs) is the AQE-skew-split case, at 1/avg-tf the
+    *    volume a naive words⋈vocab join would put there.
+    * Token payloads never move — only (doc_id, word, count) triples.
     *
     * `df` needs (doc_id, text); returns (doc_id, n_words, n_rare, rare_x1e4).
     */
   def rareWordRatio(df: org.apache.spark.sql.DataFrame, minCount: Long): org.apache.spark.sql.DataFrame = {
     val words = df.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(col("w") =!= "")
-    val rareVocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val docWord = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val rareVocab = docWord.groupBy("w").agg(sum("c").as("cnt"))
       .filter(col("cnt") < minCount).select("w")
-    val perDocRare = words.join(rareVocab, Seq("w"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    val perDocRare = docWord.join(rareVocab, Seq("w"), "left_semi")
+      .groupBy("doc_id").agg(sum("c").as("n_rare"))
     // both sides are doc_id aggregates → hash-partitioned alike, so this join adds no exchange
-    words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    docWord.groupBy("doc_id").agg(sum("c").as("n_words"))
       .join(perDocRare, Seq("doc_id"), "left")
       .withColumn("n_rare", coalesce(col("n_rare"), lit(0L)))
       .withColumn("rare_x1e4", // (rare·10⁴)/n order matches the SQL twin bit-for-bit

@@ -80,8 +80,12 @@ object Multimodal {
 
   /** Decode one image payload to an RGB [[Frame]] (frameIdx 0). None on undecodable bytes. */
   def decodeImageBytes(id: Long, bytes: Array[Byte]): Option[Frame] =
+    decodeImageBytes(id, bytes, 0, bytes.length)
+
+  /** Range variant — lets the AVI walk hand a `..dc` frame over without copying it first. */
+  private def decodeImageBytes(id: Long, bytes: Array[Byte], off: Int, len: Int): Option[Frame] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes, off, len))
       if (img == null) None
       else {
         val (w, h, px) = imageToRgb(img)
@@ -232,7 +236,11 @@ object Multimodal {
         val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
         var w = 0; var hSigned = 0; var bpp = 0; var lastStrhVids = false
-        def walk(start: Int, end: Int): Unit = {
+        def walk(start: Int, end: Int, depth: Int): Unit = {
+          // depth cap: a real AVI nests RIFF→hdrl/movi→strl (~3 levels); a hostile payload of
+          // thousands of nested 12-byte LIST headers would otherwise StackOverflowError — an
+          // Error the catch below (deliberately Exception-only) does not swallow
+          if (depth > 16) return
           var off = start
           var ok = true
           while (ok && off + 8 <= end) {
@@ -244,7 +252,8 @@ object Multimodal {
             if (sz < 0) ok = false
             else if (cc == "RIFF" || cc == "LIST") {
               // tolerate a truncated list (torn tail): decode the whole children it still holds
-              if (sz >= 4 && off + 12 <= end) walk(off + 12, math.min(off.toLong + 8 + sz, end.toLong).toInt)
+              if (sz >= 4 && off + 12 <= end)
+                walk(off + 12, math.min(off.toLong + 8 + sz, end.toLong).toInt, depth + 1)
               if (next > end) ok = false else off = next.toInt
             } else if (off.toLong + 8 + sz > end) ok = false // torn leaf chunk: keep frames so far
             else {
@@ -257,8 +266,11 @@ object Multimodal {
                   val h = math.abs(hSigned) // Int.MinValue stays negative → rejected below
                   val rowSizeL = (w.toLong * 3 + 3) & ~3L
                   // h > 0 rejects the degenerate biHeight=0 header that would otherwise emit an
-                  // empty Frame and crash downstream resize; the long guards bound allocation
-                  if (h > 0 && rowSizeL * h <= sz && w.toLong * h * 3 <= Int.MaxValue) {
+                  // empty Frame and crash downstream resize. Guard ORDER matters: w.toLong*h is
+                  // ≤ 2^62 (no wrap), and once area ≤ Int.MaxValue/3 holds, rowSizeL*h ≤
+                  // 3·area + 6·h ≤ ~6.4e9 — so neither product can overflow Long the way
+                  // rowSizeL*h alone would for w,h near 2^31
+                  if (h > 0 && w.toLong * h <= Int.MaxValue / 3 && rowSizeL * h <= sz) {
                     val rowSize = rowSizeL.toInt
                     val px = new Array[Byte](w * h * 3)
                     var y = 0
@@ -277,9 +289,9 @@ object Multimodal {
                     frames += Frame(id, frames.size, w, h, 3, px)
                   }
                 case c if c.endsWith("dc") && sz > 0 =>
-                  // decodeImageBytes guards each compressed frame individually: one rotten JPEG
-                  // chunk is skipped, not fatal to the frames around it
-                  decodeImageBytes(id, java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz))
+                  // the range variant guards each compressed frame individually (one rotten JPEG
+                  // chunk is skipped, not fatal to the frames around it) without copying it
+                  decodeImageBytes(id, bytes, off + 8, sz)
                     .foreach(f => frames += f.copy(frameIdx = frames.size))
                 case _ => () // unknown chunk (idx1, junk, audio stream): skip
               }
@@ -287,7 +299,7 @@ object Multimodal {
             }
           }
         }
-        walk(12, bytes.length)
+        walk(12, bytes.length, 0)
       }
     } catch { case _: Exception => () } // torn mid-walk: keep the frames decoded so far
     frames.toSeq

@@ -34,9 +34,10 @@ class TextAnalysisSpec extends AnyFunSuite {
         assert(r.getAs[Long]("rare_x1e4") === math.round(2.0 * 10000 / 3))
       }
     }
-    // structural guarantee, not just observed behavior: the word-key join must be the LeftSemi
-    // probe against the RARE tail (every key < minCount occurrences by definition), never a full
-    // words⋈vocab join whose Zipf head lands on one partition
+    // structural check, not just observed behavior: the word-key join must be the LeftSemi probe
+    // of per-(doc, word) COUNTS against the RARE vocab slice — matched keys bounded by minCount,
+    // probe rows for the head bounded at one per containing doc — never a full words⋈vocab join
+    // that puts every OCCURRENCE of the Zipf head on one partition
     val optimized = TextAnalysis.rareWordRatio(docs, 100L).queryExecution.optimizedPlan.toString
     assert(optimized.contains("LeftSemi"), s"expected the rare-tail semi-join in:\n$optimized")
   }

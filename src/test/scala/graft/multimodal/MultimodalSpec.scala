@@ -84,6 +84,20 @@ class MultimodalSpec extends AnyFunSuite {
     val kept = Multimodal.decodeAviBytes(9L, hugeSz)
     assert(kept.length === 1, "frame before the hostile-size chunk is kept")
     assert(kept.head.pixels.toSeq === rgbFrame(9L, 0, 8, 8).toSeq)
+    // 20k nested 12-byte LIST headers: the walk must hit its depth cap, not StackOverflowError
+    // (an Error the decoder's Exception-only catch deliberately does not swallow)
+    val levels = 20000
+    val nested = new Array[Byte](12 + 12 * levels)
+    def put(o: Int, cc: String, sz: Int, t: String): Unit = {
+      System.arraycopy(cc.getBytes("US-ASCII"), 0, nested, o, 4)
+      nested(o + 4) = (sz & 0xff).toByte; nested(o + 5) = ((sz >> 8) & 0xff).toByte
+      nested(o + 6) = ((sz >> 16) & 0xff).toByte; nested(o + 7) = ((sz >> 24) & 0xff).toByte
+      System.arraycopy(t.getBytes("US-ASCII"), 0, nested, o + 8, 4)
+    }
+    put(0, "RIFF", nested.length - 8, "AVI ")
+    var o = 12
+    while (o < nested.length) { put(o, "LIST", nested.length - o - 8, "hdrl"); o += 12 }
+    assert(Multimodal.decodeAviBytes(9L, nested).isEmpty, "deep LIST nesting must be benign")
   }
 
   test("rotten mid-stream MJPEG chunk is skipped; frames before AND after it survive") {
