@@ -38,8 +38,14 @@ class EngineFuzzSpec extends AnyFunSuite {
       .map { case (id, th, n, s, op) => (id, (th, n, s), op) }.toSeq
   }
 
+  // CI runs 2 seeds × 12 steps; a soak run deepens both without a code change, e.g.
+  // GRAFT_FUZZ_SEEDS=11,29,37,41,53,67 GRAFT_FUZZ_STEPS=25 sbt "testOnly graft.ops.EngineFuzzSpec"
+  private val fuzzSeeds: Seq[Int] = sys.env.get("GRAFT_FUZZ_SEEDS")
+    .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(11, 29))
+  private val fuzzSteps: Int = sys.env.get("GRAFT_FUZZ_STEPS").map(_.toInt).getOrElse(12)
+
   test("random op sequences: physical content == model after every operation") {
-    for (seed <- Seq(11, 29)) {
+    for (seed <- fuzzSeeds) {
       val rnd = new scala.util.Random(seed)
       val root = Files.createTempDirectory(s"fuzz$seed-").toString + "/t"
       val rows = 1500L
@@ -53,7 +59,7 @@ class EngineFuzzSpec extends AnyFunSuite {
       val srcDir = Files.createTempDirectory(s"fuzz$seed-stream-").toString
       var streamHwm = Long.MinValue
       var step = 0
-      for (_ <- 1 to 12) {
+      for (_ <- 1 to fuzzSteps) {
         step += 1
         val op = rnd.nextInt(7)
         val tag = op match {
