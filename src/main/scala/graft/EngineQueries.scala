@@ -333,6 +333,62 @@ object EngineQueries {
     sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
+  /** SNAPSHOT ROLLBACK driver-green (q47): the portable table is appended (v1), then mutated by
+    * a destructive MERGE (updates+deletes+inserts, v2) — and rolled back to v1 as a NEW commit.
+    * The rollback must advance the version (history preserved, Iceberg model), restore content
+    * byte-exactly, keep table properties at HEAD values (exactly-once bookkeeping is table-level
+    * config, not row content), and a subsequent expiry must reclaim the undone merge's files
+    * while leaving the restored content intact.
+    */
+  def rollback(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("rollback"), port, (n / 500).toInt.max(10))
+    val v1 = table.currentVersion()
+    table.commit("append", Nil, Set.empty, propertyUpdates = Map("hwm-q47" -> "b7")) // v2: props
+    MergeInto.merge(s, table, PortableSeq.changes(port), cfg, targetFor(n)) // v3: diverge content
+    require(table.currentVersion() > v1 + 1, "merge did not commit — rollback premise void")
+    val snap = table.rollbackTo(v1)
+    require(snap.version > table.snapshot(v1).version + 1,
+      "rollback must be a NEW commit, not a history rewrite")
+    require(snap.properties.get("hwm-q47").contains("b7"),
+      "rollback must keep HEAD table properties (exactly-once bookkeeping)")
+    def dataFiles() = { val st = Files.list(table.dataDir); try st.count() finally st.close() }
+    val diskBefore = dataFiles()
+    table.expireSnapshots(keepLast = 1)
+    require(dataFiles() < diskBefore, "expiry after rollback reclaimed none of the undone files")
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
+  }
+
+  /** INCREMENTAL APPEND SCAN driver-green (q48): batch A is appended (v1) and consumed; the
+    * table is then compacted (rewrites every row — the classic double-delivery trap) and batch B
+    * appended. The incremental scan over (v1, head] must return EXACTLY batch B: compaction's
+    * rewritten files contribute nothing, and driver work is proportional to the delta (the scan
+    * reads only batch B's own manifests — enforced by the zero-parse check on a cold handle
+    * primed with everything BUT those manifests... kept simple here: content equality IS the
+    * proof that no rewrite leaked in, since A's rows would otherwise double).
+    */
+  def incrementalScan(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps).persist()
+    val table = SeqTable.create(fresh("incrscan"))
+    val half = reps / 2
+    val batchA = port.filter(pmod(col("docnum"), lit(reps)) < half)
+    val batchB = port.filter(pmod(col("docnum"), lit(reps)) >= half)
+    val mA = SeqIO.writeFiles(s, table, batchA.select("doc_id", "tokens", "n_tok", "source").repartition(6))
+    table.commit("append", mA, Set.empty)
+    val v1 = table.currentVersion()
+    // compaction rewrites batch A's rows into new files stamped with a later addedAt — the scan
+    // must NOT redeliver them
+    Rewrite.compactFiles(s, table, table.liveFiles(), cfg, targetFor(port.count()))
+    val mB = SeqIO.writeFiles(s, table, batchB.select("doc_id", "tokens", "n_tok", "source").repartition(6))
+    table.commit("append", mB, Set.empty)
+    port.unpersist()
+    val delta = SeqIO.readAppendedBetween(s, table, v1, table.currentVersion())
+    sealAndReclaim(PortableSeq.content(delta), table.root)
+  }
+
   /** CSV sink + CSV source roundtrip (reference S5/S2 driver-green): a deterministic slice is
     * exported as the reference's `;`-delimited-array CSV convention, ingested back through the
     * CSV source into a fresh table, and read out — content must equal the slice exactly (the
@@ -428,6 +484,10 @@ object EngineQueries {
       "q26_engine_merge_into" -> mergedContentSql(reps),
       "q32_engine_merge_mor" -> mergedContentSql(reps),
       "q27_engine_snapshot_expiry" -> portContentSql(reps),
+      "q47_engine_rollback" -> portContentSql(reps),
+      "q48_engine_incremental_scan" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT $contentColsSql FROM port WHERE docnum%$reps >= ${reps / 2}""".stripMargin,
       "q28_engine_scan_pruning" ->
         s"""WITH port AS (${sql(reps)})
            |SELECT $contentColsSql FROM port

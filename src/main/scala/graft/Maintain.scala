@@ -114,6 +114,28 @@ object Maintain {
         println(s"[rewrite-manifests] manifests=${snap.manifests.size} " +
           s"files=${snap.summary.getOrElse("total-files", "?")} → v${snap.version}")
 
+      case "rollback" :: dir :: versionS :: _ =>
+        // content as-of <version> becomes HEAD via a NEW commit (history preserved); table
+        // properties stay at HEAD values so streaming exactly-once bookkeeping survives
+        val table = SeqTable.load(dir)
+        val snap = table.rollbackTo(versionS.toLong)
+        println(s"[rollback] to v$versionS → new head v${snap.version} " +
+          s"files=${snap.summary.getOrElse("total-files", "?")}")
+
+      case "changes" :: dir :: fromS :: rest =>
+        // incremental append scan: rows appended in (from, to] — the training-pipeline
+        // consumption contract; writes parquet when an output path is given, else counts
+        val table = SeqTable.load(dir)
+        val to = rest.headOption.map(_.toLong).getOrElse(table.currentVersion())
+        val delta = SeqIO.readAppendedBetween(spark, table, fromS.toLong, to)
+        rest.drop(1).headOption match {
+          case Some(out) =>
+            delta.write.mode("overwrite").parquet(out)
+            println(s"[changes] (${fromS}, $to] → $out")
+          case None =>
+            println(s"[changes] (${fromS}, $to] rows=${delta.count()}")
+        }
+
       case "expire" :: dir :: rest =>
         val keep = rest.headOption.map(_.toInt).getOrElse(2)
         val table = SeqTable.load(dir)
@@ -140,6 +162,7 @@ object Maintain {
         System.err.println("usage: demo <dir> [rows] [files] | cycle <tableDir> | " +
           "merge <tableDir> <changesParquet> | query <parquet> <lonCol> <latCol> <eps> <k> [sigma] | " +
           "rewrite-manifests <tableDir> | expire <tableDir> [keepLast] | " +
+          "rollback <tableDir> <version> | changes <tableDir> <fromVersion> [toVersion [outParquet]] | " +
           "dedup <tableDir> [near] | sql <statement>" +
           s"; got: $other")
         sys.exit(2)

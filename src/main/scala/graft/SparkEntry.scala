@@ -338,6 +338,8 @@ object SparkEntry {
     "q36_csv_roundtrip" -> ((s, dir) => EngineQueries.csvRoundtrip(s, dir)),
     "q37_engine_resume" -> ((s, dir) => EngineQueries.resumeCycle(s, dir)),
     "q45_engine_manifest_rewrite" -> ((s, dir) => EngineQueries.manifestRewrite(s, dir)),
+    "q47_engine_rollback" -> ((s, dir) => EngineQueries.rollback(s, dir)),
+    "q48_engine_incremental_scan" -> ((s, dir) => EngineQueries.incrementalScan(s, dir)),
     "q38_jdbc_roundtrip" -> ((s, dir) => EngineQueries.jdbcRoundtrip(s, dir)),
 
     "q33_image_roundtrip" -> ((s, dir) => {

@@ -434,6 +434,46 @@ final class SeqTable(val root: String) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** ROLLBACK: make the table's content as-of snapshot `version` the new HEAD, as a NEW commit
+    * (Iceberg's rollback model, public design) — history is preserved, the undone snapshots stay
+    * readable until expiry, and a subsequent [[expireSnapshots]] reclaims the files that only the
+    * undone commits reference.
+    *
+    * Content (manifests + outstanding merge-on-read delete manifests) comes from the TARGET
+    * snapshot; table `properties` stay at the HEAD's values — they are table-level configuration
+    * (streaming-ingest high-water marks, writer settings), not row content, exactly as in Iceberg
+    * where properties live in table metadata outside any snapshot. A rolled-back stream batch is
+    * therefore NOT redelivered: exactly-once bookkeeping survives the rollback, and re-ingesting
+    * rolled-back rows is an explicit user action (reset the HWM property), never an accident.
+    *
+    * Runs the same optimistic CAS retry loop as every commit. Throws (NoSuchFileException) when
+    * `version` is already expired — same contract as [[SeqIO.readAt]].
+    */
+  def rollbackTo(version: Long, maxRetries: Int = 20): Snapshot = {
+    val target = snapshot(version) // fails loudly on an expired/unknown version
+    var attempt = 0
+    while (true) {
+      val base = currentSnapshot()
+      if (base.version == version) return base // already there: no-op, no empty commit
+      val next = Snapshot(base.version + 1, base.version, "rollback", target.manifests,
+        Map("rollback-to" -> version.toString,
+          "total-files" -> target.summary.getOrElse("total-files",
+            liveFiles(target).size.toString)),
+        System.currentTimeMillis(), target.deleteManifests, base.properties)
+      try {
+        writeSnapshotFile(next)
+        writeVersionHint(next.version)
+        return next
+      } catch {
+        case _: FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new CommitConflictException(s"rollbackTo($version): lost the version race $maxRetries times")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** One CAS attempt of a manifest-rewrite commit on top of `base`: the new snapshot references
     * exactly `manifests` (pre-written by the caller — driver-side [[rewriteManifests]] or the
     * distributed [[graft.table.SeqIO.rewriteManifestsDistributed]]) and — like every commit —

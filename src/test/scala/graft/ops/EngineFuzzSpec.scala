@@ -11,7 +11,7 @@ import graft.table.{SeqIO, SeqTable}
 
 /** Randomized engine torture: a seeded random sequence of lifecycle operations (COW merge,
   * MoR merge, compaction cycle, delete materialization, manifest rewrite — driver AND
-  * distributed, snapshot expiry, STREAMING APPEND) against an in-memory model of the table's
+  * distributed, snapshot expiry, STREAMING APPEND, ROLLBACK) against an in-memory model of the table's
   * logical content. After EVERY op the physical table must match the model exactly on
   * (doc_id, token checksum, n_tok, source), and once a stream has appended, the streaming
   * high-water-mark table property must survive every subsequent op — the exact interleaving
@@ -58,10 +58,13 @@ class EngineFuzzSpec extends AnyFunSuite {
       val opts = MaintenanceOptions(k = 8, targetRecordsPerFile = 400)
       val srcDir = Files.createTempDirectory(s"fuzz$seed-stream-").toString
       var streamHwm = Long.MinValue
+      // model content per table version — rollback targets are validated against these
+      val history = scala.collection.mutable.Map.empty[Long, Map[String, (Long, Int, String)]]
+      history(table.currentVersion()) = model.toMap
       var step = 0
       for (_ <- 1 to fuzzSteps) {
         step += 1
-        val op = rnd.nextInt(7)
+        val op = rnd.nextInt(8)
         val tag = op match {
           case 0 | 1 => // merge (COW or MoR) with upserts + deletes
             val mor = op == 1
@@ -99,7 +102,14 @@ class EngineFuzzSpec extends AnyFunSuite {
             modelOf(batch).foreach { case (id, v, _) => model(id) = v }
             batch.unpersist()
             "stream-append"
+          case 7 => // rollback to a random still-retained version; model reverts with it
+            val candidates = table.snapshotVersions().filter(history.contains)
+            val target = candidates(rnd.nextInt(candidates.size))
+            table.rollbackTo(target)
+            model.clear(); model ++= history(target)
+            s"rollback(v$target)"
         }
+        history(table.currentVersion()) = model.toMap
         assert(contentOf(table) === model.toMap,
           s"seed=$seed step=$step op=$tag: physical content diverged from model")
         // once streamed, the HWM property must survive EVERY op (monotone, never dropped)

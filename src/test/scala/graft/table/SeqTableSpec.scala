@@ -272,4 +272,107 @@ class SeqTableSpec extends AnyFunSuite {
     t.commit("append", more, Set.empty)
     assert(t.manifestFileReads.get() === 0L, "rebase must reuse cached manifest content")
   }
+
+  private def contentHash(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    df.select(concat_ws("|", col("doc_id"), col("n_tok"), col("source"),
+      md5(concat_ws(",", transform(col("tokens"), _.cast("string"))))).as("r"))
+      .collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  test("rollback restores content as a NEW commit; expiry then reclaims the undone files") {
+    val t = SeqTable.create(fresh())
+    val m1 = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 300, parts = 3))
+    t.commit("append", m1, Set.empty, propertyUpdates = Map("hwm" -> "5"))
+    val v1 = t.currentVersion()
+    val before = contentHash(SeqIO.read(spark, t))
+
+    // destructive rewrite: replace everything with different content, bump the HWM property
+    val m2 = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 150, parts = 2, tokensScale = 0.5))
+    t.commit("compact", m2, m1.map(_.path).toSet, propertyUpdates = Map("hwm" -> "9"))
+    assert(contentHash(SeqIO.read(spark, t)) !== before)
+
+    val snap = t.rollbackTo(v1)
+    assert(snap.version === v1 + 2, "rollback must append to history, not rewrite it")
+    assert(snap.operation === "rollback")
+    assert(contentHash(SeqIO.read(spark, t)) === before, "rollback must restore content exactly")
+    // properties are table-level config: the HEAD's values survive, not the target's
+    assert(snap.properties.get("hwm") === Some("9"))
+    // the undone rewrite stays readable until expiry (history preserved)
+    assert(SeqIO.readAt(spark, t, v1 + 1).count() === 150)
+
+    val (expired, deleted) = t.expireSnapshots(keepLast = 1)
+    assert(expired.nonEmpty)
+    assert(deleted.toSet === m2.map(_.path).toSet,
+      "expiry after rollback must reclaim exactly the undone commit's files")
+    assert(contentHash(SeqIO.read(spark, t)) === before, "restored content intact after expiry")
+  }
+
+  test("rollback restores the merge-on-read delete-manifest set of the target") {
+    val t = SeqTable.create(fresh())
+    val m1 = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 200, parts = 2))
+    t.commit("append", m1, Set.empty)
+    val v1 = t.currentVersion()
+    // MoR delete of one doc_id → head carries a delete manifest that v1 did not
+    val victim = SeqIO.read(spark, t).select("doc_id").head().getString(0)
+    val dm = t.writeDeleteManifest(Iterator(victim), t.currentVersion() + 1)
+    t.commit("delete-mor", Nil, Set.empty, addedDeleteManifests = Seq(dm),
+      expectedBase = Some(v1))
+    assert(SeqIO.read(spark, t).count() === 199)
+
+    val snap = t.rollbackTo(v1)
+    assert(snap.deleteManifests.isEmpty, "rollback must restore the TARGET's delete set")
+    assert(SeqIO.read(spark, t).count() === 200, "the MoR-deleted row is back after rollback")
+    // rolling back to the deleting version re-applies its deletes
+    t.rollbackTo(v1 + 1)
+    assert(SeqIO.read(spark, t).count() === 199)
+  }
+
+  test("rollback to the current head is a no-op; to an expired version fails loudly") {
+    val t = SeqTable.create(fresh())
+    val m1 = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 100, parts = 1))
+    t.commit("append", m1, Set.empty)
+    val head = t.currentVersion()
+    assert(t.rollbackTo(head).version === head, "rollback-to-head must not create an empty commit")
+    val m2 = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 50, parts = 1,
+      tokensScale = 0.5).withColumn("doc_id",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("x-"),
+          org.apache.spark.sql.functions.col("doc_id"))))
+    t.commit("append", m2, Set.empty)
+    t.expireSnapshots(keepLast = 1)
+    intercept[java.nio.file.NoSuchFileException](t.rollbackTo(0L))
+  }
+
+  test("incremental append scan returns exactly the appended rows, never compaction rewrites") {
+    val t = SeqTable.create(fresh())
+    def batch(tag: String, n: Long) = SeqGen.table(spark, n, parts = 2)
+      .withColumn("doc_id", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit(s"$tag-"),
+        org.apache.spark.sql.functions.col("doc_id")))
+    val a = batch("a", 200)
+    t.commit("append", SeqIO.writeFiles(spark, t, a), Set.empty)
+    val v1 = t.currentVersion()
+
+    // compaction rewrites batch A's rows with a later addedAt — must contribute NOTHING
+    val live = t.liveFiles()
+    t.commit("compact", SeqIO.writeFiles(spark, t, SeqIO.readFiles(spark, t, live)),
+      live.map(_.path).toSet)
+    val b = batch("b", 120)
+    t.commit("stream-append", SeqIO.writeFiles(spark, t, b), Set.empty)
+    val c = batch("c", 80)
+    t.commit("append", SeqIO.writeFiles(spark, t, c), Set.empty)
+    val head = t.currentVersion()
+
+    assert(contentHash(SeqIO.readAppendedBetween(spark, t, v1, head)) ===
+      contentHash(b.unionByName(c)), "delta (v1, head] = batches B ∪ C exactly")
+    assert(contentHash(SeqIO.readAppendedBetween(spark, t, 0L, v1)) === contentHash(a))
+    assert(SeqIO.readAppendedBetween(spark, t, head, head).count() === 0L)
+    // full-range replay = the whole append history, double-delivering nothing
+    assert(contentHash(SeqIO.readAppendedBetween(spark, t, 0L, head)) ===
+      contentHash(a.unionByName(b).unionByName(c)))
+    // rollback commits contribute nothing either (their files carry already-delivered rows)
+    t.rollbackTo(v1)
+    assert(contentHash(SeqIO.readAppendedBetween(spark, t, head, t.currentVersion())).isEmpty)
+  }
 }
