@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(s"$fn expects a literal INT, got $other")
   }
 
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(s"$fn expects a literal BIGINT, got $other")
+  }
+
   private def strArg(e: Expression, fn: String): String = e match {
     case Literal(v: UTF8String, _) => v.toString
     case other => throw new IllegalArgumentException(s"$fn expects a literal STRING, got $other")
@@ -89,6 +95,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           scoreCol = score, sigma = sigma)
         LocalRelation(out.queryExecution.analyzed.output,
           out.queryExecution.executedPlan.executeCollect().toIndexedSeq): LogicalPlan
+      }))
+    // Lakehouse reads as SQL table functions. Unlike best_regions (driver-coordinated top-k,
+    // necessarily eager) these return the DataFrame's LAZY analyzed plan — parquet scans plus
+    // the merge-on-read delete anti-join — so execution is fully distributed and the TVF is
+    // safe on a table of any size; only the manifest resolution runs at analysis.
+    //   SELECT * FROM table_at('/path/tbl'[, version])        -- time travel (default: head)
+    //   SELECT * FROM table_changes('/path/tbl', from[, to])  -- incremental append scan
+    e.injectTableFunction((
+      FunctionIdentifier("table_at"),
+      info("table_at",
+        "table_at(tableDir STRING[, version BIGINT]) - table content pinned at a snapshot " +
+          "(merge-on-read deletes applied; default: current head)"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 1 && args.size <= 2, s"table_at expects 1-2 arguments, got ${args.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val table = graft.table.SeqTable.load(strArg(args(0), "table_at"))
+        val v = if (args.size > 1) longArg(args(1), "table_at") else table.currentVersion()
+        graft.table.SeqIO.readAt(spark, table, v).queryExecution.analyzed: LogicalPlan
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      info("table_changes",
+        "table_changes(tableDir STRING, fromVersion BIGINT[, toVersion BIGINT]) - rows APPENDED " +
+          "in (from, to] (compaction/merge rewrites never redelivered; default to: head)"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 2 && args.size <= 3,
+          s"table_changes expects 2-3 arguments, got ${args.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val table = graft.table.SeqTable.load(strArg(args(0), "table_changes"))
+        val from = longArg(args(1), "table_changes")
+        val to = if (args.size > 2) longArg(args(2), "table_changes") else table.currentVersion()
+        graft.table.SeqIO.readAppendedBetween(spark, table, from, to)
+          .queryExecution.analyzed: LogicalPlan
       }))
     e.injectFunction((
       FunctionIdentifier("lsh_buckets"),

@@ -73,6 +73,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
         assert(viaSql === viaApi, "SQL table function must match BRS.bestRegions exactly")
         assert(viaSql.size === 3 && viaSql.head.getAs[Int]("rank") === 1)
       }
+
+      // lakehouse reads from SQL: table_at (time travel) and table_changes (append scan) return
+      // LAZY plans with exact library parity
+      {
+        import graft.table.{SeqIO, SeqTable}
+        import graft.fixtures.SeqGen
+        val root = java.nio.file.Files.createTempDirectory("ext-tvf-").toString + "/t"
+        val t = SeqTable.create(root)
+        t.commit("append", SeqIO.writeFiles(spark, t, SeqGen.table(spark, 120, parts = 2)), Set.empty)
+        val v1 = t.currentVersion()
+        val b = SeqGen.table(spark, 60, parts = 1)
+          .withColumn("doc_id", org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("b-"),
+            org.apache.spark.sql.functions.col("doc_id")))
+        t.commit("append", SeqIO.writeFiles(spark, t, b), Set.empty)
+
+        assert(spark.sql(s"SELECT count(*) AS n FROM table_at('$root')").head.getLong(0) === 180)
+        assert(spark.sql(s"SELECT count(*) AS n FROM table_at('$root', $v1)").head.getLong(0) === 120)
+        val delta = spark.sql(
+          s"SELECT doc_id FROM table_changes('$root', $v1) ORDER BY doc_id")
+          .collect().map(_.getString(0)).toSeq
+        assert(delta.size === 60 && delta.forall(_.startsWith("b-")),
+          "table_changes must return exactly the appended batch")
+        // the plan is LAZY (a real scan, not a collected LocalRelation) and predicates compose
+        val plan = spark.sql(s"SELECT * FROM table_at('$root') WHERE n_tok > 0")
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("FileScan") || plan.contains("Scan parquet"),
+          s"table_at must resolve to a lazy parquet scan, got:\n$plan")
+      }
     } finally {
       // do not stop(): SparkContext is shared process-wide with the other suites
       SparkSession.clearActiveSession()
