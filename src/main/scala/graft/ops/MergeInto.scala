@@ -68,8 +68,13 @@ object MergeInto {
       if (debugTiming) println(f"[timing] merge/$tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
+    // keys is persisted for the whole merge (reused by the prune, anti-join and delete-manifest
+    // write of every attempt) and MUST be unpersisted on exit: a long-running maintenance driver
+    // runs thousands of merges, and each leaked cache entry pins executor storage + a driver
+    // CacheManager registration for the life of the session
+    var keys: DataFrame = null
     try {
-      val keys = ch.select(col("c_doc_id")).distinct().persist()
+      keys = ch.select(col("c_doc_id")).distinct().persist()
       val nKeys = timed("materialize-changes")(keys.count()) // once; reused every attempt
       // bloom-prune key set, collected ONCE (not per conflict-retry attempt); empty = disabled
       val bloomKeys: Array[String] = {
@@ -189,6 +194,10 @@ object MergeInto {
         } // end cow branch
       }
       throw new IllegalStateException("unreachable")
-    } finally { ch.unpersist(); () }
+    } finally {
+      ch.unpersist()
+      if (keys != null) keys.unpersist()
+      ()
+    }
   }
 }
