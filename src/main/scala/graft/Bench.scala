@@ -106,8 +106,13 @@ object Bench {
     }
     val filesAfterCompact = table.liveFiles().size
 
-    val changes = SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50)
+    // materialize the change set BEFORE the timer (the BRS-bench discipline: time the OPERATOR,
+    // not its input generator — a real change set arrives from an upstream job or stream; the
+    // window-dedup in SeqGen.changeSet alone is a full fixture shuffle billed to merge otherwise)
+    val changes = SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50).persist()
+    changes.count()
     val (mr, tMerge) = time(MergeInto.merge(spark, table, changes, cfg, target))
+    changes.unpersist()
     val mergeRecords = mr.recordsWritten // rows THIS merge physically wrote (survivors + upserts)
 
     val ((df, after), _) = time(SeqIO.scanPruned(spark, table, Some("src0"), Some(256), Some(1024)))
@@ -116,7 +121,10 @@ object Bench {
     // MoR merge last (it leaves delete manifests outstanding; scan metrics above are pure-COW)
     val changes2 = SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50)
       .withColumn("source", org.apache.spark.sql.functions.lit("src3"))
+      .persist()
+    changes2.count()
     val (_, tMergeMor) = time(MergeInto.merge(spark, table, changes2, cfg, target, mor = true))
+    changes2.unpersist()
 
     MaintBench(rows, tIngest, tCycles, tMerge, tMergeMor, rewritten, mergeRecords,
       metas.size, filesAfterCompact, (before.filesScanned, before.totalFiles),
