@@ -389,6 +389,34 @@ object EngineQueries {
     sealAndReclaim(PortableSeq.content(delta), table.root)
   }
 
+  /** METADATA TABLES driver-green (q49): the snapshot-lineage observability surface (the SQL
+    * `table_history`/`table_files` TVFs expose exactly this — GraftExtensionsSpec pins the
+    * parity), content-verified end-to-end. Sequence: v1 append → v2 COW MERGE (portable change
+    * set) → v3 rollback-to-v1. Emits (version, operation, n_rows) for every retained snapshot
+    * with n_rows read through time travel at that version, so the history is checked against
+    * the DATA it describes, not against itself; the file-level metadata table must agree too
+    * (live `records` sum == head row count — hard require). DuckDB predicts all four counts
+    * from the portable input alone.
+    */
+  def metadataHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("meta"), port, (n / 500).toInt.max(10)) // v1 append
+    MergeInto.merge(s, table, PortableSeq.changes(port), cfg, targetFor(n)) // v2 merge (COW)
+    table.rollbackTo(1)                                                     // v3 rollback
+    // the files metadata table must describe the data: live manifest record counts vs a real read
+    val liveRecords = SeqIO.fileMetaDS(s, table, narrow = true)
+      .agg(sum(col("records"))).as[Long].head()
+    require(liveRecords == n,
+      s"table_files records sum $liveRecords != head row count $n after rollback")
+    val hist = table.snapshotVersions().map(table.snapshot).map { sn =>
+      (sn.version, sn.operation, SeqIO.readAt(s, table, sn.version).count())
+    }
+    sealAndReclaim(hist.toDF("version", "operation", "n_rows"), table.root)
+  }
+
   /** CSV sink + CSV source roundtrip (reference S5/S2 driver-green): a deterministic slice is
     * exported as the reference's `;`-delimited-array CSV convention, ingested back through the
     * CSV source into a fresh table, and read out — content must equal the slice exactly (the
@@ -485,6 +513,15 @@ object EngineQueries {
       "q32_engine_merge_mor" -> mergedContentSql(reps),
       "q27_engine_snapshot_expiry" -> portContentSql(reps),
       "q47_engine_rollback" -> portContentSql(reps),
+      "q49_engine_metadata" ->
+        s"""WITH port AS (${sql(reps)}),
+           |c AS (SELECT count(*) AS n,
+           |             count(*) FILTER (WHERE docnum%10 = 5) AS i,
+           |             count(*) FILTER (WHERE docnum%10 = 7) AS d FROM port)
+           |SELECT 0::BIGINT AS version, 'create' AS operation, 0::BIGINT AS n_rows FROM c
+           |UNION ALL SELECT 1, 'append', n FROM c
+           |UNION ALL SELECT 2, 'merge', n + i - d FROM c
+           |UNION ALL SELECT 3, 'rollback', n FROM c""".stripMargin,
       "q48_engine_incremental_scan" ->
         s"""WITH port AS (${sql(reps)})
            |SELECT $contentColsSql FROM port WHERE docnum%$reps >= ${reps / 2}""".stripMargin,

@@ -129,6 +129,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.table.SeqIO.readAppendedBetween(spark, table, from, to)
           .queryExecution.analyzed: LogicalPlan
       }))
+    // Metadata tables as SQL TVFs (Iceberg's `.files` / `.history` metadata tables, public
+    // design): the observability surface a lakehouse operator lives in.
+    //   SELECT * FROM table_files('/path/tbl'[, version])  -- live data-file manifest entries
+    //   SELECT * FROM table_history('/path/tbl')           -- snapshot lineage
+    // table_files is a LAZY distributed plan over the manifest carriers themselves (the bloom
+    // payload — the dominant manifest bytes — is never read: columnar-pruned on parquet
+    // manifests), so it is safe at 10^7 files; table_history is driver-side by nature (one row
+    // per RETAINED snapshot — bounded by expiry, the same files the commit protocol reads).
+    e.injectTableFunction((
+      FunctionIdentifier("table_files"),
+      info("table_files",
+        "table_files(tableDir STRING[, version BIGINT]) - live data-file manifest entries " +
+          "(path, records, bytes, stats; bloom payload excluded) at a snapshot (default: head)"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 1 && args.size <= 2,
+          s"table_files expects 1-2 arguments, got ${args.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val table = graft.table.SeqTable.load(strArg(args(0), "table_files"))
+        val v = if (args.size > 1) longArg(args(1), "table_files") else table.currentVersion()
+        graft.table.SeqIO.fileMetaDSOf(spark, table, table.snapshot(v), narrow = true)
+          .drop("docBloom").queryExecution.analyzed: LogicalPlan
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("table_history"),
+      info("table_history",
+        "table_history(tableDir STRING) - snapshot lineage: version, parent, operation, " +
+          "commit timestamp, manifest/delete-manifest counts, live-file count"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, s"table_history expects 1 argument, got ${args.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        val table = graft.table.SeqTable.load(strArg(args(0), "table_history"))
+        val out = table.snapshotVersions().map(table.snapshot).map { s =>
+          (s.version, s.parent, s.operation, s.ts, s.manifests.size, s.deleteManifests.size,
+            s.summary.get("total-files").flatMap(_.toLongOption))
+        }.toDF("version", "parent", "operation", "ts",
+          "n_manifests", "n_delete_manifests", "total_files")
+        out.queryExecution.analyzed: LogicalPlan
+      }))
     e.injectFunction((
       FunctionIdentifier("lsh_buckets"),
       info("lsh_buckets",

@@ -101,6 +101,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .queryExecution.executedPlan.toString
         assert(plan.contains("FileScan") || plan.contains("Scan parquet"),
           s"table_at must resolve to a lazy parquet scan, got:\n$plan")
+
+        // metadata tables: table_files has exact liveFiles() parity (head and pinned) and
+        // aggregates record counts that match the data; table_history mirrors snapshot lineage
+        val livePaths = t.liveFiles().map(_.path).sorted
+        val tvfPaths = spark.sql(s"SELECT path FROM table_files('$root') ORDER BY path")
+          .collect().map(_.getString(0)).toSeq
+        assert(tvfPaths === livePaths, "table_files must mirror the live manifest")
+        assert(spark.sql(s"SELECT sum(records) FROM table_files('$root')").head.getLong(0) === 180)
+        assert(spark.sql(s"SELECT sum(records) FROM table_files('$root', $v1)")
+          .head.getLong(0) === 120, "table_files must pin at an explicit version")
+        val noBloom = spark.sql(s"SELECT * FROM table_files('$root')").columns
+        assert(!noBloom.contains("docBloom"), "bloom payload must not surface through the TVF")
+        val hist = spark.sql(
+          s"SELECT version, operation, total_files FROM table_history('$root') ORDER BY version")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(hist === Seq((0L, "create"), (1L, "append"), (2L, "append")),
+          s"table_history must mirror the snapshot lineage, got $hist")
       }
     } finally {
       // do not stop(): SparkContext is shared process-wide with the other suites
