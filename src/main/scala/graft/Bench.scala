@@ -108,23 +108,27 @@ object Bench {
 
     // materialize the change set BEFORE the timer (the BRS-bench discipline: time the OPERATOR,
     // not its input generator — a real change set arrives from an upstream job or stream; the
-    // window-dedup in SeqGen.changeSet alone is a full fixture shuffle billed to merge otherwise)
-    val changes = SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50).persist()
-    changes.count()
+    // window-dedup in SeqGen.changeSet alone is a full fixture shuffle billed to merge
+    // otherwise). Staged to PARQUET, not a persist: the upstream-handoff shape a real merge
+    // consumes, and the timed section then runs with zero cache-storage interaction.
+    def staged(df: org.apache.spark.sql.DataFrame, tag: String): org.apache.spark.sql.DataFrame = {
+      val p = s"$root-changes-$tag"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val changes = staged(
+      SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50), "cow")
     val (mr, tMerge) = time(MergeInto.merge(spark, table, changes, cfg, target))
-    changes.unpersist()
     val mergeRecords = mr.recordsWritten // rows THIS merge physically wrote (survivors + upserts)
 
     val ((df, after), _) = time(SeqIO.scanPruned(spark, table, Some("src0"), Some(256), Some(1024)))
     val (_, tScan) = time(df.count())
 
     // MoR merge last (it leaves delete manifests outstanding; scan metrics above are pure-COW)
-    val changes2 = SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50)
-      .withColumn("source", org.apache.spark.sql.functions.lit("src3"))
-      .persist()
-    changes2.count()
+    val changes2 = staged(
+      SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50)
+        .withColumn("source", org.apache.spark.sql.functions.lit("src3")), "mor")
     val (_, tMergeMor) = time(MergeInto.merge(spark, table, changes2, cfg, target, mor = true))
-    changes2.unpersist()
 
     MaintBench(rows, tIngest, tCycles, tMerge, tMergeMor, rewritten, mergeRecords,
       metas.size, filesAfterCompact, (before.filesScanned, before.totalFiles),
