@@ -112,6 +112,29 @@ class EngineFuzzSpec extends AnyFunSuite {
         history(table.currentVersion()) = model.toMap
         assert(contentOf(table) === model.toMap,
           s"seed=$seed step=$step op=$tag: physical content diverged from model")
+        // the metadata must DESCRIBE the data after every op (the table_files/table_history
+        // contract): manifest record sums can only exceed the logical count while MoR delete
+        // manifests hide rows; with none outstanding they must agree exactly, and the head
+        // summary's file count must equal the manifest's
+        locally {
+          val snap = table.currentSnapshot()
+          val live = table.liveFiles(snap)
+          assert(live.forall(f => f.records > 0 && f.minDocId <= f.maxDocId &&
+            f.minNtok <= f.maxNtok),
+            s"seed=$seed step=$step op=$tag: a live manifest entry has degenerate stats")
+          val recSum = live.map(_.records).sum
+          if (snap.deleteManifests.isEmpty)
+            assert(recSum === model.size.toLong,
+              s"seed=$seed step=$step op=$tag: manifest records $recSum != model ${model.size}")
+          else assert(recSum >= model.size.toLong,
+            s"seed=$seed step=$step op=$tag: manifest records $recSum < model ${model.size} " +
+              "(MoR deletes can hide rows, never invent them)")
+          snap.summary.get("total-files").foreach(tf => assert(tf.toLong === live.size.toLong,
+            s"seed=$seed step=$step op=$tag: summary total-files $tf != live ${live.size}"))
+          val vs = table.snapshotVersions()
+          assert(vs == vs.sorted && vs.distinct == vs && vs.last == snap.version,
+            s"seed=$seed step=$step op=$tag: snapshot lineage corrupt: $vs")
+        }
         // once streamed, the HWM property must survive EVERY op (monotone, never dropped)
         if (tag == "stream-append" || streamHwm != Long.MinValue) {
           val hwms = table.currentSnapshot().properties.collect {
