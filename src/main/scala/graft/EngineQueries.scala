@@ -417,6 +417,29 @@ object EngineQueries {
     sealAndReclaim(hist.toDF("version", "operation", "n_rows"), table.root)
   }
 
+  /** NET ROW-LEVEL CHANGELOG driver-green (q50): the portable table is appended (v1), mutated by
+    * a MERGE (updates + deletes + inserts), then COMPACTED (every surviving row rewritten into
+    * new files — the trap: a gross file-diff would deliver the whole table twice). The
+    * [[SeqIO.tableDiff]] over (v1, head] must emit EXACTLY the merge's visibility changes —
+    * old update/delete rows as 'D', new update/insert rows as 'I' — with all compaction-copied
+    * survivors cancelled. DuckDB predicts every row of the changelog from the portable input.
+    */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("tdiff"), port, (n / 500).toInt.max(10)) // v1 append
+    val v1 = table.currentVersion()
+    MergeInto.merge(s, table, PortableSeq.changes(port), cfg, targetFor(n)) // v2 merge (COW)
+    Rewrite.compactFiles(s, table, table.liveFiles(), cfg, targetFor(n))    // v3 rewrite-all
+    require(table.currentVersion() >= v1 + 2, "merge+compaction premise void")
+    val diff = SeqIO.tableDiff(s, table, v1, table.currentVersion())
+    val content = diff.select(
+      col("change_type"), col("doc_id"), col("n_tok").cast("long").as("n_tok"), col("source"),
+      md5(concat_ws(",", transform(col("tokens"), _.cast("string")))).as("tok_md5"))
+    sealAndReclaim(content, table.root)
+  }
+
   /** CSV sink + CSV source roundtrip (reference S5/S2 driver-green): a deterministic slice is
     * exported as the reference's `;`-delimited-array CSV convention, ingested back through the
     * CSV source into a fresh table, and read out — content must equal the slice exactly (the
@@ -513,6 +536,20 @@ object EngineQueries {
       "q32_engine_merge_mor" -> mergedContentSql(reps),
       "q27_engine_snapshot_expiry" -> portContentSql(reps),
       "q47_engine_rollback" -> portContentSql(reps),
+      // the merge's visibility changes, predicted row-by-row: updates emit D(old)+I(new),
+      // deletes emit D(old), inserts emit I(new); compaction-copied survivors never appear
+      "q50_engine_table_diff" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT 'I' AS change_type, doc_id, n_tok::BIGINT AS n_tok, 'upd' AS source,
+           |  md5(array_to_string(list_transform(tokens, t -> t+1), ',')) AS tok_md5
+           |FROM port WHERE docnum%10 = 3
+           |UNION ALL
+           |SELECT 'I', printf('n%09d', docnum), n_tok::BIGINT, source,
+           |  md5(array_to_string(list_reverse(tokens), ','))
+           |FROM port WHERE docnum%10 = 5
+           |UNION ALL
+           |SELECT 'D', doc_id, n_tok::BIGINT, source, md5(array_to_string(tokens, ','))
+           |FROM port WHERE docnum%10 IN (3, 7)""".stripMargin,
       "q49_engine_metadata" ->
         s"""WITH port AS (${sql(reps)}),
            |c AS (SELECT count(*) AS n,

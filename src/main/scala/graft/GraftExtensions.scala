@@ -138,6 +138,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifests), so it is safe at 10^7 files; table_history is driver-side by nature (one row
     // per RETAINED snapshot — bounded by expiry, the same files the commit protocol reads).
     e.injectTableFunction((
+      FunctionIdentifier("table_diff"),
+      info("table_diff",
+        "table_diff(tableDir STRING, fromVersion BIGINT[, toVersion BIGINT]) - NET row-level " +
+          "changelog of (from, to]: change_type 'I'/'D' + row; rewrite-copied rows cancel " +
+          "(default to: head)"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 2 && args.size <= 3,
+          s"table_diff expects 2-3 arguments, got ${args.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val table = graft.table.SeqTable.load(strArg(args(0), "table_diff"))
+        val from = longArg(args(1), "table_diff")
+        val to = if (args.size > 2) longArg(args(2), "table_diff") else table.currentVersion()
+        graft.table.SeqIO.tableDiff(spark, table, from, to)
+          .queryExecution.analyzed: LogicalPlan
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("table_files"),
       info("table_files",
         "table_files(tableDir STRING[, version BIGINT]) - live data-file manifest entries " +

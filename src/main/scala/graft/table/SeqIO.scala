@@ -416,11 +416,118 @@ object SeqIO {
     (expired, deadFiles)
   }
 
+  /** NET ROW-LEVEL CHANGELOG between two snapshots (Iceberg's changelog scan, public design):
+    * every row whose VISIBILITY changed in `(fromVersion, toVersion]`, as `change_type` 'I'
+    * (inserted) / 'D' (deleted) plus the full row. An update surfaces as its old row 'D' + its
+    * new row 'I'; rows merely COPIED by compaction / clustering (and untouched by manifest
+    * rewrites) cancel and are never delivered — the changelog is NET of rewrites, which is what
+    * a downstream incremental consumer (index maintenance, CDC mirror, training-set refresh)
+    * actually wants. Complements [[readAppendedBetween]] (append-only, gross) with full
+    * delete/update visibility.
+    *
+    * Scale shape — work is proportional to what CHANGED, never to table size:
+    *   1. The file-set diff of the two snapshots is metadata-only (manifest paths). Rows are
+    *      read ONLY from files added or removed in the range; files carried across untouched
+    *      never hit the scan.
+    *   2. Merge-on-read deletes arriving (or un-arriving, via rollback) on CARRIED files cannot
+    *      be seen from the file diff — those rows are found by scanning carried files
+    *      restricted to the DELTA delete keys (the symmetric difference of the two snapshots'
+    *      delete-manifest sets — merge-batch-sized), with the same two-level file prune MERGE
+    *      itself uses (doc_id range join + per-file Bloom) so a small MoR merge between the
+    *      endpoints touches only the files that may hold its keys.
+    *   3. Copied survivors cancel in `exceptAll` — a shuffle over the CHANGED rows only (both
+    *      set-op sides are already restricted to the diff candidates). A compaction inside the
+    *      range bounds the candidate set by the rewritten span, the honest floor for a
+    *      content-level net diff across a rewrite.
+    *
+    * Both endpoint snapshots must still be retained (expired versions fail loudly on the
+    * missing snapshot file — the caller keeps snapshots until consumed, same as Iceberg).
+    */
+  def tableDiff(spark: SparkSession, table: SeqTable,
+      fromVersion: Long, toVersion: Long,
+      maxBroadcastBytes: Long = DeleteBroadcastMaxBytes): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"tableDiff: fromVersion $fromVersion > toVersion $toVersion")
+    val sFrom = table.snapshot(fromVersion)
+    val sTo = table.snapshot(toVersion)
+    val cols = Seq("doc_id", "tokens", "n_tok", "source")
+    def withType(df: DataFrame, t: String): DataFrame =
+      df.select(lit(t).as("change_type") +: cols.map(col): _*)
+    if (fromVersion == toVersion)
+      return withType(readFiles(spark, table, Nil), "I").limit(0)
+
+    val liveFrom = table.liveFiles(sFrom)
+    val liveTo = table.liveFiles(sTo)
+    val pFrom = liveFrom.map(_.path).toSet
+    val pTo = liveTo.map(_.path).toSet
+    val addedFiles = liveTo.filterNot(f => pFrom(f.path))
+    val removedFiles = liveFrom.filterNot(f => pTo(f.path))
+    val carried = liveFrom.filter(f => pTo(f.path))
+
+    // rows of files added/removed in the range, each visible under ITS OWN endpoint's deletes
+    var toSide = readWithDeletes(spark, table, sTo, addedFiles, maxBroadcastBytes)
+    var fromSide = readWithDeletes(spark, table, sFrom, removedFiles, maxBroadcastBytes)
+
+    // carried files: only a DELTA delete key can change a row's visibility (addedAt is fixed
+    // once written, so applicability flips only when the delete-manifest set itself changes)
+    val deltaManifests =
+      ((sFrom.deleteManifests.toSet diff sTo.deleteManifests.toSet) ++
+        (sTo.deleteManifests.toSet diff sFrom.deleteManifests.toSet)).toSeq.sorted
+    if (carried.nonEmpty && deltaManifests.nonEmpty) {
+      val deltaBytes = deltaManifests
+        .map(m => Files.size(Paths.get(table.deleteManifestPath(m)))).sum
+      val deltaKeys0 = spark.read.textFile(deltaManifests.map(table.deleteManifestPath): _*)
+        .select(col("value").as("_delta_key")).distinct()
+      val deltaKeys =
+        if (deltaBytes <= maxBroadcastBytes) broadcast(deltaKeys0) else deltaKeys0
+      // two-level file prune (the MergeInto discipline): doc_id range, then per-file Bloom —
+      // driver-side only when the key set is small enough to collect
+      val prunedCarried: Seq[FileMeta] =
+        if (deltaBytes <= maxBroadcastBytes) {
+          import spark.implicits._
+          val keys = deltaKeys0.as[String].collect()
+          if (keys.nonEmpty && keys.length.toLong * carried.size <= 200_000_000L)
+            carried.filter(f => keys.exists(k => k >= f.minDocId && k <= f.maxDocId) &&
+              DocBloom.mayContainAny(f, keys))
+          else carried
+        } else carried
+      if (prunedCarried.nonEmpty) {
+        // candidate rows (delta-key hits) with their file's addedAt attached, then visibility
+        // under EACH endpoint's full delete set decides which side(s) the row lands on
+        import spark.implicits._
+        val ages = broadcast(spark.createDataset(
+          prunedCarried.map(m => (fileBasename(m.path), m.addedAt))).toDF("_fn", "_added"))
+        val cand = readFiles(spark, table, prunedCarried)
+          .withColumn("_fn", element_at(split(col("_metadata.file_path"), "/"), -1))
+          .join(ages, Seq("_fn"))
+          .join(deltaKeys, col("doc_id") === col("_delta_key"), "left_semi")
+        def visibleAt(snap: Snapshot): DataFrame =
+          if (snap.deleteManifests.isEmpty) cand.select(cols.map(col): _*)
+          else {
+            val delBytes = snap.deleteManifests
+              .map(m => Files.size(Paths.get(table.deleteManifestPath(m)))).sum
+            val dels0 = deletesDF(spark, table, snap)
+            val dels = if (delBytes <= maxBroadcastBytes) broadcast(dels0) else dels0
+            cand.join(dels, col("doc_id") === col("_del_key") && col("_del_seq") > col("_added"),
+              "left_anti").select(cols.map(col): _*)
+          }
+        fromSide = fromSide.unionByName(visibleAt(sFrom))
+        toSide = toSide.unionByName(visibleAt(sTo))
+      }
+    }
+    withType(toSide.exceptAll(fromSide), "I")
+      .unionByName(withType(fromSide.exceptAll(toSide), "D"))
+  }
+
   final case class ScanStats(filesScanned: Int, totalFiles: Int, recordsScanned: Long)
 
   /** Manifest-pruned scan: `source = ? AND n_tok BETWEEN ? AND ?`, with file skipping driven purely
     * by manifest min/max stats — the metric the Z-order rewrite is meant to improve. The residual
     * predicate still applies (pruning is sound, not exact).
+    *
+    * The snapshot is read ONCE and pinned for both the manifest prune and the delete-aware read —
+    * re-reading the head for the second step would let a commit racing between the two calls
+    * produce a mixed view (v's file list against v+1's delete set).
     */
   def scanPruned(
       spark: SparkSession,
@@ -428,14 +535,15 @@ object SeqIO {
       source: Option[String],
       ntokMin: Option[Int],
       ntokMax: Option[Int]): (DataFrame, ScanStats) = {
-    val live = table.liveFiles()
+    val snap = table.currentSnapshot()
+    val live = table.liveFiles(snap)
     val selected = live.filter { f =>
       val srcOk = source.forall(s => f.sources.isEmpty || f.sources.contains(s))
       val loOk = ntokMax.forall(hi => f.minNtok <= hi)
       val hiOk = ntokMin.forall(lo => f.maxNtok >= lo)
       srcOk && loOk && hiOk
     }
-    var df = readWithDeletes(spark, table, table.currentSnapshot(), selected)
+    var df = readWithDeletes(spark, table, snap, selected)
     source.foreach(s => df = df.filter(col("source") === s))
     ntokMin.foreach(lo => df = df.filter(col("n_tok") >= lo))
     ntokMax.foreach(hi => df = df.filter(col("n_tok") <= hi))

@@ -96,6 +96,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .collect().map(_.getString(0)).toSeq
         assert(delta.size === 60 && delta.forall(_.startsWith("b-")),
           "table_changes must return exactly the appended batch")
+        // net changelog TVF: the appended batch surfaces as 'I' rows, nothing as 'D'
+        val cdc = spark.sql(
+          s"SELECT change_type, doc_id FROM table_diff('$root', $v1) ORDER BY doc_id")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        assert(cdc.size === 60 && cdc.forall { case (ct, id) => ct == "I" && id.startsWith("b-") },
+          "table_diff must deliver exactly the appended batch as inserts")
         // the plan is LAZY (a real scan, not a collected LocalRelation) and predicates compose
         val plan = spark.sql(s"SELECT * FROM table_at('$root') WHERE n_tok > 0")
           .queryExecution.executedPlan.toString
