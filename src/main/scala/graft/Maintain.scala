@@ -136,6 +136,22 @@ object Maintain {
             println(s"[changes] (${fromS}, $to] rows=${delta.count()}")
         }
 
+      case "diff" :: dir :: fromS :: rest =>
+        // net row-level changelog: every visibility change in (from, to] as 'I'/'D' + row —
+        // updates surface as D(old)+I(new), rewrite-copied rows cancel (SeqIO.tableDiff)
+        val table = SeqTable.load(dir)
+        val to = rest.headOption.map(_.toLong).getOrElse(table.currentVersion())
+        val cdc = SeqIO.tableDiff(spark, table, fromS.toLong, to)
+        rest.drop(1).headOption match {
+          case Some(out) =>
+            cdc.write.mode("overwrite").parquet(out)
+            println(s"[diff] (${fromS}, $to] → $out")
+          case None =>
+            val counts = cdc.groupBy("change_type").count().collect()
+              .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+            println(s"[diff] (${fromS}, $to] ${if (counts.isEmpty) "no changes" else counts}")
+        }
+
       case "expire" :: dir :: rest =>
         val keep = rest.headOption.map(_.toInt).getOrElse(2)
         val table = SeqTable.load(dir)
@@ -163,6 +179,7 @@ object Maintain {
           "merge <tableDir> <changesParquet> | query <parquet> <lonCol> <latCol> <eps> <k> [sigma] | " +
           "rewrite-manifests <tableDir> | expire <tableDir> [keepLast] | " +
           "rollback <tableDir> <version> | changes <tableDir> <fromVersion> [toVersion [outParquet]] | " +
+          "diff <tableDir> <fromVersion> [toVersion [outParquet]] | " +
           "dedup <tableDir> [near] | sql <statement>" +
           s"; got: $other")
         sys.exit(2)
