@@ -440,6 +440,39 @@ object EngineQueries {
     sealAndReclaim(content, table.root)
   }
 
+  /** WRITE-AUDIT-PUBLISH driver-green (q51): the portable table is appended (v1); one batch is
+    * STAGED (docnum%10=1, re-keyed 'w…') — the head must not see it — audited in isolation, and
+    * PUBLISHED; a second staged batch (docnum%10=9, re-keyed 'z…') fails its "audit" and is
+    * DISCARDED. Final content must be port ∪ published batch exactly: the discarded batch
+    * invisible, the published one present once (the publish runs through the normal CAS commit
+    * with the exactly-once property fence). An aggressive orphan sweep between stage and publish
+    * must spare the staged files.
+    */
+  def wap(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps).persist()
+    val n = port.count()
+    val table = fragmented(s, fresh("wap"), port, (n / 500).toInt.max(10)) // v1 append
+    val v1 = table.currentVersion()
+    def rekey(m: Int, p: String) = port.filter(pmod(col("docnum"), lit(10)) === m)
+      .select(format_string(s"$p%09d", col("docnum")).as("doc_id"),
+        col("tokens"), col("n_tok"), col("source"))
+    val good = graft.sources.Ingest.appendStaged(s, table, rekey(1, "w"))
+    val bad = graft.sources.Ingest.appendStaged(s, table, rekey(9, "z"))
+    port.unpersist()
+    require(table.currentVersion() == v1 && SeqIO.read(s, table).count() == n,
+      "staging leaked into the version chain")
+    require(table.removeOrphans(olderThanMs = 0L).isEmpty,
+      "orphan sweep deleted staged write-audit-publish files")
+    val audited = SeqIO.readStaged(s, table, good).count()
+    require(audited > 0 && audited < n, "staged audit read saw the wrong batch")
+    table.publishStaged(good)
+    table.discardStaged(bad)
+    require(table.stagedIds().isEmpty, "audit queue not drained")
+    require(SeqIO.read(s, table).count() == n + audited, "publish lost or duplicated rows")
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
+  }
+
   /** CSV sink + CSV source roundtrip (reference S5/S2 driver-green): a deterministic slice is
     * exported as the reference's `;`-delimited-array CSV convention, ingested back through the
     * CSV source into a fresh table, and read out — content must equal the slice exactly (the
@@ -550,6 +583,15 @@ object EngineQueries {
            |UNION ALL
            |SELECT 'D', doc_id, n_tok::BIGINT, source, md5(array_to_string(tokens, ','))
            |FROM port WHERE docnum%10 IN (3, 7)""".stripMargin,
+      // port ∪ the published staged batch (docnum%10=1 re-keyed 'w…'); the discarded 'z…' batch
+      // must never appear
+      "q51_engine_wap" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT $contentColsSql FROM port
+           |UNION ALL
+           |SELECT printf('w%09d', docnum), n_tok::BIGINT, source,
+           |  md5(array_to_string(tokens, ','))
+           |FROM port WHERE docnum%10 = 1""".stripMargin,
       "q49_engine_metadata" ->
         s"""WITH port AS (${sql(reps)}),
            |c AS (SELECT count(*) AS n,

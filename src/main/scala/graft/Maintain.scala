@@ -136,6 +136,31 @@ object Maintain {
             println(s"[changes] (${fromS}, $to] rows=${delta.count()}")
         }
 
+      case "stage" :: dir :: parquetPath :: _ =>
+        // write-audit-publish: materialize the batch INVISIBLY; audit it, then publish/discard
+        val table = SeqTable.load(dir)
+        val id = graft.sources.Ingest.appendStaged(spark, table, spark.read.parquet(parquetPath))
+        println(s"[stage] staged $id rows=${SeqIO.readStaged(spark, table, id).count()} " +
+          s"(invisible until publish; audit with: sql \"SELECT …\" on the staged parquet, " +
+          s"then publish $id or discard $id)")
+
+      case "staged" :: dir :: _ =>
+        val table = SeqTable.load(dir)
+        table.stagedIds().foreach { id =>
+          val s = table.stagedSnapshot(id)
+          println(s"[staged] $id op=${s.operation} files=${s.summary.getOrElse("staged-files", "?")} ts=${s.ts}")
+        }
+
+      case "publish" :: dir :: id :: _ =>
+        val table = SeqTable.load(dir)
+        val snap = table.publishStaged(id)
+        println(s"[publish] $id → v${snap.version}")
+
+      case "discard" :: dir :: id :: _ =>
+        val table = SeqTable.load(dir)
+        table.discardStaged(id)
+        println(s"[discard] $id dropped")
+
       case "diff" :: dir :: fromS :: rest =>
         // net row-level changelog: every visibility change in (from, to] as 'I'/'D' + row —
         // updates surface as D(old)+I(new), rewrite-copied rows cancel (SeqIO.tableDiff)
@@ -180,6 +205,8 @@ object Maintain {
           "rewrite-manifests <tableDir> | expire <tableDir> [keepLast] | " +
           "rollback <tableDir> <version> | changes <tableDir> <fromVersion> [toVersion [outParquet]] | " +
           "diff <tableDir> <fromVersion> [toVersion [outParquet]] | " +
+          "stage <tableDir> <parquet> | staged <tableDir> | publish <tableDir> <id> | " +
+          "discard <tableDir> <id> | " +
           "dedup <tableDir> [near] | sql <statement>" +
           s"; got: $other")
         sys.exit(2)

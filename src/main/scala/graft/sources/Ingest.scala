@@ -50,6 +50,17 @@ object Ingest {
     table.commit("append", metas, Set.empty)
   }
 
+  /** WRITE-AUDIT-PUBLISH append: materialize the batch and STAGE it ([[SeqTable.stageCommit]])
+    * without touching the version chain — invisible to every reader until
+    * `table.publishStaged(id)` adopts it (exactly once), or reclaimed by
+    * `table.discardStaged(id)` when the audit rejects it. Audit reads via [[SeqIO.readStaged]].
+    * Returns the stage id.
+    */
+  def appendStaged(spark: SparkSession, table: SeqTable, df: DataFrame): String = {
+    val metas = SeqIO.writeFiles(spark, table, conform(df))
+    table.stageCommit("append", metas)
+  }
+
   /** CSV ingest: `doc_id,tokens,source` with tokens as `;`-delimited ints — the reference's
     * delimited-string-as-array convention (`/root/reference/src/main/scala/SDL/main/Run.scala:71-76`).
     */

@@ -198,6 +198,12 @@ object SeqIO {
     readWithDeletes(spark, table, snap, table.liveFiles(snap))
   }
 
+  /** AUDIT read of a staged (write-audit-publish) commit: the staged batch's rows in isolation —
+    * quality gates / dedup checks run here BEFORE the batch becomes visible to anyone.
+    */
+  def readStaged(spark: SparkSession, table: SeqTable, id: String): DataFrame =
+    readFiles(spark, table, table.stagedSnapshot(id).manifests.flatMap(table.readManifest))
+
   /** TIME TRAVEL: full-table read pinned at snapshot `version` (that snapshot's manifests AND its
     * delete-manifest set — a later MoR delete does not leak backwards). Readers of expired
     * versions fail on the missing snapshot file, same as Iceberg.

@@ -253,7 +253,8 @@ final class SeqTable(val root: String) {
       removedDeleteManifests: Set[String] = Set.empty,
       expectedBase: Option[Long] = None,
       plannedDeleteManifests: Option[Set[String]] = None,
-      propertyUpdates: Map[String, String] = Map.empty): Snapshot = {
+      propertyUpdates: Map[String, String] = Map.empty,
+      requireAbsentProperty: Option[String] = None): Snapshot = {
     var attempt = 0
     while (true) {
       val base = currentSnapshot()
@@ -262,6 +263,14 @@ final class SeqTable(val root: String) {
         if (base.version != v)
           throw new CommitConflictException(
             s"commit($operation): expected base v$v but head is v${base.version}")
+      }
+      // idempotence fence, checked against the BASE inside the CAS loop (not once up front):
+      // two racing publishes of the same staged commit both pass an entry check, but the loser's
+      // rebase re-reads the winner's property and aborts here instead of double-appending
+      requireAbsentProperty.foreach { key =>
+        if (base.properties.contains(key))
+          throw new CommitConflictException(
+            s"commit($operation): property '$key' already present — duplicate publish refused")
       }
       plannedDeleteManifests.foreach { planned =>
         val appeared = base.deleteManifests.toSet -- planned -- addedDeleteManifests
@@ -329,6 +338,101 @@ final class SeqTable(val root: String) {
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  // ---------- write-audit-publish (staged commits) ----------
+
+  /** WRITE-AUDIT-PUBLISH staging (Iceberg's WAP / stage-only commits, public design): materialize
+    * an append's files + manifests and record them in a `staged-<id>.json` snapshot file that is
+    * NOT part of the version chain — invisible to every reader, time travel, scan and maintenance
+    * op until [[publishStaged]] adopts it. The audit step reads the staged rows in isolation
+    * ([[SeqIO.readStaged]]), and a rejected batch is reclaimed with [[discardStaged]] without
+    * ever having touched the table. Staged files/manifests are shielded from [[removeOrphans]]
+    * (the staged snapshot references them) but not from a user's own discard.
+    *
+    * The staged snapshot stores ONLY the batch's own manifests (`version` = -1; `parent` = the
+    * head at staging time, recorded for audit provenance — publish rebases onto whatever head is
+    * current, like any append).
+    */
+  def stageCommit(operation: String, added: Seq[FileMeta],
+      summary: Map[String, String] = Map.empty): String = {
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val m = if (added.nonEmpty) Seq(writeManifest(added)) else Nil
+    val s = Snapshot(-1L, currentVersion(), operation, m,
+      summary ++ Map("staged-files" -> added.size.toString),
+      System.currentTimeMillis())
+    val tmp = Files.createTempFile(metaDir, ".tmp-staged", ".json")
+    Files.writeString(tmp, Serialization.write(s))
+    Files.move(tmp, metaDir.resolve(s"staged-$id.json"), StandardCopyOption.ATOMIC_MOVE)
+    id
+  }
+
+  /** Ids of all outstanding staged commits (audit queue). */
+  def stagedIds(): Seq[String] =
+    SeqTable.listDir(metaDir).iterator
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("staged-") && n.endsWith(".json") =>
+        n.stripPrefix("staged-").stripSuffix(".json") }
+      .toSeq.sorted
+
+  def stagedSnapshot(id: String): Snapshot =
+    Serialization.read[Snapshot](Files.readString(metaDir.resolve(s"staged-$id.json")))
+
+  /** Adopt a staged commit into the version chain — a normal CAS append commit (rebase on
+    * conflicts, addedAt re-stamped at publish time), EXACTLY ONCE and IDEMPOTENT: the publish
+    * records `wap.published.<id>` in the table properties, and the commit loop's
+    * requireAbsentProperty fence refuses a second append of the same stage even when two
+    * publishes race. A REPLAYED publish (crash between commit and staged-metadata cleanup, or a
+    * retried driver) finds the property, finishes the cleanup and returns the head — never a
+    * double append, never a spurious failure. The data files are adopted in place (no copy).
+    */
+  def publishStaged(id: String, maxRetries: Int = 20): Snapshot = {
+    val stagedFile = metaDir.resolve(s"staged-$id.json")
+    val key = s"wap.published.$id"
+    def alreadyPublished(): Boolean = currentSnapshot().properties.contains(key)
+    def cleanup(staged: Snapshot): Unit = {
+      staged.manifests.foreach(uncacheManifestFile)
+      Files.deleteIfExists(stagedFile); ()
+    }
+    if (!Files.exists(stagedFile)) {
+      if (alreadyPublished()) return currentSnapshot() // fully-cleaned replay: idempotent no-op
+      throw new CommitConflictException(s"publishStaged($id): no such staged commit")
+    }
+    val staged = stagedSnapshot(id)
+    if (alreadyPublished()) { cleanup(staged); return currentSnapshot() } // crash-window replay
+    val entries = staged.manifests.flatMap(readManifest)
+    val next =
+      try commit(staged.operation, entries, Set.empty,
+        staged.summary + ("published-from-stage" -> id),
+        maxRetries = maxRetries,
+        // the KEY is the fence; the value is provenance only (the publish version itself is in
+        // the commit summary's published-from-stage entry — recording it here would race rebase)
+        propertyUpdates = Map(key -> staged.ts.toString),
+        requireAbsentProperty = Some(key))
+      catch {
+        // the only property-fence conflict possible here is OUR key (publish removes no files,
+        // pins no base): a concurrent publish of the same stage won — adopt its result
+        case _: CommitConflictException if alreadyPublished() =>
+          cleanup(staged); return currentSnapshot()
+      }
+    cleanup(staged)
+    next
+  }
+
+  /** Drop a staged commit that failed its audit: deletes its data files, manifests and the
+    * staged snapshot file. Refused once published (the data files are then live table content).
+    */
+  def discardStaged(id: String): Unit = {
+    val stagedFile = metaDir.resolve(s"staged-$id.json")
+    if (!Files.exists(stagedFile)) return
+    if (currentSnapshot().properties.contains(s"wap.published.$id"))
+      throw new IllegalStateException(
+        s"discardStaged($id): already published — its files are live table content")
+    val staged = stagedSnapshot(id)
+    staged.manifests.flatMap(readManifest)
+      .foreach(f => Files.deleteIfExists(Paths.get(root).resolve(f.path)))
+    staged.manifests.foreach(uncacheManifestFile)
+    Files.deleteIfExists(stagedFile); ()
+  }
+
   // ---------- snapshot expiry ----------
 
   /** Drop all but the newest `keepLast` snapshots; physically delete data files and manifests
@@ -379,7 +483,9 @@ final class SeqTable(val root: String) {
     */
   def removeOrphans(olderThanMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = {
     val now = System.currentTimeMillis()
-    val snaps = snapshotVersions().map(snapshot)
+    // staged (write-audit-publish) commits reference real data files + manifests that no
+    // version-chain snapshot knows about — they are NOT orphans until the user discards them
+    val snaps = snapshotVersions().map(snapshot) ++ stagedIds().map(stagedSnapshot)
     val referenced = snaps.flatMap(liveFiles).map(_.path).toSet
     val dead = SeqTable.listDir(dataDir).iterator
       .filter(p => Files.isRegularFile(p))

@@ -11,11 +11,13 @@ import graft.table.{SeqIO, SeqTable}
 
 /** Randomized engine torture: a seeded random sequence of lifecycle operations (COW merge,
   * MoR merge, compaction cycle, delete materialization, manifest rewrite — driver AND
-  * distributed, snapshot expiry, STREAMING APPEND, ROLLBACK) against an in-memory model of the table's
-  * logical content. After EVERY op the physical table must match the model exactly on
-  * (doc_id, token checksum, n_tok, source), and once a stream has appended, the streaming
-  * high-water-mark table property must survive every subsequent op — the exact interleaving
-  * (stream → rewrite-manifests → expiry) where the round-4 properties-drop bug hid.
+  * distributed, snapshot expiry, STREAMING APPEND, ROLLBACK, WAP STAGE/PUBLISH/DISCARD) against
+  * an in-memory model of the table's logical content. After EVERY op the physical table must
+  * match the model exactly on (doc_id, token checksum, n_tok, source); once a stream has
+  * appended, the streaming high-water-mark table property must survive every subsequent op —
+  * the exact interleaving (stream → rewrite-manifests → expiry) where the round-4
+  * properties-drop bug hid; and outstanding write-audit-publish stages must stay invisible yet
+  * alive (no op may reap or leak them) until their own publish/discard step.
   */
 class EngineFuzzSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -62,9 +64,11 @@ class EngineFuzzSpec extends AnyFunSuite {
       val history = scala.collection.mutable.Map.empty[Long, Map[String, (Long, Int, String)]]
       history(table.currentVersion()) = model.toMap
       var step = 0
+      // outstanding write-audit-publish stages: id -> the staged batch's model rows
+      val pendingStages = scala.collection.mutable.Map.empty[String, Seq[(String, (Long, Int, String))]]
       for (_ <- 1 to fuzzSteps) {
         step += 1
-        val op = rnd.nextInt(8)
+        val op = rnd.nextInt(10)
         val tag = op match {
           case 0 | 1 => // merge (COW or MoR) with upserts + deletes
             val mor = op == 1
@@ -108,6 +112,26 @@ class EngineFuzzSpec extends AnyFunSuite {
             table.rollbackTo(target)
             model.clear(); model ++= history(target)
             s"rollback(v$target)"
+          case 8 => // write-audit-publish STAGE: invisible until a later step publishes it
+            val batch = SeqGen.table(spark, 30, parts = 1)
+              .withColumn("doc_id", concat(lit(s"w$step-"), col("doc_id"))).persist()
+            val id = graft.sources.Ingest.appendStaged(spark, table, batch)
+            pendingStages(id) = modelOf(batch).map { case (k, v, _) => (k, v) }
+            batch.unpersist()
+            s"wap-stage($id)" // model untouched: staging must not change visible content
+          case 9 => // publish or discard a random pending stage (no-op when none outstanding)
+            if (pendingStages.isEmpty) "wap-noop"
+            else {
+              val id = pendingStages.keys.toSeq.sorted.apply(rnd.nextInt(pendingStages.size))
+              val rows = pendingStages.remove(id).get
+              if (rnd.nextBoolean()) {
+                table.publishStaged(id)
+                rows.foreach { case (k, v) => model(k) = v }
+                s"wap-publish($id)"
+              } else {
+                table.discardStaged(id); s"wap-discard($id)"
+              }
+            }
         }
         history(table.currentVersion()) = model.toMap
         assert(contentOf(table) === model.toMap,
@@ -135,6 +159,10 @@ class EngineFuzzSpec extends AnyFunSuite {
           assert(vs == vs.sorted && vs.distinct == vs && vs.last == snap.version,
             s"seed=$seed step=$step op=$tag: snapshot lineage corrupt: $vs")
         }
+        // outstanding WAP stages must survive every op (incl. expiry + manifest rewrites) and
+        // stay OUT of the visible content until published
+        assert(pendingStages.keySet.subsetOf(table.stagedIds().toSet),
+          s"seed=$seed step=$step op=$tag: a pending staged commit vanished")
         // once streamed, the HWM property must survive EVERY op (monotone, never dropped)
         if (tag == "stream-append" || streamHwm != Long.MinValue) {
           val hwms = table.currentSnapshot().properties.collect {
