@@ -486,17 +486,19 @@ object SeqIO {
         .select(col("value").as("_delta_key")).distinct()
       val deltaKeys =
         if (deltaBytes <= maxBroadcastBytes) broadcast(deltaKeys0) else deltaKeys0
-      // two-level file prune (the MergeInto discipline): doc_id range, then per-file Bloom —
-      // driver-side only when the key set is small enough to collect
-      val prunedCarried: Seq[FileMeta] =
-        if (deltaBytes <= maxBroadcastBytes) {
-          import spark.implicits._
+      // two-level file prune (the MergeInto discipline, same DocBloom.PruneMaxKeys collect
+      // ceiling and probe budget): doc_id range, then per-file Bloom — driver-side only for
+      // sparse delta sets; dense ones skip straight to the distributed semi-join
+      val prunedCarried: Seq[FileMeta] = {
+        import spark.implicits._
+        val nKeys = deltaKeys0.count() // executor-side scan of the delta manifests only
+        if (nKeys > 0 && nKeys <= DocBloom.PruneMaxKeys &&
+            nKeys * carried.size <= 200_000_000L) {
           val keys = deltaKeys0.as[String].collect()
-          if (keys.nonEmpty && keys.length.toLong * carried.size <= 200_000_000L)
-            carried.filter(f => keys.exists(k => k >= f.minDocId && k <= f.maxDocId) &&
-              DocBloom.mayContainAny(f, keys))
-          else carried
+          carried.filter(f => keys.exists(k => k >= f.minDocId && k <= f.maxDocId) &&
+            DocBloom.mayContainAny(f, keys))
         } else carried
+      }
       if (prunedCarried.nonEmpty) {
         // candidate rows (delta-key hits) with their file's addedAt attached, then visibility
         // under EACH endpoint's full delete set decides which side(s) the row lands on
