@@ -138,6 +138,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifests), so it is safe at 10^7 files; table_history is driver-side by nature (one row
     // per RETAINED snapshot — bounded by expiry, the same files the commit protocol reads).
     e.injectTableFunction((
+      FunctionIdentifier("table_scan"),
+      info("table_scan",
+        "table_scan(tableDir STRING, source STRING, ntokMin INT, ntokMax INT) - manifest-pruned " +
+          "scan: files skipped by min/max + source stats before the plan is built " +
+          "(empty source / -1 bounds = unconstrained)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4, s"table_scan expects 4 arguments, got ${args.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val table = graft.table.SeqTable.load(strArg(args(0), "table_scan"))
+        val src = Some(strArg(args(1), "table_scan")).filter(_.nonEmpty)
+        val lo = Some(intArg(args(2), "table_scan")).filter(_ >= 0)
+        val hi = Some(intArg(args(3), "table_scan")).filter(_ >= 0)
+        val (df, _) = graft.table.SeqIO.scanPruned(spark, table, src, lo, hi)
+        df.queryExecution.analyzed: LogicalPlan
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("table_diff"),
       info("table_diff",
         "table_diff(tableDir STRING, fromVersion BIGINT[, toVersion BIGINT]) - NET row-level " +

@@ -107,6 +107,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .queryExecution.executedPlan.toString
         assert(plan.contains("FileScan") || plan.contains("Scan parquet"),
           s"table_at must resolve to a lazy parquet scan, got:\n$plan")
+        // manifest-pruned scan from SQL: agrees with the full read under the same predicate,
+        // and unconstrained arguments fall back to the whole table
+        val lib = SeqIO.read(spark, t)
+          .filter(org.apache.spark.sql.functions.col("n_tok").between(256, 1024)).count()
+        assert(spark.sql(s"SELECT count(*) AS n FROM table_scan('$root', '', 256, 1024)")
+          .head.getLong(0) === lib, "table_scan must agree with the full read")
+        assert(spark.sql(s"SELECT count(*) AS n FROM table_scan('$root', '', -1, -1)")
+          .head.getLong(0) === 180)
 
         // metadata tables: table_files has exact liveFiles() parity (head and pinned) and
         // aggregates record counts that match the data; table_history mirrors snapshot lineage
