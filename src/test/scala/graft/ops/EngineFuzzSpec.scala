@@ -133,9 +133,30 @@ class EngineFuzzSpec extends AnyFunSuite {
               }
             }
         }
+        val prevVersion = history.keys.max // head before this op (history is updated below)
         history(table.currentVersion()) = model.toMap
         assert(contentOf(table) === model.toMap,
           s"seed=$seed step=$step op=$tag: physical content diverged from model")
+        // the NET CHANGELOG must equal the model delta across EVERY op interleaving: content-
+        // preserving ops (compact, rewrite, expire, stage) diff to empty, merges/streams/
+        // rollbacks/publishes to exactly the visibility changes (when the pre-op version is
+        // still retained — expiry legitimately reaps changelog history)
+        if (table.snapshotVersions().contains(prevVersion)) {
+          import spark.implicits._
+          val got = SeqIO.tableDiff(spark, table, prevVersion, table.currentVersion())
+            .select(col("change_type"), col("doc_id"), xxhash64(col("tokens")).as("th"),
+              col("n_tok"), col("source"))
+            .as[(String, String, Long, Int, String)].collect()
+            .map { case (ct, id, th, n, s) => (ct, id, (th, n, s)) }.toSet
+          val prev = history(prevVersion)
+          val cur = model.toMap
+          val want =
+            cur.collect { case (id, v) if !prev.get(id).contains(v) => ("I", id, v) }.toSet ++
+              prev.collect { case (id, v) if !cur.get(id).contains(v) => ("D", id, v) }.toSet
+          assert(got === want,
+            s"seed=$seed step=$step op=$tag: changelog diverged from the model delta " +
+              s"(extra=${(got -- want).take(3)}, missing=${(want -- got).take(3)})")
+        }
         // the metadata must DESCRIBE the data after every op (the table_files/table_history
         // contract): manifest record sums can only exceed the logical count while MoR delete
         // manifests hide rows; with none outstanding they must agree exactly, and the head
