@@ -473,6 +473,24 @@ object EngineQueries {
     sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
+  /** Predicate DML driver-green (q52): DELETE FROM … WHERE n_tok <= 20 (auto-routed through the
+    * transactional MERGE path), then UPDATE … SET tokens = reverse(tokens), source = 'redacted'
+    * WHERE source = 'src1' on the survivors. Content must equal DuckDB's prediction row-by-row:
+    * the delete and the update compose in order, untouched rows stay byte-identical.
+    */
+  def dml(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("dml"), port, (n / 500).toInt.max(10))
+    val del = Dml.deleteWhere(s, table, col("n_tok") <= 20, cfg, targetFor(n))
+    require(del.snapshot.version > 1, "delete did not commit")
+    Dml.updateWhere(s, table, col("source") === "src1",
+      Map("tokens" -> reverse(col("tokens")), "source" -> lit("redacted")),
+      cfg, targetFor(n))
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
+  }
+
   /** CSV sink + CSV source roundtrip (reference S5/S2 driver-green): a deterministic slice is
     * exported as the reference's `;`-delimited-array CSV convention, ingested back through the
     * CSV source into a fresh table, and read out — content must equal the slice exactly (the
@@ -592,6 +610,14 @@ object EngineQueries {
            |SELECT printf('w%09d', docnum), n_tok::BIGINT, source,
            |  md5(array_to_string(tokens, ','))
            |FROM port WHERE docnum%10 = 1""".stripMargin,
+      // delete n_tok<=20, then update src1 survivors (tokens reversed, source redacted)
+      "q52_engine_dml" ->
+        s"""WITH port AS (${sql(reps)}), kept AS (SELECT * FROM port WHERE n_tok > 20)
+           |SELECT doc_id, n_tok::BIGINT AS n_tok,
+           |  CASE WHEN source = 'src1' THEN 'redacted' ELSE source END AS source,
+           |  CASE WHEN source = 'src1' THEN md5(array_to_string(list_reverse(tokens), ','))
+           |       ELSE md5(array_to_string(tokens, ',')) END AS tok_md5
+           |FROM kept""".stripMargin,
       "q49_engine_metadata" ->
         s"""WITH port AS (${sql(reps)}),
            |c AS (SELECT count(*) AS n,

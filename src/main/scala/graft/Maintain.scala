@@ -136,6 +136,25 @@ object Maintain {
             println(s"[changes] (${fromS}, $to] rows=${delta.count()}")
         }
 
+      case "delete" :: dir :: condSql :: _ =>
+        // DELETE FROM <dir> WHERE <condSql> — through the transactional MERGE path (auto COW/MoR)
+        val table = SeqTable.load(dir)
+        val r = graft.ops.Dml.deleteWhere(spark, table, expr(condSql), cfg, opts.targetRecordsPerFile)
+        println(s"[delete] where ($condSql): files-rewritten=${r.filesRewritten} → v${r.snapshot.version}")
+
+      case "update" :: dir :: condSql :: setSql :: _ =>
+        // UPDATE <dir> SET <setSql> WHERE <condSql>; setSql = "col=expr;col=expr"
+        // (tokens/source only — doc_id is the key, n_tok re-derives from tokens)
+        val table = SeqTable.load(dir)
+        val set = setSql.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"update: bad assignment '$kv' (want col=expr)")
+          kv.take(i).trim -> expr(kv.drop(i + 1).trim)
+        }.toMap
+        val r = graft.ops.Dml.updateWhere(spark, table, expr(condSql), set, cfg, opts.targetRecordsPerFile)
+        println(s"[update] set (${set.keys.mkString(", ")}) where ($condSql): " +
+          s"files-rewritten=${r.filesRewritten} → v${r.snapshot.version}")
+
       case "stage" :: dir :: parquetPath :: _ =>
         // write-audit-publish: materialize the batch INVISIBLY; audit it, then publish/discard
         val table = SeqTable.load(dir)
@@ -206,7 +225,8 @@ object Maintain {
           "rollback <tableDir> <version> | changes <tableDir> <fromVersion> [toVersion [outParquet]] | " +
           "diff <tableDir> <fromVersion> [toVersion [outParquet]] | " +
           "stage <tableDir> <parquet> | staged <tableDir> | publish <tableDir> <id> | " +
-          "discard <tableDir> <id> | " +
+          "discard <tableDir> <id> | delete <tableDir> <condSql> | " +
+          "update <tableDir> <condSql> <col=expr[;col=expr]> | " +
           "dedup <tableDir> [near] | sql <statement>" +
           s"; got: $other")
         sys.exit(2)

@@ -342,6 +342,7 @@ object SparkEntry {
     "q48_engine_incremental_scan" -> ((s, dir) => EngineQueries.incrementalScan(s, dir)),
     "q50_engine_table_diff" -> ((s, dir) => EngineQueries.tableDiff(s, dir)),
     "q51_engine_wap" -> ((s, dir) => EngineQueries.wap(s, dir)),
+    "q52_engine_dml" -> ((s, dir) => EngineQueries.dml(s, dir)),
     "q49_engine_metadata" -> ((s, dir) => EngineQueries.metadataHistory(s, dir)),
     "q38_jdbc_roundtrip" -> ((s, dir) => EngineQueries.jdbcRoundtrip(s, dir)),
 
