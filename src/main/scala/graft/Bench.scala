@@ -54,7 +54,8 @@ object Bench {
       rows: Long, ingestSec: Double, cycleSec: Double, mergeSec: Double, morMergeSec: Double,
       recordsRewritten: Long, mergeRecords: Long,
       filesBefore: Int, filesAfter: Int,
-      scanBefore: (Int, Int), scanAfter: (Int, Int), scanSecAfter: Double) {
+      scanBefore: (Int, Int), scanAfter: (Int, Int), scanSecAfter: Double,
+      changelogSec: Double = 0.0, changelogRows: Long = 0L) {
     /** sequences compacted + re-clustered (incl. merge rewrite) per second of maintenance time */
     def throughput: Double = (recordsRewritten + mergeRecords) / (cycleSec + mergeSec)
   }
@@ -118,8 +119,14 @@ object Bench {
     }
     val changes = staged(
       SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50), "cow")
+    val vPreMerge = table.currentVersion()
     val (mr, tMerge) = time(MergeInto.merge(spark, table, changes, cfg, target))
     val mergeRecords = mr.recordsWritten // rows THIS merge physically wrote (survivors + upserts)
+
+    // net row-level changelog across the COW merge (the CDC consumer's read): cost is the
+    // changed-file scan + the candidate-only exceptAll, never a full-table pass
+    val (changelogRows, tChangelog) = time(
+      SeqIO.tableDiff(spark, table, vPreMerge, table.currentVersion()).count())
 
     val ((df, after), _) = time(SeqIO.scanPruned(spark, table, Some("src0"), Some(256), Some(1024)))
     val (_, tScan) = time(df.count())
@@ -132,7 +139,7 @@ object Bench {
 
     MaintBench(rows, tIngest, tCycles, tMerge, tMergeMor, rewritten, mergeRecords,
       metas.size, filesAfterCompact, (before.filesScanned, before.totalFiles),
-      (after.filesScanned, after.totalFiles), tScan)
+      (after.filesScanned, after.totalFiles), tScan, tChangelog, changelogRows)
   }
 
   private def sfOf(dir: String): Double =
@@ -437,6 +444,7 @@ object Bench {
     results += "m_compaction_cycles" -> mb.cycleSec
     results += "m_merge_into" -> mb.mergeSec
     results += "m_merge_into_mor" -> mb.morMergeSec
+    results += "m_changelog" -> mb.changelogSec
     results += "m_pruned_scan" -> mb.scanSecAfter
 
     // a crashed query must NOT masquerade as a (suspiciously fast) timing row: record it in
