@@ -70,9 +70,34 @@ object Maintain {
 
         val changes = SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50)
         val t0 = System.nanoTime()
+        val vPreMerge = table.currentVersion()
         val mr = MergeInto.merge(spark, table, changes, cfg, opts.targetRecordsPerFile)
         println(f"[demo] merge: rewrote ${mr.filesRewritten} files in ${(System.nanoTime() - t0) / 1e9}%.1fs " +
           s"attempts=${mr.attempts} → v${mr.snapshot.version}")
+
+        // the CDC read across the merge: net changelog, rewrite-copied survivors cancelled
+        val cdc = SeqIO.tableDiff(spark, table, vPreMerge, table.currentVersion())
+          .groupBy("change_type").count().collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+        println(s"[demo] changelog (v$vPreMerge, head]: $cdc")
+
+        // write-audit-publish round trip: stage invisibly, audit, publish exactly-once
+        val wapBatch = SeqGen.table(spark, 500, parts = 1)
+          .withColumn("doc_id", concat(lit("wap-"), col("doc_id")))
+        val preWap = SeqIO.read(spark, table).count()
+        val stageId = graft.sources.Ingest.appendStaged(spark, table, wapBatch)
+        require(SeqIO.read(spark, table).count() == preWap, "staged batch leaked before publish")
+        val audited = SeqIO.readStaged(spark, table, stageId).count()
+        table.publishStaged(stageId)
+        println(s"[demo] wap: staged $stageId (invisible), audited $audited rows, " +
+          s"published → v${table.currentVersion()}")
+
+        // predicate DML through the same transactional merge path
+        val dr = graft.ops.Dml.deleteWhere(spark, table, col("doc_id").startsWith("wap-"),
+          cfg, opts.targetRecordsPerFile)
+        require(SeqIO.read(spark, table).count() == preWap, "DML delete must remove the wap batch")
+        println(s"[demo] dml: deleted the wap batch (files-rewritten=${dr.filesRewritten}) " +
+          s"→ v${table.currentVersion()}")
 
         go = true
         while (go) { // post-merge maintenance
