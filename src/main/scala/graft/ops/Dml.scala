@@ -13,6 +13,12 @@ import graft.table.{SeqIO, SeqTable}
   * The affected-row scan pushes the predicate into the parquet scan (Catalyst pushdown); the
   * merge's own manifest pruning then bounds the rewrite to files that may hold affected keys —
   * a sparse predicate touches only its files, a dense one auto-routes to merge-on-read.
+  *
+  * Isolation: the predicate is evaluated against the snapshot current AT CALL TIME (snapshot
+  * isolation, the Iceberg/Delta DML contract) — rows appended concurrently are not
+  * retro-matched, and a concurrent rewrite of an affected file surfaces as
+  * `CommitConflictException` through the merge path's validation rather than silently losing
+  * either write.
   */
 object Dml {
 
