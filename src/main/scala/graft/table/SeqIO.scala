@@ -441,10 +441,15 @@ object SeqIO {
     *      delete-manifest sets — merge-batch-sized), with the same two-level file prune MERGE
     *      itself uses (doc_id range join + per-file Bloom) so a small MoR merge between the
     *      endpoints touches only the files that may hold its keys.
-    *   3. Copied survivors cancel in `exceptAll` — a shuffle over the CHANGED rows only (both
-    *      set-op sides are already restricted to the diff candidates). A compaction inside the
-    *      range bounds the candidate set by the rewritten span, the honest floor for a
-    *      content-level net diff across a rewrite.
+    *   3. Copied survivors cancel in a NARROW-ROW `exceptAll` — the set op shuffles
+    *      (doc_id, n_tok, source, two independent 64-bit token hashes), ~56 B/row, never the
+    *      multi-KB token payloads (a full-table compaction inside the range made the wide
+    *      variant shuffle the whole rewritten span's payloads — 26 s vs ~2 s on the bench
+    *      table). Payloads re-attach afterwards for the NET-CHANGED keys only (merge-batch-
+    *      sized): rows sharing a narrow key are identical, so one payload per key is fetched
+    *      via a semi-join + first() and re-exploded to the exceptAll multiplicity — exact
+    *      multiset semantics, with a ~2^-128 false-cancel risk per updated key from the paired
+    *      hashes (the engine-wide content-hash discipline).
     *
     * Both endpoint snapshots must still be retained (expired versions fail loudly on the
     * missing snapshot file — the caller keeps snapshots until consumed, same as Iceberg).
@@ -523,8 +528,39 @@ object SeqIO {
         toSide = toSide.unionByName(visibleAt(sTo))
       }
     }
-    withType(toSide.exceptAll(fromSide), "I")
-      .unionByName(withType(fromSide.exceptAll(toSide), "D"))
+
+    // Narrow-key net diff + payload re-attach (see scaladoc point 3). The paired hashes are
+    // BOTH single whole-array xxhash64 passes (the second mixes n_tok in front for an
+    // independent stream) — a per-element fold cost ~40s at bench scale and an ANSI-safe Horner
+    // fold doesn't exist. Each side is scanned exactly TWICE (once for its key counts, once for
+    // the payload re-attach); the count-diff table is key-level tiny and localCheckpointed so
+    // the I and D branches don't re-trigger the aggregations.
+    val keyCols = Seq("doc_id", "n_tok", "source", "_h1", "_h2")
+    def withKeys(df: DataFrame): DataFrame = df.select(
+      col("tokens"), col("doc_id"), col("n_tok"), col("source"),
+      xxhash64(col("tokens")).as("_h1"),
+      xxhash64(col("n_tok"), col("tokens"), col("doc_id")).as("_h2"))
+    def keyCounts(df: DataFrame, as: String): DataFrame =
+      withKeys(df).groupBy(keyCols.map(col): _*).agg(count(lit(1)).as(as))
+    val counts = keyCounts(toSide, "_tc").join(keyCounts(fromSide, "_fc"), keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        (coalesce(col("_tc"), lit(0L)) - coalesce(col("_fc"), lit(0L))).as("_d"): _*)
+      .filter(col("_d") =!= 0L)
+      .localCheckpoint(true) // key-level, net-changed keys only — driver never sees it
+    def attach(side: DataFrame, dir: String): DataFrame = {
+      val sign = if (dir == "I") col("_d") > 0 else col("_d") < 0
+      val wants = counts.filter(sign).withColumn("_n", abs(col("_d")))
+      // fetch only net-changed rows; rows sharing a key are identical, so one payload per key
+      // is kept and re-exploded to the net multiplicity
+      val changed = withKeys(side)
+        .join(wants.select(keyCols.map(col): _*), keyCols, "left_semi")
+        .groupBy(keyCols.map(col): _*).agg(first(col("tokens")).as("tokens"))
+      changed.join(wants, keyCols)
+        .withColumn("_i", explode(sequence(lit(1), col("_n").cast("int"))))
+        .select(cols.map(col): _*)
+    }
+    withType(attach(toSide, "I"), "I")
+      .unionByName(withType(attach(fromSide, "D"), "D"))
   }
 
   final case class ScanStats(filesScanned: Int, totalFiles: Int, recordsScanned: Long)
