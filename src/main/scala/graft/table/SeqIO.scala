@@ -444,7 +444,7 @@ object SeqIO {
     *   3. Copied survivors cancel in a NARROW-ROW `exceptAll` — the set op shuffles
     *      (doc_id, n_tok, source, two independent 64-bit token hashes), ~56 B/row, never the
     *      multi-KB token payloads (a full-table compaction inside the range made the wide
-    *      variant shuffle the whole rewritten span's payloads — 26 s vs ~2 s on the bench
+    *      variant shuffle the whole rewritten span's payloads — 26 s vs 4.3 s on the bench
     *      table). Payloads re-attach afterwards for the NET-CHANGED keys only (merge-batch-
     *      sized): rows sharing a narrow key are identical, so one payload per key is fetched
     *      via a semi-join + first() and re-exploded to the exceptAll multiplicity — exact
