@@ -75,6 +75,28 @@ class WapSpec extends AnyFunSuite {
     assert(got.filter(col("doc_id").startsWith("mid-")).count() === 60)
   }
 
+  test("two racing publishes of the same stage append exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = fresh("pubrace")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 300, 3)
+    for (round <- 1 to 3) {
+      val id = Ingest.appendStaged(spark, table, batch(40, s"race$round-"))
+      val before = SeqIO.read(spark, table).count()
+      // both must RETURN a head ≥ the publish commit (winner commits; loser's fence trips on
+      // rebase, adopts the winner's result) — and the batch lands exactly once
+      val results = Await.result(
+        Future.sequence(Seq(Future(table.publishStaged(id)), Future(table.publishStaged(id)))),
+        2.minutes)
+      assert(results.size === 2)
+      assert(SeqIO.read(spark, table).count() === before + 40,
+        s"round $round: racing publishes must append exactly once")
+      assert(table.stagedIds().isEmpty)
+      assert(table.currentSnapshot().properties.contains(s"wap.published.$id"))
+    }
+  }
+
   test("discard reclaims the staged files; removeOrphans shields undiscarded stages") {
     val root = fresh("gc")
     val (table, _) = SeqGen.fragmentedTable(spark, root, 300, 3)
