@@ -137,6 +137,18 @@ object Bench {
         .withColumn("source", org.apache.spark.sql.functions.lit("src3")), "mor")
     val (_, tMergeMor) = time(MergeInto.merge(spark, table, changes2, cfg, target, mor = true))
 
+    // the staged change-set dirs live beside the table, not under it — reclaim them here so a
+    // caller that keeps the table root doesn't accumulate them across runs
+    Seq("cow", "mor").foreach { tag =>
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(s"$root-changes-$tag")
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+
     MaintBench(rows, tIngest, tCycles, tMerge, tMergeMor, rewritten, mergeRecords,
       metas.size, filesAfterCompact, (before.filesScanned, before.totalFiles),
       (after.filesScanned, after.totalFiles), tScan, tChangelog, changelogRows)

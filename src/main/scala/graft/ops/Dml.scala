@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.planner.GridConfig
 import graft.table.{SeqIO, SeqTable}
@@ -22,12 +22,62 @@ import graft.table.{SeqIO, SeqTable}
   */
 object Dml {
 
+  /** Manifest-prune hints extracted from a DML predicate: `(source equality, n_tok lower bound,
+    * n_tok upper bound)` from the predicate's top-level AND conjuncts — exactly the two stats
+    * the clustered layout maintains per file ([[graft.table.FileMeta]] sources / minNtok /
+    * maxNtok). Anything unrecognized contributes no hint (sound: pruning only ever narrows the
+    * victim scan; the full predicate is re-applied to the pruned rows).
+    */
+  private[graft] def pruneHints(cond: Column): (Option[String], Option[Int], Option[Int]) = {
+    def int(v: Any): Option[Int] = v match {
+      case i: Int => Some(i)
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => Some(l.toInt)
+      case s: Short => Some(s.toInt)
+      case b: Byte => Some(b.toInt)
+      case _ => None
+    }
+    var src: Option[String] = None
+    var lo: Option[Int] = None
+    var hi: Option[Int] = None
+    def tightenLo(v: Int): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def tightenHi(v: Int): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    GraftSqlBridge.comparisonConjuncts(cond).foreach {
+      case GraftSqlBridge.Comparison("=", "source", s: String) => src = src.orElse(Some(s))
+      case GraftSqlBridge.Comparison(op, "n_tok", v) =>
+        int(v).foreach { i =>
+          op match {
+            case "=" => tightenLo(i); tightenHi(i)
+            case ">=" => tightenLo(i)
+            case ">" => tightenLo(i + 1)
+            case "<=" => tightenHi(i)
+            case "<" => tightenHi(i - 1)
+            case _ => ()
+          }
+        }
+      case _ => ()
+    }
+    (src, lo, hi)
+  }
+
+  /** The victim scan behind both DML verbs: manifest-pruned via [[pruneHints]] + [[SeqIO
+    * .scanPruned]] — a `DELETE WHERE source = … AND n_tok BETWEEN …` on a curve-clustered table
+    * opens only the file subset that may hold victims (the layout's advertised shape), never the
+    * whole table — with the FULL predicate re-applied as the residual. Returns the scan stats so
+    * callers (and the spec) can see the prune working.
+    */
+  private[graft] def victimScan(spark: SparkSession, table: SeqTable,
+      cond: Column): (DataFrame, SeqIO.ScanStats) = {
+    val (src, lo, hi) = pruneHints(cond)
+    val (df, stats) = SeqIO.scanPruned(spark, table, src, lo, hi)
+    (df.filter(cond), stats)
+  }
+
   /** DELETE FROM table WHERE `cond`. Returns the merge result (files rewritten / snapshot).
     * `mor` forces merge-on-read (delete manifests only, no rewrite); default auto-routes.
     */
   def deleteWhere(spark: SparkSession, table: SeqTable, cond: Column, cfg: GridConfig,
       targetRecordsPerFile: Long, mor: Boolean = false): MergeResult = {
-    val victims = SeqIO.read(spark, table).filter(cond)
+    val victims = victimScan(spark, table, cond)._1
       .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
       .withColumn("_op", lit("D"))
     MergeInto.merge(spark, table, victims, cfg, targetRecordsPerFile,
@@ -44,8 +94,12 @@ object Dml {
     val bad = set.keySet -- Set("tokens", "source")
     require(bad.isEmpty, s"updateWhere: non-updatable columns ${bad.mkString(", ")} " +
       "(doc_id is the merge key; n_tok is derived from tokens)")
-    val upd0 = SeqIO.read(spark, table).filter(cond)
-    val withSet = set.foldLeft(upd0) { case (df, (name, expr)) => df.withColumn(name, expr) }
+    val upd0 = victimScan(spark, table, cond)._1
+    // ONE projection for every SET clause (SQL UPDATE semantics): each right-hand side is
+    // evaluated against the ORIGINAL row — a sequential withColumn fold would let a later
+    // assignment read an earlier one's already-updated value, with Map iteration order deciding
+    // which (e.g. SET tokens = …, source = f(tokens) seeing the new tokens)
+    val withSet = upd0.withColumns(set)
     val upserts = withSet
       .withColumn("n_tok", size(col("tokens")))
       .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))

@@ -278,10 +278,18 @@ object SeqIO {
     * the current manifest against its cached base version with path anti-joins.
     */
   def fileMetaDSOf(spark: SparkSession, table: SeqTable, snap: Snapshot,
+      narrow: Boolean = false): org.apache.spark.sql.Dataset[FileMeta] =
+    manifestMetaDS(spark, table, snap.manifests, narrow)
+
+  /** Executor-side scan of an explicit set of manifest carriers as a [[FileMeta]] Dataset —
+    * the building block of [[fileMetaDSOf]] and the distributed [[tableDiff]] metadata diff
+    * (which scans only the manifests a snapshot does NOT share with the other endpoint).
+    */
+  private[graft] def manifestMetaDS(spark: SparkSession, table: SeqTable, names: Seq[String],
       narrow: Boolean = false): org.apache.spark.sql.Dataset[FileMeta] = {
     import spark.implicits._
     def abs(m: String) = java.nio.file.Paths.get(table.root, "metadata", m).toString
-    val (pq, jl) = snap.manifests.partition(_.endsWith(".parquet"))
+    val (pq, jl) = names.partition(_.endsWith(".parquet"))
     val schema =
       if (narrow) org.apache.spark.sql.types.StructType(
         SeqSchema.fileMetaSchema.filterNot(_.name == "docBloom"))
@@ -456,7 +464,8 @@ object SeqIO {
     */
   def tableDiff(spark: SparkSession, table: SeqTable,
       fromVersion: Long, toVersion: Long,
-      maxBroadcastBytes: Long = DeleteBroadcastMaxBytes): DataFrame = {
+      maxBroadcastBytes: Long = DeleteBroadcastMaxBytes,
+      distributedMetaFiles: Long = DistributedDiffMetaFiles): DataFrame = {
     require(fromVersion <= toVersion,
       s"tableDiff: fromVersion $fromVersion > toVersion $toVersion")
     val sFrom = table.snapshot(fromVersion)
@@ -467,13 +476,38 @@ object SeqIO {
     if (fromVersion == toVersion)
       return withType(readFiles(spark, table, Nil), "I").limit(0)
 
-    val liveFrom = table.liveFiles(sFrom)
-    val liveTo = table.liveFiles(sTo)
-    val pFrom = liveFrom.map(_.path).toSet
-    val pTo = liveTo.map(_.path).toSet
-    val addedFiles = liveTo.filterNot(f => pFrom(f.path))
-    val removedFiles = liveFrom.filterNot(f => pTo(f.path))
-    val carried = liveFrom.filter(f => pTo(f.path))
+    // ---- metadata diff: added/removed are CHANGE-proportional (driver-sized by definition of
+    // a consumable diff); the carried set is TABLE-sized and must never land on the driver.
+    // Below `distributedMetaFiles` the cached driver manifests win (zero jobs, the bench-scale
+    // fast path); above it — or at 0, forcing it — the diff runs as executor-side path
+    // anti-joins restricted to the manifests each snapshot does NOT share with the other (the
+    // expireSnapshotsDistributed pattern: a small commit diffs two delta manifests against a
+    // path-only columnar probe scan, with the driver parsing ZERO manifest entries).
+    val useDistributed = distributedMetaFiles == 0L ||
+      Seq(sFrom, sTo).exists(
+        _.summary.get("total-files").flatMap(_.toLongOption).getOrElse(0L) > distributedMetaFiles)
+    val sharedManifests = sFrom.manifests.toSet intersect sTo.manifests.toSet
+    import spark.implicits._
+    val (addedFiles: Seq[FileMeta], removedFiles: Seq[FileMeta]) =
+      if (!useDistributed) {
+        val liveFrom = table.liveFiles(sFrom)
+        val liveTo = table.liveFiles(sTo)
+        val pFrom = liveFrom.map(_.path).toSet
+        val pTo = liveTo.map(_.path).toSet
+        (liveTo.filterNot(f => pFrom(f.path)), liveFrom.filterNot(f => pTo(f.path)))
+      } else {
+        // files of shared manifests exist in BOTH snapshots (carried by construction), so only
+        // each side's UNSHARED manifests can contribute added/removed entries; the probe side is
+        // the other snapshot's full path set (a rewritten manifest can re-home a carried path)
+        def sideOnly(s: Snapshot, other: Snapshot): Seq[FileMeta] = {
+          val own = s.manifests.filterNot(sharedManifests)
+          if (own.isEmpty) Nil
+          else manifestMetaDS(spark, table, own, narrow = true)
+            .join(manifestPathsDF(spark, table, other.manifests), Seq("path"), "left_anti")
+            .as[FileMeta].collect().toSeq
+        }
+        (sideOnly(sTo, sFrom), sideOnly(sFrom, sTo))
+      }
 
     // rows of files added/removed in the range, each visible under ITS OWN endpoint's deletes
     var toSide = readWithDeletes(spark, table, sTo, addedFiles, maxBroadcastBytes)
@@ -484,26 +518,57 @@ object SeqIO {
     val deltaManifests =
       ((sFrom.deleteManifests.toSet diff sTo.deleteManifests.toSet) ++
         (sTo.deleteManifests.toSet diff sFrom.deleteManifests.toSet)).toSeq.sorted
-    if (carried.nonEmpty && deltaManifests.nonEmpty) {
+    if (deltaManifests.nonEmpty) {
       val deltaBytes = deltaManifests
         .map(m => Files.size(Paths.get(table.deleteManifestPath(m)))).sum
       val deltaKeys0 = spark.read.textFile(deltaManifests.map(table.deleteManifestPath): _*)
         .select(col("value").as("_delta_key")).distinct()
       val deltaKeys =
         if (deltaBytes <= maxBroadcastBytes) broadcast(deltaKeys0) else deltaKeys0
+      val nKeys = deltaKeys0.count() // executor-side scan of the delta manifests only
       // two-level file prune (the MergeInto discipline, same DocBloom.PruneMaxKeys collect
-      // ceiling and probe budget): doc_id range, then per-file Bloom — driver-side only for
-      // sparse delta sets; dense ones skip straight to the distributed semi-join
-      val prunedCarried: Seq[FileMeta] = {
-        import spark.implicits._
-        val nKeys = deltaKeys0.count() // executor-side scan of the delta manifests only
-        if (nKeys > 0 && nKeys <= DocBloom.PruneMaxKeys &&
-            nKeys * carried.size <= 200_000_000L) {
-          val keys = deltaKeys0.as[String].collect()
-          carried.filter(f => keys.exists(k => k >= f.minDocId && k <= f.maxDocId) &&
-            DocBloom.mayContainAny(f, keys))
-        } else carried
-      }
+      // ceiling and probe budget): doc_id range, then per-file Bloom. Empty delta-key sets
+      // (delete manifests present but zero keys) short-circuit: no key can flip visibility.
+      val prunedCarried: Seq[FileMeta] =
+        if (nKeys == 0) Nil
+        else if (!useDistributed) {
+          val carried = {
+            val liveFrom = table.liveFiles(sFrom)
+            val pTo = table.liveFiles(sTo).map(_.path).toSet
+            liveFrom.filter(f => pTo(f.path))
+          }
+          if (nKeys <= DocBloom.PruneMaxKeys && nKeys * carried.size <= 200_000_000L) {
+            val keys = deltaKeys0.as[String].collect()
+            carried.filter(f => keys.exists(k => k >= f.minDocId && k <= f.maxDocId) &&
+              DocBloom.mayContainAny(f, keys))
+          } else carried
+        } else {
+          // the carried set stays on executors: doc_id-range theta-join against the delta keys
+          // selects the candidate files, and only THOSE (delta-proportional) are collected
+          val carriedDS = fileMetaDSOf(spark, table, sFrom, narrow = true).toDF()
+            .join(manifestPathsDF(spark, table, sTo.manifests), Seq("path"), "left_semi")
+          // a delta too big to broadcast can't range-prune cheaply (a shuffle theta-join is a
+          // cross product): every carried file is a candidate, collected NARROW (paths + stats,
+          // no bloom payloads — the scan below needs only path/addedAt)
+          val cand =
+            if (deltaBytes > maxBroadcastBytes) carriedDS.as[FileMeta].collect().toSeq
+            else carriedDS
+              .join(broadcast(deltaKeys0),
+                col("_delta_key").between(col("minDocId"), col("maxDocId")), "left_semi")
+              .as[FileMeta].collect().toSeq
+          // Bloom refinement (the range prune is blind on curve-clustered layouts): fetch the
+          // candidates' full-width manifest entries with one executor-side scan — the docBloom
+          // payloads of non-candidates never reach the driver
+          if (cand.nonEmpty && nKeys <= DocBloom.PruneMaxKeys &&
+              nKeys * cand.size <= 200_000_000L) {
+            val keys = deltaKeys0.as[String].collect()
+            val candPaths = spark.createDataset(cand.map(_.path)).toDF("path")
+            fileMetaDSOf(spark, table, sFrom, narrow = false).toDF()
+              .join(broadcast(candPaths), Seq("path"), "left_semi")
+              .as[FileMeta].collect().toSeq
+              .filter(f => DocBloom.mayContainAny(f, keys))
+          } else cand
+        }
       if (prunedCarried.nonEmpty) {
         // candidate rows (delta-key hits) with their file's addedAt attached, then visibility
         // under EACH endpoint's full delete set decides which side(s) the row lands on
@@ -562,6 +627,13 @@ object SeqIO {
     withType(attach(toSide, "I"), "I")
       .unionByName(withType(attach(fromSide, "D"), "D"))
   }
+
+  /** File-count threshold above which [[tableDiff]]'s metadata diff runs on executors
+    * (0 = always distributed): below it the cached driver manifests are faster (zero jobs);
+    * above it the driver-side materialization is the 10^7-file ~130 GB funnel the distributed
+    * planner/rewrite/expiry already avoid.
+    */
+  val DistributedDiffMetaFiles: Long = 100000L
 
   final case class ScanStats(filesScanned: Int, totalFiles: Int, recordsScanned: Long)
 

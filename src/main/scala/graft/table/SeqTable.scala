@@ -254,7 +254,7 @@ final class SeqTable(val root: String) {
       expectedBase: Option[Long] = None,
       plannedDeleteManifests: Option[Set[String]] = None,
       propertyUpdates: Map[String, String] = Map.empty,
-      requireAbsentProperty: Option[String] = None): Snapshot = {
+      requireAbsentProperties: Seq[String] = Nil): Snapshot = {
     var attempt = 0
     while (true) {
       val base = currentSnapshot()
@@ -267,10 +267,10 @@ final class SeqTable(val root: String) {
       // idempotence fence, checked against the BASE inside the CAS loop (not once up front):
       // two racing publishes of the same staged commit both pass an entry check, but the loser's
       // rebase re-reads the winner's property and aborts here instead of double-appending
-      requireAbsentProperty.foreach { key =>
+      requireAbsentProperties.foreach { key =>
         if (base.properties.contains(key))
           throw new CommitConflictException(
-            s"commit($operation): property '$key' already present — duplicate publish refused")
+            s"commit($operation): property '$key' already present — fenced commit refused")
       }
       plannedDeleteManifests.foreach { planned =>
         val appeared = base.deleteManifests.toSet -- planned -- addedDeleteManifests
@@ -387,13 +387,17 @@ final class SeqTable(val root: String) {
   def publishStaged(id: String, maxRetries: Int = 20): Snapshot = {
     val stagedFile = metaDir.resolve(s"staged-$id.json")
     val key = s"wap.published.$id"
+    val discardKey = s"wap.discarded.$id"
     def alreadyPublished(): Boolean = currentSnapshot().properties.contains(key)
+    def alreadyDiscarded(): Boolean = currentSnapshot().properties.contains(discardKey)
     def cleanup(staged: Snapshot): Unit = {
       staged.manifests.foreach(uncacheManifestFile)
       Files.deleteIfExists(stagedFile); ()
     }
     if (!Files.exists(stagedFile)) {
       if (alreadyPublished()) return currentSnapshot() // fully-cleaned replay: idempotent no-op
+      if (alreadyDiscarded())
+        throw new CommitConflictException(s"publishStaged($id): stage was discarded")
       throw new CommitConflictException(s"publishStaged($id): no such staged commit")
     }
     val staged = stagedSnapshot(id)
@@ -404,21 +408,32 @@ final class SeqTable(val root: String) {
         staged.summary + ("published-from-stage" -> id),
         maxRetries = maxRetries,
         // the KEY is the fence; the value is provenance only (the publish version itself is in
-        // the commit summary's published-from-stage entry — recording it here would race rebase)
+        // the commit summary's published-from-stage entry — recording it here would race rebase).
+        // The discarded key is fenced too: a discard claims the stage with its own property
+        // commit BEFORE deleting any staged file, so a publish racing a discard fails HERE, on
+        // the rebase re-read, instead of committing a snapshot over deleted data files.
         propertyUpdates = Map(key -> staged.ts.toString),
-        requireAbsentProperty = Some(key))
+        requireAbsentProperties = Seq(key, discardKey))
       catch {
-        // the only property-fence conflict possible here is OUR key (publish removes no files,
-        // pins no base): a concurrent publish of the same stage won — adopt its result
+        // a property-fence conflict is either OUR key (a concurrent publish of the same stage
+        // won — adopt its result) or the discard claim (the audit rejected the batch first)
         case _: CommitConflictException if alreadyPublished() =>
           cleanup(staged); return currentSnapshot()
+        case e: CommitConflictException if alreadyDiscarded() =>
+          throw new CommitConflictException(
+            s"publishStaged($id): stage was discarded concurrently (${e.getMessage})")
       }
     cleanup(staged)
     next
   }
 
-  /** Drop a staged commit that failed its audit: deletes its data files, manifests and the
-    * staged snapshot file. Refused once published (the data files are then live table content).
+  /** Drop a staged commit that failed its audit: CLAIMS the stage first with a
+    * `wap.discarded.<id>` property commit through the same CAS fence publishes use — a publish
+    * racing this discard (it may already have read the staged entries) trips on the claim at its
+    * rebase and fails loudly, instead of committing a head snapshot that references files this
+    * discard is about to delete — then deletes its data files, manifests and the staged snapshot
+    * file. Refused once published (the data files are then live table content). A replayed
+    * discard (crash between claim and deletion) finds the claim and completes the cleanup.
     */
   def discardStaged(id: String): Unit = {
     val stagedFile = metaDir.resolve(s"staged-$id.json")
@@ -426,6 +441,20 @@ final class SeqTable(val root: String) {
     if (currentSnapshot().properties.contains(s"wap.published.$id"))
       throw new IllegalStateException(
         s"discardStaged($id): already published — its files are live table content")
+    val discardKey = s"wap.discarded.$id"
+    if (!currentSnapshot().properties.contains(discardKey)) {
+      try commit("wap-discard", Nil, Set.empty, Map("discarded-stage" -> id),
+        propertyUpdates = Map(discardKey -> System.currentTimeMillis().toString),
+        requireAbsentProperties = Seq(s"wap.published.$id", discardKey))
+      catch {
+        case e: CommitConflictException =>
+          if (currentSnapshot().properties.contains(s"wap.published.$id"))
+            throw new IllegalStateException(
+              s"discardStaged($id): published concurrently — its files are live table content")
+          // a racing discard of the same id claimed it — fall through and share the cleanup
+          if (!currentSnapshot().properties.contains(discardKey)) throw e
+      }
+    }
     val staged = stagedSnapshot(id)
     staged.manifests.flatMap(readManifest)
       .foreach(f => Files.deleteIfExists(Paths.get(root).resolve(f.path)))

@@ -9,4 +9,36 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** One recognized comparison conjunct of a predicate: `attr <op> literal`, attribute-first
+    * (literal-first inputs arrive flipped). `op` ∈ {=, >, >=, <, <=}.
+    */
+  final case class Comparison(op: String, attr: String, value: Any)
+
+  /** The top-level AND conjuncts of a predicate Column that are simple attribute-vs-literal
+    * comparisons — the shape manifest pruning can use. Unrecognized conjuncts are dropped
+    * (sound for pruning: fewer hints only widen the scan; the caller re-applies the full
+    * predicate). Lives here because Spark 4's ColumnNode classes are `private[sql]`.
+    */
+  def comparisonConjuncts(c: Column): Seq[Comparison] = {
+    import org.apache.spark.sql.internal.{ColumnNode, Literal, UnresolvedAttribute, UnresolvedFunction}
+    def conjuncts(n: ColumnNode): Seq[ColumnNode] = n match {
+      case f: UnresolvedFunction if f.functionName.equalsIgnoreCase("and") =>
+        f.arguments.flatMap(conjuncts)
+      case other => Seq(other)
+    }
+    val flip = Map(">=" -> "<=", "<=" -> ">=", ">" -> "<", "<" -> ">", "=" -> "=")
+    conjuncts(c.node).flatMap {
+      case f: UnresolvedFunction if flip.contains(f.functionName) && f.arguments.size == 2 =>
+        (f.arguments.head, f.arguments(1)) match {
+          case (a: UnresolvedAttribute, l: Literal) =>
+            a.nameParts.lastOption.map(n => Comparison(f.functionName, n.toLowerCase, l.value))
+          case (l: Literal, a: UnresolvedAttribute) =>
+            a.nameParts.lastOption.map(n =>
+              Comparison(flip(f.functionName), n.toLowerCase, l.value))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 }

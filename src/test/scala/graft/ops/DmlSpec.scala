@@ -61,6 +61,45 @@ class DmlSpec extends AnyFunSuite {
       Dml.updateWhere(spark, table, lit(true), Map("n_tok" -> lit(1)), cfg, 1000))
   }
 
+  test("victim scan opens only the manifest-pruned subset on a clustered table") {
+    val root = Files.createTempDirectory("dml-prune-").toString + "/t"
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 4000, 20)
+    // cluster the layout so (source, n_tok) manifest stats actually partition the key space
+    Rewrite.compactFiles(spark, table, table.liveFiles(), cfg, 400)
+    val cond = col("source") === "src1" && col("n_tok") >= 256 && col("n_tok") <= 1024
+    val (victims, stats) = Dml.victimScan(spark, table, cond)
+    assert(stats.filesScanned < stats.totalFiles,
+      s"victim scan must prune on a clustered table (${stats.filesScanned}/${stats.totalFiles})")
+    // the prune must be exactly what scanPruned does with the extracted hints
+    val (_, oracle) = graft.table.SeqIO.scanPruned(spark, table, Some("src1"), Some(256), Some(1024))
+    assert(stats.filesScanned === oracle.filesScanned)
+    // and the pruned scan finds the same victims a full scan would
+    val full = SeqIO.read(spark, table).filter(cond).count()
+    assert(victims.count() === full)
+    // end-to-end: the DELETE through the pruned scan removes exactly the predicate rows
+    val keep = SeqIO.read(spark, table).filter(!cond).count()
+    Dml.deleteWhere(spark, table, cond, cfg, 1000)
+    assert(SeqIO.read(spark, table).count() === keep)
+    assert(SeqIO.read(spark, table).filter(cond).count() === 0)
+  }
+
+  test("pruneHints extracts source equality and n_tok bounds from AND conjuncts only") {
+    import org.apache.spark.sql.Column
+    def hints(c: Column) = Dml.pruneHints(c)
+    assert(hints(col("source") === "src2" && col("n_tok").between(100, 200)) ===
+      ((Some("src2"), Some(100), Some(200))))
+    assert(hints(lit("src2") === col("source")) === ((Some("src2"), None, None)))
+    assert(hints(col("n_tok") > 100 && col("n_tok") < 200) === ((None, Some(101), Some(199))))
+    assert(hints(lit(100) <= col("n_tok")) === ((None, Some(100), None)))
+    assert(hints(col("n_tok") === 512) === ((None, Some(512), Some(512))))
+    // disjunctions and unrecognized shapes are conservatively hint-free
+    assert(hints(col("source") === "a" || col("n_tok") < 10) === ((None, None, None)))
+    assert(hints(length(col("doc_id")) > 3) === ((None, None, None)))
+    // a hinted conjunct under AND with an unrecognized one still contributes
+    assert(hints(col("source") === "b" && length(col("doc_id")) > 3) ===
+      ((Some("b"), None, None)))
+  }
+
   test("MoR deleteWhere leaves files untouched; changelog shows exactly the victims") {
     val (table, _) = fresh("mor")
     val v1 = table.currentVersion()

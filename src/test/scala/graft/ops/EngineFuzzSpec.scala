@@ -141,21 +141,36 @@ class EngineFuzzSpec extends AnyFunSuite {
         // preserving ops (compact, rewrite, expire, stage) diff to empty, merges/streams/
         // rollbacks/publishes to exactly the visibility changes (when the pre-op version is
         // still retained — expiry legitimately reaps changelog history)
-        if (table.snapshotVersions().contains(prevVersion)) {
+        def changelogParity(fromVersion: Long, ctx: String): Unit = {
           import spark.implicits._
-          val got = SeqIO.tableDiff(spark, table, prevVersion, table.currentVersion())
+          // MULTISET compare (group by row with counts), not Set: a bug that double-delivers an
+          // identical changelog row must fail, not collapse silently
+          val got = SeqIO.tableDiff(spark, table, fromVersion, table.currentVersion())
             .select(col("change_type"), col("doc_id"), xxhash64(col("tokens")).as("th"),
               col("n_tok"), col("source"))
             .as[(String, String, Long, Int, String)].collect()
-            .map { case (ct, id, th, n, s) => (ct, id, (th, n, s)) }.toSet
-          val prev = history(prevVersion)
+            .map { case (ct, id, th, n, s) => (ct, id, (th, n, s)) }.toSeq
+            .groupBy(identity).map { case (k, vs) => k -> vs.size }
+          val prev = history(fromVersion)
           val cur = model.toMap
-          val want =
-            cur.collect { case (id, v) if !prev.get(id).contains(v) => ("I", id, v) }.toSet ++
-              prev.collect { case (id, v) if !cur.get(id).contains(v) => ("D", id, v) }.toSet
+          val want: Map[(String, String, (Long, Int, String)), Int] =
+            (cur.collect { case (id, v) if !prev.get(id).contains(v) => ("I", id, v) }.toSeq ++
+              prev.collect { case (id, v) if !cur.get(id).contains(v) => ("D", id, v) }.toSeq)
+              .map(_ -> 1).toMap // model keys are unique per side: multiplicity is always 1
           assert(got === want,
-            s"seed=$seed step=$step op=$tag: changelog diverged from the model delta " +
-              s"(extra=${(got -- want).take(3)}, missing=${(want -- got).take(3)})")
+            s"seed=$seed step=$step op=$tag [$ctx v$fromVersion→head]: changelog diverged from " +
+              s"the model delta (extra=${(got.toSet -- want.toSet).take(3)}, " +
+              s"missing=${(want.toSet -- got.toSet).take(3)})")
+        }
+        if (table.snapshotVersions().contains(prevVersion))
+          changelogParity(prevVersion, "prev-step")
+        // range-spanning parity: diff from a RANDOM retained version, not just the previous one —
+        // ranges that span a rollback, a published WAP stage, expiries and rewrites in one
+        // (from, head] window are the q50-semantics corner a single-step check can't reach
+        locally {
+          val retained = table.snapshotVersions().filter(history.contains)
+          if (retained.nonEmpty)
+            changelogParity(retained(rnd.nextInt(retained.size)), "range-span")
         }
         // the metadata must DESCRIBE the data after every op (the table_files/table_history
         // contract): manifest record sums can only exceed the logical count while MoR delete

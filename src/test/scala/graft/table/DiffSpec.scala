@@ -98,6 +98,30 @@ class DiffSpec extends AnyFunSuite {
     changes.unpersist()
   }
 
+  test("distributed metadata diff: parity with the driver path, ZERO driver manifest parses") {
+    val root = fresh("dist")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 2000, 10)
+    val v1 = table.currentVersion()
+    // MoR merge (delta delete keys on carried files) + COW merge (added/removed files): the
+    // range exercises every metadata-diff branch at once
+    val c1 = SeqGen.changeSet(spark, 2000, changes = 300, deletes = 100).persist()
+    MergeInto.merge(spark, table, c1, cfg, 1000, mor = true)
+    val c2 = SeqGen.changeSet(spark, 2000, changes = 200, deletes = 50).persist()
+    MergeInto.merge(spark, table, c2, cfg, 1000)
+    val head = table.currentVersion()
+    val driver = SeqIO.tableDiff(spark, table, v1, head).persist()
+    assert(driver.count() > 0)
+    // cold handle, forced distributed: the driver must parse NOTHING — every manifest byte is
+    // read by executors (the 10^7-file contract; at that scale the driver path is ~130 GB heap)
+    val cold = SeqTable.load(root)
+    val dist = SeqIO.tableDiff(spark, cold, v1, head, distributedMetaFiles = 0L).persist()
+    assert(cold.manifestFileReads.get() === 0L,
+      "distributed tableDiff parsed a manifest on the driver")
+    assertSameMultiset(dist, driver)
+    assertSameMultiset(dist, bruteDiff(table, v1, head))
+    driver.unpersist(); dist.unpersist(); c1.unpersist(); c2.unpersist()
+  }
+
   test("same version and empty ranges return empty with the changelog schema") {
     val root = fresh("empty")
     val (table, _) = SeqGen.fragmentedTable(spark, root, 200, 2)

@@ -97,6 +97,60 @@ class WapSpec extends AnyFunSuite {
     }
   }
 
+  test("discard claims the stage through the CAS fence: a racing publish can never commit " +
+      "a head that references deleted files") {
+    val root = fresh("fence")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 300, 3)
+    val id = Ingest.appendStaged(spark, table, batch(40, "fence-"))
+    val staged = table.stagedSnapshot(id)
+    val entries = staged.manifests.flatMap(table.readManifest)
+    table.discardStaged(id)
+    assert(table.currentSnapshot().properties.contains(s"wap.discarded.$id"),
+      "discard must record its claim in the table properties")
+    // the exact race the fence exists for: a publish that read the staged entries BEFORE the
+    // discard deleted anything is now at its commit — the claim property must refuse it
+    intercept[table.CommitConflictException](
+      table.commit(staged.operation, entries, Set.empty, Map.empty,
+        propertyUpdates = Map(s"wap.published.$id" -> "x"),
+        requireAbsentProperties = Seq(s"wap.published.$id", s"wap.discarded.$id")))
+    // the public surface fails loudly too, and the head never references the deleted files
+    intercept[table.CommitConflictException](table.publishStaged(id))
+    assert(SeqIO.read(spark, table).filter(col("doc_id").startsWith("fence-")).count() === 0)
+    table.liveFiles().foreach(f => assert(Files.exists(
+      java.nio.file.Paths.get(table.absolutePath(f))), s"head references missing ${f.path}"))
+  }
+
+  test("concurrent publish vs discard: exactly one wins; live files always exist on disk") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.Try
+    val root = fresh("pdrace")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 300, 3)
+    for (round <- 1 to 4) {
+      val id = Ingest.appendStaged(spark, table, batch(40, s"pd$round-"))
+      val before = SeqIO.read(spark, table).count()
+      val Seq(p, d) = Await.result(Future.sequence(Seq(
+        Future(Try(table.publishStaged(id))),
+        Future(Try(table.discardStaged(id))))), 2.minutes)
+      val props = table.currentSnapshot().properties
+      val published = props.contains(s"wap.published.$id")
+      val discarded = props.contains(s"wap.discarded.$id")
+      assert(published ^ discarded,
+        s"round $round: exactly one of publish/discard must claim the stage " +
+          s"(published=$published discarded=$discarded, publish=$p discard=$d)")
+      assert(SeqIO.read(spark, table).count() === (if (published) before + 40 else before),
+        s"round $round: content must reflect the winner exactly")
+      if (published) assert(p.isSuccess, s"round $round: winner publish reported failure: $p")
+      else assert(d.isSuccess, s"round $round: winner discard reported failure: $d")
+      // the invariant the fence exists for: the head NEVER references a deleted file
+      table.liveFiles().foreach(f => assert(Files.exists(
+        java.nio.file.Paths.get(table.absolutePath(f))),
+        s"round $round: head references missing ${f.path}"))
+      assert(table.stagedIds().isEmpty, s"round $round: stage must leave the audit queue")
+    }
+  }
+
   test("discard reclaims the staged files; removeOrphans shields undiscarded stages") {
     val root = fresh("gc")
     val (table, _) = SeqGen.fragmentedTable(spark, root, 300, 3)
