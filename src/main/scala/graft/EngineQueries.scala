@@ -491,6 +491,59 @@ object EngineQueries {
     sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
+  /** SCHEMA EVOLUTION driver-green (q53): the portable table is appended (v1, base 4-column
+    * schema), a NULLABLE `lang` column is added as a metadata-only commit, a re-keyed batch
+    * (docnum%10=2, 'e…') carrying lang = source is appended, and the WHOLE table is compacted —
+    * every pre-evolution row is physically rewritten and must still read lang as null
+    * (coalesced to '' for the hash compare), every new row must keep its value through the
+    * rewrite. Time travel to v1 must read the OLD 4-column schema. DuckDB predicts the final
+    * 5-column content from the portable input.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("evolve"), port, (n / 500).toInt.max(10)) // v1 append
+    val v1 = table.currentVersion()
+    table.addColumn("lang", org.apache.spark.sql.types.StringType) // v2: metadata-only
+    require(table.liveFiles().nonEmpty && table.currentVersion() == v1 + 1,
+      "add-column must be a metadata-only commit")
+    val batch = port.filter(pmod(col("docnum"), lit(10)) === 2)
+      .select(format_string("e%09d", col("docnum")).as("doc_id"),
+        col("tokens"), col("n_tok"), col("source"), col("source").as("lang"))
+    graft.sources.Ingest.append(s, table, batch) // v3: evolved-width append
+    Rewrite.compactFiles(s, table, table.liveFiles(), cfg, targetFor(n)) // v4: rewrite ALL rows
+    require(SeqIO.readAt(s, table, v1).columns.length == 4,
+      "time travel before the evolve must read the old schema")
+    val content = SeqIO.read(s, table).select(
+      col("doc_id"), col("n_tok").cast("long").as("n_tok"), col("source"),
+      md5(concat_ws(",", transform(col("tokens"), _.cast("string")))).as("tok_md5"),
+      coalesce(col("lang"), lit("")).as("lang"))
+    sealAndReclaim(content, table.root)
+  }
+
+  /** CDC CONSUME driver-green (q54): a mirror table is fed from the source's net changelog by
+    * [[graft.sources.ChangeFeed.consumeInto]] — initial sync, then a MERGE on the source and a
+    * second consumption step, then a REPLAYED step that must be a no-op (the offset advanced in
+    * the same commit as the batch — exactly-once). The MIRROR's content must equal DuckDB's
+    * prediction of the source's post-merge state.
+    */
+  def cdcConsume(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val source = fragmented(s, fresh("cdcsrc"), port, (n / 500).toInt.max(10))
+    val mirror = SeqTable.create(fresh("cdcdst"))
+    graft.sources.ChangeFeed.consumeInto(s, source, mirror, "m", cfg, targetFor(n))
+    require(SeqIO.read(s, mirror).count() == n, "initial sync must mirror the full content")
+    MergeInto.merge(s, source, PortableSeq.changes(port), cfg, targetFor(n))
+    require(graft.sources.ChangeFeed.consumeInto(s, source, mirror, "m", cfg, targetFor(n))
+      .isDefined, "merge delta must be consumable")
+    require(graft.sources.ChangeFeed.consumeInto(s, source, mirror, "m", cfg, targetFor(n))
+      .isEmpty, "replayed consume must be a no-op (offset advanced with the batch)")
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, mirror)), source.root, mirror.root)
+  }
+
   /** CSV sink + CSV source roundtrip (reference S5/S2 driver-green): a deterministic slice is
     * exported as the reference's `;`-delimited-array CSV convention, ingested back through the
     * CSV source into a fresh table, and read out — content must equal the slice exactly (the
@@ -635,6 +688,18 @@ object EngineQueries {
            |SELECT $contentColsSql FROM port
            |WHERE source = 'src0' AND n_tok BETWEEN 20 AND 30""".stripMargin,
       "q37_engine_resume" -> portContentSql(reps),
+      // base rows read the added column as null (''), the evolved-width batch keeps its values
+      // through a full compaction rewrite
+      "q53_engine_schema_evolution" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT doc_id, n_tok::BIGINT AS n_tok, source,
+           |  md5(array_to_string(tokens, ',')) AS tok_md5, '' AS lang FROM port
+           |UNION ALL
+           |SELECT printf('e%09d', docnum), n_tok::BIGINT, source,
+           |  md5(array_to_string(tokens, ',')), source
+           |FROM port WHERE docnum%10 = 2""".stripMargin,
+      // the mirror equals the source's post-merge state (the q26 oracle on the TARGET table)
+      "q54_engine_cdc_consume" -> mergedContentSql(reps),
       "q38_jdbc_roundtrip" ->
         s"""WITH port AS (${sql(reps)})
            |SELECT $contentColsSql FROM port WHERE docnum%40 = 0""".stripMargin,

@@ -236,6 +236,24 @@ object Maintain {
         println(s"[dedup] mode=${if (near) "near" else "exact"} deleted=$n → " +
           s"v${table.currentVersion()}")
 
+      case "consume" :: srcDir :: targetDir :: consumerId :: _ =>
+        // CDC consumer step: mirror the source's net changelog since this consumer's offset
+        // into the target table, exactly-once (offset advances in the same commit — ChangeFeed)
+        val source = SeqTable.load(srcDir)
+        val target =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(targetDir, "metadata")))
+            SeqTable.load(targetDir)
+          else SeqTable.create(targetDir)
+        graft.sources.ChangeFeed.consumeInto(spark, source, target, consumerId,
+          cfg, opts.targetRecordsPerFile) match {
+          case Some((from, to)) =>
+            println(s"[consume] $consumerId applied ($from, $to] → " +
+              s"target v${target.currentVersion()} rows=${SeqIO.read(spark, target).count()}")
+          case None =>
+            println(s"[consume] $consumerId already at source head (offset " +
+              s"${graft.sources.ChangeFeed.offsetOf(target, consumerId)})")
+        }
+
       case "sql" :: stmt :: rest =>
         // ad-hoc SQL with the graft extensions registered — e.g.
         //   sql "SELECT * FROM best_regions('pts', 0.5D, 5)"  (after a CREATE TEMP VIEW)
@@ -252,7 +270,8 @@ object Maintain {
           "stage <tableDir> <parquet> | staged <tableDir> | publish <tableDir> <id> | " +
           "discard <tableDir> <id> | delete <tableDir> <condSql> | " +
           "update <tableDir> <condSql> <col=expr[;col=expr]> | " +
-          "dedup <tableDir> [near] | sql <statement>" +
+          "dedup <tableDir> [near] | consume <srcTableDir> <targetTableDir> <consumerId> | " +
+          "sql <statement>" +
           s"; got: $other")
         sys.exit(2)
     }

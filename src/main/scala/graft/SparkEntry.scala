@@ -344,6 +344,8 @@ object SparkEntry {
     "q51_engine_wap" -> ((s, dir) => EngineQueries.wap(s, dir)),
     "q52_engine_dml" -> ((s, dir) => EngineQueries.dml(s, dir)),
     "q49_engine_metadata" -> ((s, dir) => EngineQueries.metadataHistory(s, dir)),
+    "q53_engine_schema_evolution" -> ((s, dir) => EngineQueries.schemaEvolution(s, dir)),
+    "q54_engine_cdc_consume" -> ((s, dir) => EngineQueries.cdcConsume(s, dir)),
     "q38_jdbc_roundtrip" -> ((s, dir) => EngineQueries.jdbcRoundtrip(s, dir)),
 
     "q33_image_roundtrip" -> ((s, dir) => {

@@ -77,8 +77,10 @@ object Dml {
     */
   def deleteWhere(spark: SparkSession, table: SeqTable, cond: Column, cfg: GridConfig,
       targetRecordsPerFile: Long, mor: Boolean = false): MergeResult = {
+    // keys only: a delete change set needs no payload (merge null-fills the unused columns), so
+    // the victims' token arrays never enter the change-set shuffle
     val victims = victimScan(spark, table, cond)._1
-      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      .select(col("doc_id"))
       .withColumn("_op", lit("D"))
     MergeInto.merge(spark, table, victims, cfg, targetRecordsPerFile,
       mor = mor, auto = !mor)
@@ -91,7 +93,11 @@ object Dml {
     */
   def updateWhere(spark: SparkSession, table: SeqTable, cond: Column, set: Map[String, Column],
       cfg: GridConfig, targetRecordsPerFile: Long, mor: Boolean = false): MergeResult = {
-    val bad = set.keySet -- Set("tokens", "source")
+    val schema = table.currentSchema()
+    // every column except the merge key and the derived n_tok is updatable — including
+    // evolved (added) columns
+    val updatable = schema.fieldNames.toSet -- Set("doc_id", "n_tok")
+    val bad = set.keySet -- updatable
     require(bad.isEmpty, s"updateWhere: non-updatable columns ${bad.mkString(", ")} " +
       "(doc_id is the merge key; n_tok is derived from tokens)")
     val upd0 = victimScan(spark, table, cond)._1
@@ -102,7 +108,7 @@ object Dml {
     val withSet = upd0.withColumns(set)
     val upserts = withSet
       .withColumn("n_tok", size(col("tokens")))
-      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      .select(schema.fieldNames.toSeq.map(col): _*)
       .withColumn("_op", lit("U"))
     MergeInto.merge(spark, table, upserts, cfg, targetRecordsPerFile,
       mor = mor, auto = !mor)

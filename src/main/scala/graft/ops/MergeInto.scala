@@ -44,6 +44,11 @@ object MergeInto {
     *             merge routes to MoR and leaves physical cleanup to compaction/materialization;
     *             sparse change sets keep the read-optimal COW path
     */
+  /** @param propertyUpdates table properties committed ATOMICALLY with the merge — the
+    *   transactional-sink hook (a CDC consumer records its source offset in the same commit
+    *   that applies the batch, so a crash can never separate the two — [[graft.sources
+    *   .ChangeFeed]], same pattern as the streaming-ingest high-water mark)
+    */
   def merge(
       spark: SparkSession,
       table: SeqTable,
@@ -54,13 +59,25 @@ object MergeInto {
       broadcastChanges: Boolean = true,
       mor: Boolean = false,
       auto: Boolean = false,
-      autoMorFraction: Double = 0.3): MergeResult = {
+      autoMorFraction: Double = 0.3,
+      propertyUpdates: Map[String, String] = Map.empty): MergeResult = {
     val hasOp = changes.columns.contains("_op")
+    // normalize the change set to the table's CURRENT schema (fixed once for the whole merge):
+    // columns the change set doesn't carry null-fill — a 4-column change set merges cleanly
+    // into an evolved 5-column table (and delete-only sets may carry just doc_id + _op). Merge
+    // replaces whole rows, so a missing column in an UPDATE row writes null, same as Iceberg's
+    // MERGE with an explicit null assignment.
+    val tableSchema = table.currentSchema()
+    val chColsPresent = changes.columns.map(_.toLowerCase).toSet
+    require(chColsPresent.contains("doc_id"), "merge: change set must carry doc_id")
     val ch = (if (hasOp) changes else changes.withColumn("_op", lit("U")))
-      .select(
-        col("doc_id").as("c_doc_id"), col("tokens").as("c_tokens"),
-        col("n_tok").as("c_n_tok"), col("source").as("c_source"), col("_op"))
+      .select(tableSchema.fields.toSeq.map { f =>
+        (if (chColsPresent.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(s"c_${f.name}")
+      } :+ col("_op"): _*)
       .persist()
+    def upsertRows = ch.filter(col("_op") =!= "D")
+      .select(tableSchema.fieldNames.toSeq.map(n => col(s"c_$n").as(n)): _*)
     val debugTiming = sys.env.contains("GRAFT_TIMING")
     def timed[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -118,9 +135,7 @@ object MergeInto {
           // version, hiding every older version of the changed keys); no target file is touched.
           // Latency ∝ change-set size, not affected-file size. Deletes are applied at read time
           // (SeqIO.applyDeletes) and physically removed by compaction / MaterializeDeletes.
-          val upserts = ch.filter(col("_op") =!= "D")
-            .select(col("c_doc_id").as("doc_id"), col("c_tokens").as("tokens"),
-              col("c_n_tok").as("n_tok"), col("c_source").as("source"))
+          val upserts = upsertRows
           val added = timed("mor-upsert-write")(
             Rewrite.clusteredWrite(spark, table, upserts, cfg, targetRecordsPerFile, nKeys))
           val seq = snap.version + 1
@@ -131,7 +146,8 @@ object MergeInto {
             val s = table.commit("merge-mor", added, Set.empty,
               Map("merge-attempt" -> attempt.toString, "delete-seq" -> seq.toString),
               maxRetries = 0, addedDeleteManifests = dms,
-              expectedBase = Some(snap.version)) // seq is baked into the manifest: no silent rebase
+              expectedBase = Some(snap.version), // seq is baked into the manifest: no silent rebase
+              propertyUpdates = propertyUpdates)
             return MergeResult(s, 0, attempt, added.map(_.records).sum)
           } catch {
             case e: table.CommitConflictException =>
@@ -170,9 +186,7 @@ object MergeInto {
             } finally conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
           }
 
-        val upserts = ch.filter(col("_op") =!= "D")
-          .select(col("c_doc_id").as("doc_id"), col("c_tokens").as("tokens"),
-            col("c_n_tok").as("n_tok"), col("c_source").as("source"))
+        val upserts = upsertRows
         val insertedFiles = timed("upsert-write")(Rewrite.clusteredWrite(
           spark, table, upserts, cfg, targetRecordsPerFile, nKeys))
 
@@ -182,7 +196,8 @@ object MergeInto {
         try {
           val s = table.commit("merge", rewritten ++ insertedFiles, affectedPaths,
             Map("merge-attempt" -> attempt.toString),
-            plannedDeleteManifests = Some(snap.deleteManifests.toSet))
+            plannedDeleteManifests = Some(snap.deleteManifests.toSet),
+            propertyUpdates = propertyUpdates)
           return MergeResult(s, affected.size, attempt,
             (rewritten ++ insertedFiles).map(_.records).sum)
         } catch {

@@ -9,25 +9,41 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object GridTopK {
 
+  /** @param preMergeMinRows replicated-cell count above which per-node results are folded into
+    *   one partial per Spark partition on EXECUTORS before the collect ([[RegionKernel
+    *   .preMerge]], reference P7) — node count grows with `ntokBins × sourceBuckets / nodeSide²`
+    *   and a 10^8-cell planner grid must not funnel #nodes × K′ candidates through the driver.
+    *   Row count is the gate (a cheap count on the already-persisted relation, and a sound
+    *   proxy: driver payload ≤ replicated rows); small grids keep the direct collect.
+    */
   def solve(
       spark: SparkSession,
       cells: Dataset[Cell],
       cfg: GridConfig,
       k: Int,
       overlapAllowed: Boolean,
-      sigma: Option[Double] = None): Vector[Region] = {
+      sigma: Option[Double] = None,
+      preMergeMinRows: Long = 200000L): Vector[Region] = {
     import spark.implicits._
     val keyed = cells
       .flatMap(c => cfg.nodesForCell(c.x, c.y).map(n => (n, c)))
       .persist()
     try {
-      def runRound(kPrime: Int): Seq[NodeResult] =
-        keyed.groupByKey(_._1)
+      val usePremerge = keyed.count() > preMergeMinRows // also materializes the cache once
+      def runRound(kPrime: Int): Seq[NodeResult] = {
+        val perNode = keyed.groupByKey(_._1)
           .mapGroups { (node, it) =>
             val (ax0, ax1, ay0, ay1) = cfg.anchorBounds(node)
             RegionKernel.localTopK(it.map(_._2).toSeq, ax0, ax1, ay0, ay1, cfg.regionW, kPrime)
           }
-          .collect().toSeq
+        if (usePremerge) {
+          // keep what one node would keep (K′, bounded so the Int.MaxValue fallback round
+          // can't size an executor buffer by it)
+          val m = math.min(math.max(kPrime, k), 1 << 20)
+          perNode.mapPartitions(rs => Iterator.single(RegionKernel.preMerge(rs, m)))
+            .collect().toSeq
+        } else perNode.collect().toSeq
+      }
       DistributedTopK.solve(runRound, k, overlapAllowed, sigma = sigma)
     } finally { keyed.unpersist(); () }
   }

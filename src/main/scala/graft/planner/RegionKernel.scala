@@ -165,6 +165,36 @@ object RegionKernel {
     (accepted, complete)
   }
 
+  /** Executor-side partial merge for the DISCRETE kernel (the continuous path's
+    * [[graft.brs.GeoBrsKernel.preMerge]], reference P7 log-tree — `NstepAlgo.scala:31-40`): fold
+    * many per-node results into ONE, keeping only the top-`m` candidates. The partial stays
+    * inside the [[mergeTopK]] threshold algebra by presenting itself as a single node result:
+    * dropping a candidate is indistinguishable from a node truncating at that score, so
+    * `minEmitted = max(children's truncation thresholds, best dropped score)` and the driver's
+    * completeness test is unchanged — an over-aggressive prune reports incomplete and the round
+    * loop grows K′. Bounds the driver collect at (#partitions × m) candidates instead of
+    * (#nodes × K′) — the 10^8-cell planner-grid insurance.
+    */
+  def preMerge(results: Iterator[NodeResult], m: Int): NodeResult = {
+    val all = scala.collection.mutable.ArrayBuffer.empty[Region]
+    var exhaustedAll = true
+    var childThreshold = Double.NegativeInfinity
+    results.foreach { r =>
+      all ++= r.candidates
+      if (!r.exhausted) {
+        exhaustedAll = false
+        childThreshold = math.max(childThreshold, r.minEmitted)
+      }
+    }
+    val sorted = all.sorted(RegionOrdering)
+    val kept = sorted.take(m).toVector
+    val droppedBest = if (sorted.size > m) sorted(m).score else Double.NegativeInfinity
+    val truncated = !exhaustedAll || sorted.size > m
+    NodeResult(kept, exhausted = !truncated,
+      minEmitted = if (truncated) math.max(childThreshold, droppedBest)
+        else Double.PositiveInfinity)
+  }
+
   /** Single-partition brute-force oracle (test-only semantics anchor): enumerate every anchor whose
     * window is non-empty, sort, greedy-select. Mirrors the role of the reference's golden outputs
     * (`/root/reference/src/main/scala/SDL/distrib/OnestepAlgoReduce.scala:110-410`).

@@ -13,11 +13,13 @@ import graft.table.{SeqIO, SeqTable, Snapshot}
   */
 object Ingest {
 
-  /** Normalize an arbitrary DataFrame to the sequence schema: requires doc_id/tokens/source;
-    * derives n_tok when missing; casts token elements to int; a string tokens column (the
-    * reference's `;`-delimited convention, from CSV or JDBC) is split first.
+  /** Normalize an arbitrary DataFrame to the table schema (default: the base sequence schema):
+    * requires doc_id/tokens/source; derives n_tok when missing; casts token elements to int; a
+    * string tokens column (the reference's `;`-delimited convention, from CSV or JDBC) is split
+    * first. Evolved columns the input doesn't carry null-fill (nullable by construction).
     */
-  def conform(df0: DataFrame): DataFrame = {
+  def conform(df0: DataFrame,
+      schema: org.apache.spark.sql.types.StructType = graft.table.SeqSchema.schema): DataFrame = {
     val df = df0.toDF(df0.columns.map(_.toLowerCase): _*) // JDBC dialects (derby…) uppercase names
     val split0 =
       if (df.schema("tokens").dataType == org.apache.spark.sql.types.StringType)
@@ -26,11 +28,11 @@ object Ingest {
     val withNtok =
       if (split0.columns.contains("n_tok")) split0
       else split0.withColumn("n_tok", size(col("tokens")))
-    withNtok.select(
-      col("doc_id").cast("string").as("doc_id"),
-      col("tokens").cast("array<int>").as("tokens"),
-      col("n_tok").cast("int").as("n_tok"),
-      col("source").cast("string").as("source"))
+    val present = withNtok.columns.toSet
+    withNtok.select(schema.fields.toSeq.map { f =>
+      (if (present.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
   }
 
   /** Append a batch, curve-clustered on write (cheap insurance: appends arrive pre-sorted, so the
@@ -38,7 +40,7 @@ object Ingest {
     */
   def appendClustered(spark: SparkSession, table: SeqTable, df: DataFrame, cfg: GridConfig,
       targetRecordsPerFile: Long): Snapshot = {
-    val conformed = conform(df)
+    val conformed = conform(df, table.currentSchema())
     val n = conformed.count()
     val metas = Rewrite.clusteredWrite(spark, table, conformed, cfg, targetRecordsPerFile, n)
     table.commit("append", metas, Set.empty, Map("records" -> n.toString))
@@ -46,7 +48,7 @@ object Ingest {
 
   /** Plain (unclustered) append — fastest path, leaves layout work to the maintenance planner. */
   def append(spark: SparkSession, table: SeqTable, df: DataFrame): Snapshot = {
-    val metas = SeqIO.writeFiles(spark, table, conform(df))
+    val metas = SeqIO.writeFiles(spark, table, conform(df, table.currentSchema()))
     table.commit("append", metas, Set.empty)
   }
 
@@ -57,7 +59,7 @@ object Ingest {
     * Returns the stage id.
     */
   def appendStaged(spark: SparkSession, table: SeqTable, df: DataFrame): String = {
-    val metas = SeqIO.writeFiles(spark, table, conform(df))
+    val metas = SeqIO.writeFiles(spark, table, conform(df, table.currentSchema()))
     table.stageCommit("append", metas)
   }
 
@@ -117,7 +119,8 @@ object Ingest {
           hwm.set((fromProps.toSeq ++ fromSummaries).foldLeft(Long.MinValue)(math.max))
         }
         if (batchId > hwm.get && !batch.isEmpty) {
-          val metas = SeqIO.writeFiles(batch.sparkSession, table, conform(batch))
+          val metas = SeqIO.writeFiles(batch.sparkSession, table,
+            conform(batch, table.currentSchema()))
           table.commit("stream-append", metas, Set.empty,
             Map("batch-id" -> batchId.toString),
             propertyUpdates = Map(key -> batchId.toString))

@@ -2,7 +2,7 @@ package graft.table
 
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -55,7 +55,9 @@ object SeqIO {
     }
     val batch = java.util.UUID.randomUUID().toString.take(8)
     val tmp = table.dataDir.resolve(s".tmp-$batch")
-    timed("write")(df.select("doc_id", "tokens", "n_tok", "source")
+    // the table's CURRENT schema decides the physical column set: evolved columns ride along
+    // through every rewrite; the stats pass below reads only the core narrow columns regardless
+    timed("write")(df.select(table.currentSchema().fieldNames.map(col).toSeq: _*)
       .write.mode("overwrite").parquet(tmp.toString))
 
     val parts = SeqTable.listDir(tmp)
@@ -106,10 +108,14 @@ object SeqIO {
     }
   }
 
-  /** Read an explicit set of data files. */
-  def readFiles(spark: SparkSession, table: SeqTable, metas: Seq[FileMeta]): DataFrame =
-    if (metas.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], SeqSchema.schema)
-    else spark.read.schema(SeqSchema.schema).parquet(metas.map(table.absolutePath): _*)
+  /** Read an explicit set of data files under `schema` (default: the base schema). Files
+    * written before an add-column lack the field physically and null-fill (name-based
+    * reconciliation — parquet missing-column handling).
+    */
+  def readFiles(spark: SparkSession, table: SeqTable, metas: Seq[FileMeta],
+      schema: StructType = SeqSchema.schema): DataFrame =
+    if (metas.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(metas.map(table.absolutePath): _*)
 
   /** Broadcast ceiling for the delete-key side of the MoR anti-join; larger delete sets fall back
     * to a shuffle join (a 100-TB merge batch can carry more keys than any executor should hold).
@@ -144,8 +150,10 @@ object SeqIO {
     * the snapshot carries no deletes.
     */
   def readWithDeletes(spark: SparkSession, table: SeqTable, snap: Snapshot,
-      metas: Seq[FileMeta], maxBroadcastBytes: Long = DeleteBroadcastMaxBytes): DataFrame = {
-    if (snap.deleteManifests.isEmpty || metas.isEmpty) return readFiles(spark, table, metas)
+      metas: Seq[FileMeta], maxBroadcastBytes: Long = DeleteBroadcastMaxBytes,
+      schema: StructType = null): DataFrame = {
+    val sch = Option(schema).getOrElse(table.schemaOf(snap)) // default: the snapshot's schema
+    if (snap.deleteManifests.isEmpty || metas.isEmpty) return readFiles(spark, table, metas, sch)
     import spark.implicits._
     val dels0 = deletesDF(spark, table, snap)
     val delBytes = snap.deleteManifests
@@ -153,11 +161,11 @@ object SeqIO {
     val dels = if (delBytes <= maxBroadcastBytes) broadcast(dels0) else dels0
     val ages = broadcast(
       spark.createDataset(metas.map(m => (fileBasename(m.path), m.addedAt))).toDF("_fn", "_added"))
-    readFiles(spark, table, metas)
+    readFiles(spark, table, metas, sch)
       .withColumn("_fn", element_at(split(col("_metadata.file_path"), "/"), -1))
       .join(ages, Seq("_fn"))
       .join(dels, col("doc_id") === col("_del_key") && col("_del_seq") > col("_added"), "left_anti")
-      .select("doc_id", "tokens", "n_tok", "source")
+      .select(sch.fieldNames.map(col).toSeq: _*)
   }
 
   private def fileBasename(path: String): String = path.substring(path.lastIndexOf('/') + 1)
@@ -202,7 +210,8 @@ object SeqIO {
     * quality gates / dedup checks run here BEFORE the batch becomes visible to anyone.
     */
   def readStaged(spark: SparkSession, table: SeqTable, id: String): DataFrame =
-    readFiles(spark, table, table.stagedSnapshot(id).manifests.flatMap(table.readManifest))
+    readFiles(spark, table, table.stagedSnapshot(id).manifests.flatMap(table.readManifest),
+      table.currentSchema())
 
   /** TIME TRAVEL: full-table read pinned at snapshot `version` (that snapshot's manifests AND its
     * delete-manifest set — a later MoR delete does not leak backwards). Readers of expired
@@ -260,7 +269,8 @@ object SeqIO {
     */
   def readAppendedBetween(spark: SparkSession, table: SeqTable,
       fromVersion: Long, toVersion: Long): DataFrame =
-    readFiles(spark, table, appendedFilesBetween(table, fromVersion, toVersion))
+    readFiles(spark, table, appendedFilesBetween(table, fromVersion, toVersion),
+      table.schemaOf(table.snapshot(toVersion)))
 
   /** The live manifest as a distributed Dataset — the planner's input at 10^12-sequence scale
     * (~10^7 manifest rows): metadata is scanned by executors, never materialized on the driver.
@@ -470,11 +480,15 @@ object SeqIO {
       s"tableDiff: fromVersion $fromVersion > toVersion $toVersion")
     val sFrom = table.snapshot(fromVersion)
     val sTo = table.snapshot(toVersion)
-    val cols = Seq("doc_id", "tokens", "n_tok", "source")
+    // the diff is expressed in the TO endpoint's schema: rows from pre-evolution files read the
+    // added columns as null (exactly their value at the from endpoint), so an UPDATE that sets an
+    // added column surfaces as D(…, null) + I(…, value)
+    val schema = table.schemaOf(sTo)
+    val cols = schema.fieldNames.toSeq
     def withType(df: DataFrame, t: String): DataFrame =
       df.select(lit(t).as("change_type") +: cols.map(col): _*)
     if (fromVersion == toVersion)
-      return withType(readFiles(spark, table, Nil), "I").limit(0)
+      return withType(readFiles(spark, table, Nil, schema), "I").limit(0)
 
     // ---- metadata diff: added/removed are CHANGE-proportional (driver-sized by definition of
     // a consumable diff); the carried set is TABLE-sized and must never land on the driver.
@@ -510,8 +524,8 @@ object SeqIO {
       }
 
     // rows of files added/removed in the range, each visible under ITS OWN endpoint's deletes
-    var toSide = readWithDeletes(spark, table, sTo, addedFiles, maxBroadcastBytes)
-    var fromSide = readWithDeletes(spark, table, sFrom, removedFiles, maxBroadcastBytes)
+    var toSide = readWithDeletes(spark, table, sTo, addedFiles, maxBroadcastBytes, schema)
+    var fromSide = readWithDeletes(spark, table, sFrom, removedFiles, maxBroadcastBytes, schema)
 
     // carried files: only a DELTA delete key can change a row's visibility (addedAt is fixed
     // once written, so applicability flips only when the delete-manifest set itself changes)
@@ -575,7 +589,7 @@ object SeqIO {
         import spark.implicits._
         val ages = broadcast(spark.createDataset(
           prunedCarried.map(m => (fileBasename(m.path), m.addedAt))).toDF("_fn", "_added"))
-        val cand = readFiles(spark, table, prunedCarried)
+        val cand = readFiles(spark, table, prunedCarried, schema)
           .withColumn("_fn", element_at(split(col("_metadata.file_path"), "/"), -1))
           .join(ages, Seq("_fn"))
           .join(deltaKeys, col("doc_id") === col("_delta_key"), "left_semi")
@@ -594,17 +608,27 @@ object SeqIO {
       }
     }
 
-    // Narrow-key net diff + payload re-attach (see scaladoc point 3). The paired hashes are
-    // BOTH single whole-array xxhash64 passes (the second mixes n_tok in front for an
-    // independent stream) — a per-element fold cost ~40s at bench scale and an ANSI-safe Horner
-    // fold doesn't exist. Each side is scanned exactly TWICE (once for its key counts, once for
-    // the payload re-attach); the count-diff table is key-level tiny and localCheckpointed so
-    // the I and D branches don't re-trigger the aggregations.
-    val keyCols = Seq("doc_id", "n_tok", "source", "_h1", "_h2")
+    // Narrow-key net diff + payload re-attach (see scaladoc point 3). The GROUP/JOIN key is the
+    // PAIR OF HASHES alone — both single whole-row xxhash64 passes over every column (the second
+    // reverses the stream behind a salt for independence). Raw columns must NOT be join keys:
+    // evolved (added) columns are nullable, and equality joins drop NULL = NULL rows — the exact
+    // bug the engine fuzz caught when an add-column preceded a MoR merge (and a latent one for
+    // any null source). Nullable columns enter the hash via an explicit null ENCODING
+    // (coalesce to a sentinel), never null-skip: xxhash64 skips null children, which would let
+    // a value "slide" between two adjacent nullable columns and false-cancel a real change.
+    // Each side is scanned exactly TWICE (key counts + payload re-attach); the count-diff table
+    // is key-level tiny and localCheckpointed so the I and D branches don't re-trigger the
+    // aggregations. Collision risk ~2^-128 per changed key from the paired hashes (the
+    // engine-wide content-hash discipline).
+    val keyCols = Seq("_h1", "_h2")
+    val enc: Seq[Column] = cols.map { n =>
+      if (n == "tokens") col("tokens") // non-null array payload: hashes natively
+      else coalesce(col(n).cast("string"), lit(" NULL"))
+    }
     def withKeys(df: DataFrame): DataFrame = df.select(
-      col("tokens"), col("doc_id"), col("n_tok"), col("source"),
-      xxhash64(col("tokens")).as("_h1"),
-      xxhash64(col("n_tok"), col("tokens"), col("doc_id")).as("_h2"))
+      cols.map(col) :+
+      xxhash64(enc: _*).as("_h1") :+
+      xxhash64(lit(-7046029254386353131L) +: enc.reverse: _*).as("_h2"): _*)
     def keyCounts(df: DataFrame, as: String): DataFrame =
       withKeys(df).groupBy(keyCols.map(col): _*).agg(count(lit(1)).as(as))
     val counts = keyCounts(toSide, "_tc").join(keyCounts(fromSide, "_fc"), keyCols, "full_outer")
@@ -615,11 +639,13 @@ object SeqIO {
     def attach(side: DataFrame, dir: String): DataFrame = {
       val sign = if (dir == "I") col("_d") > 0 else col("_d") < 0
       val wants = counts.filter(sign).withColumn("_n", abs(col("_d")))
-      // fetch only net-changed rows; rows sharing a key are identical, so one payload per key
-      // is kept and re-exploded to the net multiplicity
+      // fetch only net-changed rows; rows sharing a key are identical, so one copy of every
+      // column is kept per key and re-exploded to the net multiplicity
       val changed = withKeys(side)
         .join(wants.select(keyCols.map(col): _*), keyCols, "left_semi")
-        .groupBy(keyCols.map(col): _*).agg(first(col("tokens")).as("tokens"))
+        .groupBy(keyCols.map(col): _*)
+        .agg(first(col(cols.head)).as(cols.head),
+          cols.tail.map(n => first(col(n)).as(n)): _*)
       changed.join(wants, keyCols)
         .withColumn("_i", explode(sequence(lit(1), col("_n").cast("int"))))
         .select(cols.map(col): _*)

@@ -226,6 +226,41 @@ final class SeqTable(val root: String) {
 
   def absolutePath(meta: FileMeta): String = Paths.get(root).resolve(meta.path).toString
 
+  // ---------- schema evolution ----------
+
+  /** The table schema AT a snapshot: the `schema.json` table property (written by
+    * [[addColumn]]), or the engine's base schema for tables that never evolved. Properties are
+    * per-snapshot and carried forward, so time travel reads data under the schema that was
+    * current THEN — and readers reconcile files by NAME: a data file written before an
+    * add-column lacks the column physically and reads as null (Iceberg's add-column semantics,
+    * public design; parquet missing-column null-fill does the physical work).
+    */
+  def schemaOf(s: Snapshot): org.apache.spark.sql.types.StructType =
+    s.properties.get("schema.json")
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(SeqSchema.schema)
+
+  def currentSchema(): org.apache.spark.sql.types.StructType = schemaOf(currentSnapshot())
+
+  /** ADD COLUMN — the first supported schema evolution: appends a NULLABLE column to the table
+    * schema as a metadata-only commit (no data file is touched; existing files read the new
+    * column as null). The base columns' roles are fixed (doc_id merge key, tokens payload,
+    * n_tok/source layout stats); added columns ride along through every rewrite, merge,
+    * changelog and scan. Rollback does NOT undo a schema change (schema is table configuration,
+    * like Iceberg's: content reverts, the column stays).
+    */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Snapshot = {
+    val cur = currentSchema()
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"addColumn($name): column already exists")
+    val next = org.apache.spark.sql.types.StructType(
+      cur.fields :+ org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    commit("evolve-schema", Nil, Set.empty,
+      Map("schema-change" -> s"add-column $name ${dataType.simpleString}"),
+      propertyUpdates = Map("schema.json" -> next.json))
+  }
+
   // ---------- commit ----------
 
   final class CommitConflictException(msg: String) extends RuntimeException(msg)

@@ -68,7 +68,7 @@ class EngineFuzzSpec extends AnyFunSuite {
       val pendingStages = scala.collection.mutable.Map.empty[String, Seq[(String, (Long, Int, String))]]
       for (_ <- 1 to fuzzSteps) {
         step += 1
-        val op = rnd.nextInt(10)
+        val op = rnd.nextInt(11)
         val tag = op match {
           case 0 | 1 => // merge (COW or MoR) with upserts + deletes
             val mor = op == 1
@@ -119,6 +119,14 @@ class EngineFuzzSpec extends AnyFunSuite {
             pendingStages(id) = modelOf(batch).map { case (k, v, _) => (k, v) }
             batch.unpersist()
             s"wap-stage($id)" // model untouched: staging must not change visible content
+          case 10 => // SCHEMA EVOLUTION: add a nullable column mid-stream — every later op
+            // (merge, compaction, stream, rollback, WAP, changelog) must ride the wider schema
+            // while the model (which tracks the base columns) stays oblivious: content parity on
+            // the base columns is exactly the add-column compatibility contract
+            val name = s"ev$step"
+            table.addColumn(name, org.apache.spark.sql.types.StringType)
+            assert(table.currentSchema().fieldNames.contains(name))
+            s"evolve-schema($name)"
           case 9 => // publish or discard a random pending stage (no-op when none outstanding)
             if (pendingStages.isEmpty) "wap-noop"
             else {

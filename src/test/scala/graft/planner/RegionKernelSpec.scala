@@ -68,6 +68,37 @@ class RegionKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("executor pre-merge parity: partials through preMerge == direct merge == brute force") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 150) {
+      val w = Seq(1, 2, 3)(rnd.nextInt(3))
+      val cfg = GridConfig(sourceBuckets = 64, nodeSide = math.max(w, 8), regionW = w)
+      val cells = randomCells(rnd, 1 + rnd.nextInt(40), 1 + rnd.nextInt(120))
+      val k = 1 + rnd.nextInt(8)
+      def perNode(kPrime: Int): Seq[NodeResult] =
+        cells.flatMap(c => cfg.nodesForCell(c.x, c.y).map(n => (n, c)))
+          .groupBy(_._1).toSeq.map { case (node, cs) =>
+            val (ax0, ax1, ay0, ay1) = cfg.anchorBounds(node)
+            RegionKernel.localTopK(cs.map(_._2), ax0, ax1, ay0, ay1, cfg.regionW, kPrime)
+          }
+      // random partitioning into "Spark partitions", each folded to ONE partial (with the same
+      // m = kPrime the GridTopK wiring uses) — the driver merge must stay exact through them
+      def preMerged(kPrime: Int): Seq[NodeResult] = {
+        val m = math.min(math.max(kPrime, k), 1 << 20)
+        val nParts = 1 + rnd.nextInt(4)
+        perNode(kPrime).groupBy(_ => rnd.nextInt(nParts)).values.toSeq
+          .map(group => RegionKernel.preMerge(group.iterator, m))
+      }
+      for (overlap <- Seq(true, false)) {
+        val direct = DistributedTopK.solve(perNode, k, overlap)
+        val folded = DistributedTopK.solve(preMerged, k, overlap)
+        val want = RegionKernel.bruteForceTopK(cells, w, k, overlap)
+        assert(direct === want, s"trial=$trial w=$w k=$k overlap=$overlap (direct)")
+        assert(folded === want, s"trial=$trial w=$w k=$k overlap=$overlap (pre-merged)")
+      }
+    }
+  }
+
   test("non-overlapping winners are pairwise disjoint and descending") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 50) {

@@ -1,0 +1,128 @@
+package graft.table
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.SparkTestSession
+import graft.fixtures.SeqGen
+import graft.ops.{Dml, MergeInto, Rewrite}
+import graft.planner.GridConfig
+import graft.sources.Ingest
+
+/** Schema evolution (add-column, the Iceberg-style first slice): a metadata-only commit widens
+  * the table schema; old data files are never rewritten and read the new column as null
+  * (name-based reconciliation), new writes carry it, time travel reads each snapshot under the
+  * schema that was current THEN, and every lifecycle op (append, compaction, merge, DML,
+  * changelog) rides the evolved schema.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val cfg = GridConfig()
+
+  private def fresh(tag: String): String =
+    Files.createTempDirectory(s"evolve-$tag-").toString + "/t"
+
+  private val baseCols = Seq("doc_id", "tokens", "n_tok", "source")
+
+  test("add column: old files null-fill, new appends carry it, time travel sees the old schema") {
+    val root = fresh("basic")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 500, 4)
+    val vOld = table.currentVersion()
+    table.addColumn("lang", StringType)
+    assert(table.currentSchema().fieldNames.toSeq === baseCols :+ "lang")
+    assert(table.currentSnapshot().operation === "evolve-schema")
+
+    // pre-evolution files read with the column null-filled — no rewrite happened
+    val df = SeqIO.read(spark, table)
+    assert(df.columns.toSeq === baseCols :+ "lang")
+    assert(df.count() === 500)
+    assert(df.filter(col("lang").isNotNull).count() === 0)
+
+    // a new append carries the column; old rows stay null
+    val batch = SeqGen.table(spark, 50, parts = 1)
+      .withColumn("doc_id", concat(lit("new-"), col("doc_id")))
+      .withColumn("lang", lit("en"))
+    Ingest.append(spark, table, batch)
+    val after = SeqIO.read(spark, table)
+    assert(after.count() === 550)
+    assert(after.filter(col("lang") === "en").count() === 50)
+    assert(after.filter(col("lang").isNull).count() === 500)
+
+    // time travel BEFORE the evolve reads the old schema (and still all the rows)
+    val old = SeqIO.readAt(spark, table, vOld)
+    assert(old.columns.toSeq === baseCols)
+    assert(old.count() === 500)
+
+    // duplicate adds (any case) are refused; the base schema is intact
+    intercept[IllegalArgumentException](table.addColumn("LANG", StringType))
+    intercept[IllegalArgumentException](table.addColumn("doc_id", StringType))
+  }
+
+  test("compaction, merge, DML and changelog all carry the evolved column") {
+    val root = fresh("life")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 1000, 8)
+    table.addColumn("lang", StringType)
+    val batch = SeqGen.table(spark, 100, parts = 1)
+      .withColumn("doc_id", concat(lit("en-"), col("doc_id")))
+      .withColumn("lang", lit("en"))
+    Ingest.append(spark, table, batch)
+
+    // full compaction rewrite: the evolved column survives the round-trip
+    Rewrite.compactFiles(spark, table, table.liveFiles(), cfg, 500)
+    assert(SeqIO.read(spark, table).filter(col("lang") === "en").count() === 100)
+
+    // a merge whose change set CARRIES lang writes it; one that doesn't null-fills
+    val vPre = table.currentVersion()
+    val withLang = SeqGen.table(spark, 20, parts = 1)
+      .withColumn("doc_id", concat(lit("fr-"), col("doc_id")))
+      .withColumn("lang", lit("fr"))
+    MergeInto.merge(spark, table, withLang, cfg, 500)
+    val without = SeqGen.table(spark, 10, parts = 1)
+      .withColumn("doc_id", concat(lit("xx-"), col("doc_id")))
+    MergeInto.merge(spark, table, without, cfg, 500)
+    val now = SeqIO.read(spark, table)
+    assert(now.filter(col("lang") === "fr").count() === 20)
+    assert(now.filter(col("doc_id").startsWith("xx-") && col("lang").isNull).count() === 10)
+    // the merges rewrote files holding en-rows' neighbors too: no en value was lost
+    assert(now.filter(col("lang") === "en").count() === 100)
+
+    // the changelog is expressed in the evolved schema and carries the values
+    val diff = SeqIO.tableDiff(spark, table, vPre, table.currentVersion())
+    assert(diff.columns.toSeq === ("change_type" +: baseCols :+ "lang"))
+    assert(diff.filter(col("change_type") === "I" && col("lang") === "fr").count() === 20)
+
+    // UPDATE can set the evolved column (and the victim scan + merge preserve the others)
+    Dml.updateWhere(spark, table, col("doc_id").startsWith("xx-"),
+      Map("lang" -> lit("und")), cfg, 500)
+    val updated = SeqIO.read(spark, table)
+    assert(updated.filter(col("lang") === "und").count() === 10)
+    assert(updated.filter(col("lang") === "en").count() === 100)
+
+    // DELETE through the evolved schema
+    Dml.deleteWhere(spark, table, col("lang") === "fr", cfg, 500)
+    assert(SeqIO.read(spark, table).filter(col("lang") === "fr").count() === 0)
+    assert(SeqIO.read(spark, table).filter(col("lang") === "und").count() === 10)
+  }
+
+  test("rollback does not undo a schema change; MoR deletes work on evolved tables") {
+    val root = fresh("rb")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 400, 4)
+    val vBefore = table.currentVersion()
+    table.addColumn("score", org.apache.spark.sql.types.DoubleType)
+    table.rollbackTo(vBefore)
+    // content reverted; schema (table configuration) stays evolved — the Iceberg contract
+    assert(SeqIO.read(spark, table).count() === 400)
+    assert(table.currentSchema().fieldNames.contains("score"))
+
+    val del = SeqGen.changeSet(spark, 400, changes = 0, deletes = 50).persist()
+    // hash-derived fixture keys collide: expected survivors from the ACTUAL distinct hit count
+    val hits = SeqIO.read(spark, table)
+      .join(del.select("doc_id").distinct(), Seq("doc_id"), "left_semi").count()
+    MergeInto.merge(spark, table, del, cfg, 500, mor = true)
+    val got = SeqIO.read(spark, table)
+    assert(got.columns.toSeq === baseCols :+ "score")
+    assert(got.count() === 400 - hits)
+    del.unpersist()
+  }
+}
