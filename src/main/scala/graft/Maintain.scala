@@ -236,6 +236,23 @@ object Maintain {
         println(s"[dedup] mode=${if (near) "near" else "exact"} deleted=$n → " +
           s"v${table.currentVersion()}")
 
+      case "layout" :: dir :: rest =>
+        // declare (or show) the table's writer layout — sort-order/partition-spec evolution:
+        //   layout <dir>                          → print the declared layout
+        //   layout <dir> <curve> [B [binWidth]]   → set it (curve: z | hilbert | doc-major)
+        val table = SeqTable.load(dir)
+        rest match {
+          case Nil =>
+            println(s"[layout] ${table.currentLayout().getOrElse("<default (z, caller grid)>")}")
+          case curve :: more =>
+            val l = graft.table.TableLayout(curve,
+              more.headOption.map(_.toInt).getOrElse(64),
+              more.drop(1).headOption.map(_.toInt).getOrElse(128))
+            val snap = table.setLayout(l)
+            println(s"[layout] declared $l → v${snap.version} " +
+              "(future writes follow it; existing files migrate as rewrites touch them)")
+        }
+
       case "consume" :: srcDir :: targetDir :: consumerId :: _ =>
         // CDC consumer step: mirror the source's net changelog since this consumer's offset
         // into the target table, exactly-once (offset advances in the same commit — ChangeFeed)
@@ -271,7 +288,7 @@ object Maintain {
           "discard <tableDir> <id> | delete <tableDir> <condSql> | " +
           "update <tableDir> <condSql> <col=expr[;col=expr]> | " +
           "dedup <tableDir> [near] | consume <srcTableDir> <targetTableDir> <consumerId> | " +
-          "sql <statement>" +
+          "layout <tableDir> [curve [sourceBuckets [ntokBinWidth]]] | sql <statement>" +
           s"; got: $other")
         sys.exit(2)
     }

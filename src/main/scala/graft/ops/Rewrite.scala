@@ -48,12 +48,23 @@ object Rewrite {
       totalRecords: Long,
       hilbert: Boolean = false,
       docMajor: Boolean = false): Seq[FileMeta] = {
+    // the table's DECLARED layout (TableLayout metadata, when present) wins over the caller's
+    // flags/grid — the one consult point every writer (merge upserts, compaction, delete
+    // materialization, clustered append) flows through, so a layout change re-routes all future
+    // writes without touching any call site; planner geometry (nodeSide/regionW) stays the
+    // caller's. Undeclared tables behave exactly as before.
+    val (cfgEff, hilbertEff, docMajorEff) = table.currentLayout() match {
+      case Some(l) =>
+        (cfg.copy(sourceBuckets = l.sourceBuckets, ntokBinWidth = l.ntokBinWidth),
+          l.hilbert, l.docMajor)
+      case None => (cfg, hilbert, docMajor)
+    }
     val nFiles = math.max(1L, (totalRecords + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
     val clustered =
-      if (docMajor)
+      if (docMajorEff)
         df.repartitionByRange(nFiles, col("doc_id")).sortWithinPartitions(col("doc_id"))
       else
-        byteBalanced(spark, withCurveKey(df, cfg, hilbert), nFiles)
+        byteBalanced(spark, withCurveKey(df, cfgEff, hilbertEff), nFiles)
           .sortWithinPartitions(col("_ck"), col("doc_id"))
           .drop("_ck")
     val t0 = System.nanoTime()

@@ -47,6 +47,28 @@ final case class Snapshot(
     properties: Map[String, String] = Map.empty
 )
 
+/** Writer-layout configuration tracked as TABLE METADATA (the Iceberg sort-order /
+  * partition-spec-evolution idea, public design — first slice): which clustering curve and grid
+  * geometry maintenance writers should use. Stored in the `layout.json` table property —
+  * per-snapshot and carried forward, so layout changes are VERSIONED like schema changes, and a
+  * REWRITE (not the config change) decides when data physically migrates: changing the layout
+  * re-routes FUTURE writes; existing files keep their old clustering until compaction touches
+  * them (exactly Iceberg's sort-order-evolution behavior). `curve` ∈ z | hilbert | doc-major.
+  */
+final case class TableLayout(
+    curve: String = "z",
+    sourceBuckets: Int = 64,
+    ntokBinWidth: Int = 128) {
+  require(TableLayout.Curves.contains(curve),
+    s"TableLayout: unknown curve '$curve' (expected ${TableLayout.Curves.mkString("/")})")
+  def hilbert: Boolean = curve == "hilbert"
+  def docMajor: Boolean = curve == "doc-major"
+}
+
+object TableLayout {
+  val Curves: Set[String] = Set("z", "hilbert", "doc-major")
+}
+
 object SeqTable {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)
 
@@ -254,11 +276,57 @@ final class SeqTable(val root: String) {
     val cur = currentSchema()
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"addColumn($name): column already exists")
+    require(!currentSnapshot().properties.getOrElse("schema.dropped", "")
+      .split(",").contains(name.toLowerCase),
+      s"addColumn($name): name was dropped earlier — name-based reconciliation would resurrect " +
+        "stale values from pre-drop files; pick a fresh name (see dropColumn)")
     val next = org.apache.spark.sql.types.StructType(
       cur.fields :+ org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
     commit("evolve-schema", Nil, Set.empty,
       Map("schema-change" -> s"add-column $name ${dataType.simpleString}"),
       propertyUpdates = Map("schema.json" -> next.json))
+  }
+
+  // ---------- layout evolution ----------
+
+  /** The writer layout AT a snapshot (None = table default — callers fall back to their own
+    * GridConfig). See [[TableLayout]]. */
+  def layoutOf(s: Snapshot): Option[TableLayout] =
+    s.properties.get("layout.json").map(Serialization.read[TableLayout](_))
+
+  def currentLayout(): Option[TableLayout] = layoutOf(currentSnapshot())
+
+  /** Declare the writer layout — a metadata-only commit; future maintenance/merge writes follow
+    * it, existing files migrate as rewrites touch them (see [[TableLayout]]).
+    */
+  def setLayout(l: TableLayout): Snapshot =
+    commit("set-layout", Nil, Set.empty,
+      Map("layout-change" -> s"${l.curve} B=${l.sourceBuckets} binW=${l.ntokBinWidth}"),
+      propertyUpdates = Map("layout.json" -> Serialization.write(l)))
+
+  /** DROP COLUMN — the inverse evolution, for EVOLVED columns only (the base columns are
+    * load-bearing: doc_id is the merge key, tokens the payload, n_tok/source the layout stats).
+    * Metadata-only: data files keep the physical column until rewrites shed it; readers simply
+    * stop projecting it. The dropped NAME is retired forever (`schema.dropped` property):
+    * reconciliation is by name, so re-adding the same name would RESURRECT stale values from
+    * pre-drop files — Iceberg avoids this with field-ID indirection; this format refuses the
+    * re-add instead (documented slice boundary).
+    */
+  def dropColumn(name: String): Snapshot = {
+    require(!SeqSchema.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"dropColumn($name): base columns cannot be dropped")
+    val cur = currentSchema()
+    require(cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"dropColumn($name): no such column")
+    val next = org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(_.name.equalsIgnoreCase(name)))
+    val dropped = currentSnapshot().properties.getOrElse("schema.dropped", "")
+    val retired = (dropped.split(",").filter(_.nonEmpty) :+ name.toLowerCase).distinct
+    commit("evolve-schema", Nil, Set.empty,
+      Map("schema-change" -> s"drop-column $name"),
+      propertyUpdates = Map(
+        "schema.json" -> next.json,
+        "schema.dropped" -> retired.mkString(",")))
   }
 
   // ---------- commit ----------

@@ -105,6 +105,38 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(SeqIO.read(spark, table).filter(col("lang") === "und").count() === 10)
   }
 
+  test("drop column: evolved columns only, reads stop projecting, rewrites shed physically, " +
+      "the name is retired") {
+    val root = fresh("drop")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 500, 4)
+    table.addColumn("lang", StringType)
+    val batch = SeqGen.table(spark, 50, parts = 1)
+      .withColumn("doc_id", concat(lit("en-"), col("doc_id")))
+      .withColumn("lang", lit("en"))
+    Ingest.append(spark, table, batch)
+    val vWith = table.currentVersion()
+    table.dropColumn("lang")
+    // reads stop projecting immediately (metadata-only; no files rewritten yet)
+    val now = SeqIO.read(spark, table)
+    assert(now.columns.toSeq === baseCols)
+    assert(now.count() === 550)
+    // time travel BEFORE the drop still sees the column with its values
+    val before = SeqIO.readAt(spark, table, vWith)
+    assert(before.columns.contains("lang"))
+    assert(before.filter(col("lang") === "en").count() === 50)
+    // a rewrite physically sheds the column from the files it touches
+    Rewrite.compactFiles(spark, table, table.liveFiles(), cfg, 500)
+    val written = spark.read.parquet(table.liveFiles().map(table.absolutePath): _*)
+    assert(!written.columns.contains("lang"), "rewritten files must not carry the dropped column")
+    // base columns are not droppable; the retired name cannot be re-added (stale resurrection)
+    intercept[IllegalArgumentException](table.dropColumn("doc_id"))
+    intercept[IllegalArgumentException](table.addColumn("lang", StringType))
+    intercept[IllegalArgumentException](table.dropColumn("lang")) // already gone
+    // a fresh name still works
+    table.addColumn("lang2", StringType)
+    assert(table.currentSchema().fieldNames.contains("lang2"))
+  }
+
   test("rollback does not undo a schema change; MoR deletes work on evolved tables") {
     val root = fresh("rb")
     val (table, _) = SeqGen.fragmentedTable(spark, root, 400, 4)
