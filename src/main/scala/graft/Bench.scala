@@ -57,13 +57,13 @@ object Bench {
     * harness retries the whole timed section (bounded) when the window is degraded, so one bad
     * reading can't masquerade as an engine regression.
     */
-  def hostProbe(spark: SparkSession): Double = {
+  def hostProbe(spark: SparkSession, tasks: Int = 1, passes: Int = 192): Double = {
     val (_, sec) = time {
-      spark.range(0, 1L, 1, 1).mapPartitions { _ =>
+      spark.range(0, tasks.toLong, 1, tasks).mapPartitions { _ =>
         val buf = new Array[Long](8 << 20) // 64 MB: larger than LLC — strides measure DRAM too
         var acc = 0L
         var pass = 0
-        while (pass < 192) { // ~0.7 s healthy on this host: long enough to average out noise
+        while (pass < passes) {
           var i = 0
           while (i < buf.length) {
             buf(i) = buf(i) * 6364136223846793005L + 1442695040888963407L
@@ -73,10 +73,19 @@ object Bench {
           pass += 1
         }
         Iterator.single(acc)
-      }(org.apache.spark.sql.Encoders.scalaLong).head()
+      }(org.apache.spark.sql.Encoders.scalaLong).count()
     }
     sec
   }
+
+  /** Both weather readings the heavy sections depend on: single-core latency (scheduling + CPU
+    * steal; ~0.7 s quiet at 192 passes) and ALL-CORES aggregate DRAM bandwidth (what the
+    * 32-thread rewrite/merge sections actually contend for on this shared host — a single-core
+    * probe stays green while co-tenant load triples the byte-heavy rows; measured on
+    * r6_bench_c/d). Quiet parallel signature calibrated below.
+    */
+  def hostProbe2(spark: SparkSession): (Double, Double) =
+    (hostProbe(spark), hostProbe(spark, tasks = 32, passes = 24))
 
   final case class MaintBench(
       rows: Long, ingestSec: Double, cycleSec: Double, mergeSec: Double, morMergeSec: Double,
@@ -194,8 +203,11 @@ object Bench {
 
     if (args.headOption.contains("probe")) { // host-health probe calibration
       val spark = session(cpus)
-      hostProbe(spark) // warmup: JIT + task-launch path
-      (1 to 5).foreach(i => println(f"[probe] run $i: ${hostProbe(spark)}%.2fs"))
+      hostProbe2(spark) // warmup: JIT + task-launch path
+      (1 to 5).foreach { i =>
+        val (s1, sN) = hostProbe2(spark)
+        println(f"[probe] run $i: single=$s1%.2fs parallel32=$sN%.2fs")
+      }
       spark.stop()
       return
     }
@@ -547,11 +559,15 @@ object Bench {
         Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
 
+    // mid-run probe between the two sections: the endpoint probes alone passed a run whose
+    // maintenance section degraded 3× mid-flight (r6_bench_c) — host weather moves on minute
+    // timescales, so the gate samples INSIDE the run too
     def runOnce(): (scala.collection.mutable.LinkedHashMap[String, Double],
-        MaintBench, Seq[String]) = {
+        MaintBench, Seq[String], (Double, Double)) = {
       val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       cleanupShm()
       val (mb, _) = time(maintenanceBench(spark, rows, nFiles, baseDir = Some(shm)))
+      val pMid = hostProbe2(spark)
       results += "m_ingest" -> mb.ingestSec
       results += "m_compaction_cycles" -> mb.cycleSec
       results += "m_merge_into" -> mb.mergeSec
@@ -575,7 +591,7 @@ object Bench {
         // total) would read as a speedup to any tooling comparing runs
         if (ok) results += name -> sec
       }
-      (results, mb, failed.toSeq)
+      (results, mb, failed.toSeq, pMid)
     }
 
     // HOST-HEALTH GATE: the probe brackets the timed section and both readings land in the
@@ -583,31 +599,38 @@ object Bench {
     // rows stayed flat) triggers a bounded retry after a cooldown — the artifact then reports
     // the BEST attempt with its own probe readings, so a reader can judge the run's weather
     // without reconstructing it from side channels.
-    // calibrated: quiet-window probe reads 0.69–0.75 s (5 runs); 1.1 s ≈ 1.5× healthy
+    // calibrated: quiet-window single-core probe reads 0.69–0.75 s (5 runs); 1.1 s ≈ 1.5×.
+    // The PARALLEL (all-cores) probe measures aggregate DRAM bandwidth — the resource the
+    // 32-thread byte-heavy rows actually contend for on this shared host (a green single-core
+    // probe coexisted with 3×-degraded heavy rows on r6_bench_c/d); its threshold is the
+    // observed degraded floor minus margin and is refined as quiet windows are observed.
     val probeMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX", "1.1").toDouble
+    val probe32Max = sys.env.getOrElse("SPARK_GRAFT_PROBE32_MAX", "1.9").toDouble
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
-    hostProbe(spark) // warmup: JIT + task-launch path
+    hostProbe2(spark) // warmup: JIT + task-launch path
     var attempt = 0
     var best: (scala.collection.mutable.LinkedHashMap[String, Double], MaintBench,
-      Seq[String], Double, Double) = null
+      Seq[String], (Double, Double), (Double, Double), (Double, Double)) = null
     var healthy = false
     while (!healthy && attempt < maxAttempts) {
       attempt += 1
-      val pBefore = hostProbe(spark)
-      val (results, mb, failed) = runOnce()
-      val pAfter = hostProbe(spark)
+      val pBefore = hostProbe2(spark)
+      val (results, mb, failed, pMid) = runOnce()
+      val pAfter = hostProbe2(spark)
       if (best == null || results.values.sum < best._1.values.sum)
-        best = (results, mb, failed, pBefore, pAfter)
-      healthy = math.max(pBefore, pAfter) <= probeMax
+        best = (results, mb, failed, pBefore, pMid, pAfter)
+      val all = Seq(pBefore, pMid, pAfter)
+      healthy = all.map(_._1).max <= probeMax && all.map(_._2).max <= probe32Max
       if (!healthy && attempt < maxAttempts) {
-        System.err.println(f"[bench] degraded host window (probe before=$pBefore%.2fs " +
-          f"after=$pAfter%.2fs > $probeMax%.2fs) — cooling down and retrying " +
-          f"(attempt $attempt/$maxAttempts)")
+        System.err.println(f"[bench] degraded host window (single probes " +
+          all.map(p => f"${p._1}%.2f").mkString("/") + f"s vs $probeMax%.2f, parallel32 " +
+          all.map(p => f"${p._2}%.2f").mkString("/") + f"s vs $probe32Max%.2f) — cooling down " +
+          f"and retrying (attempt $attempt/$maxAttempts)")
         Thread.sleep(45000)
       }
     }
-    val (results, mb, failed, probeBefore, probeAfter) =
-      (best._1, best._2, best._3, best._4, best._5)
+    val (results, mb, failed, probeBefore, probeMid, probeAfter) =
+      (best._1, best._2, best._3, best._4, best._5, best._6)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -618,8 +641,12 @@ object Bench {
         f""""maintenance_rows":${mb.rows},"files_before":${mb.filesBefore},"files_after":${mb.filesAfter},""" +
         f""""scan_files_before":${mb.scanBefore._1},"scan_files_total_before":${mb.scanBefore._2},""" +
         f""""scan_files_after":${mb.scanAfter._1},"scan_files_total_after":${mb.scanAfter._2},""" +
-        f""""probe_before_sec":$probeBefore%.2f,"probe_after_sec":$probeAfter%.2f,""" +
-        f""""probe_threshold_sec":$probeMax%.2f,"probe_healthy":$healthy,"bench_attempts":$attempt}"""
+        f""""probe_before_sec":${probeBefore._1}%.2f,"probe_mid_sec":${probeMid._1}%.2f,""" +
+        f""""probe_after_sec":${probeAfter._1}%.2f,""" +
+        f""""probe32_before_sec":${probeBefore._2}%.2f,"probe32_mid_sec":${probeMid._2}%.2f,""" +
+        f""""probe32_after_sec":${probeAfter._2}%.2f,""" +
+        f""""probe_threshold_sec":$probeMax%.2f,"probe32_threshold_sec":$probe32Max%.2f,""" +
+        f""""probe_healthy":$healthy,"bench_attempts":$attempt}"""
     println(json)
     // also land the JSON at a stable path: r01's metrics line hid under sbt's [info] prefix and
     // the driver's parse came back null

@@ -99,6 +99,25 @@ object Maintain {
         println(s"[demo] dml: deleted the wap batch (files-rewritten=${dr.filesRewritten}) " +
           s"→ v${table.currentVersion()}")
 
+        // schema evolution: add a nullable column (metadata-only), prove old rows null-fill
+        table.addColumn("lang", org.apache.spark.sql.types.StringType)
+        val langNulls = SeqIO.read(spark, table).filter(col("lang").isNull).count()
+        require(langNulls == preWap, "every pre-evolution row must read the added column as null")
+        println(s"[demo] evolve: added nullable 'lang' (metadata-only) — " +
+          s"$langNulls old rows null-fill → v${table.currentVersion()}")
+
+        // CDC consumer: mirror everything so far into a sibling table, exactly-once
+        val mirror = SeqTable.create(s"$dir-mirror")
+        graft.sources.ChangeFeed.consumeInto(spark, table, mirror, "demo", cfg,
+          opts.targetRecordsPerFile)
+        val mirrored = SeqIO.read(spark, mirror).count()
+        require(mirrored == preWap, "mirror must equal the source after the initial sync")
+        require(graft.sources.ChangeFeed
+          .consumeInto(spark, table, mirror, "demo", cfg, opts.targetRecordsPerFile).isEmpty,
+          "replayed consume must be a no-op")
+        println(s"[demo] cdc-consume: mirrored $mirrored rows into $dir-mirror " +
+          s"(offset ${graft.sources.ChangeFeed.offsetOf(mirror, "demo")}, replay = no-op)")
+
         go = true
         while (go) { // post-merge maintenance
           val report = MaintenanceRunner.runCycle(spark, table, cfg, opts.copy(k = 16), ckpt)
