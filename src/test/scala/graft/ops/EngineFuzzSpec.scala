@@ -66,9 +66,11 @@ class EngineFuzzSpec extends AnyFunSuite {
       var step = 0
       // outstanding write-audit-publish stages: id -> the staged batch's model rows
       val pendingStages = scala.collection.mutable.Map.empty[String, Seq[(String, (Long, Int, String))]]
+      // evolved (non-base) columns currently in the schema — drop targets
+      val evolvedCols = scala.collection.mutable.ArrayBuffer.empty[String]
       for (_ <- 1 to fuzzSteps) {
         step += 1
-        val op = rnd.nextInt(11)
+        val op = rnd.nextInt(13)
         val tag = op match {
           case 0 | 1 => // merge (COW or MoR) with upserts + deletes
             val mor = op == 1
@@ -126,7 +128,28 @@ class EngineFuzzSpec extends AnyFunSuite {
             val name = s"ev$step"
             table.addColumn(name, org.apache.spark.sql.types.StringType)
             assert(table.currentSchema().fieldNames.contains(name))
+            evolvedCols += name
             s"evolve-schema($name)"
+          case 11 => // DROP an evolved column (no-op when none outstanding): later ops must
+            // ride the narrower schema; the retired name must refuse re-adding
+            if (evolvedCols.isEmpty) "drop-noop"
+            else {
+              val name = evolvedCols.remove(rnd.nextInt(evolvedCols.size))
+              table.dropColumn(name)
+              assert(!table.currentSchema().fieldNames.contains(name))
+              intercept[IllegalArgumentException](
+                table.addColumn(name, org.apache.spark.sql.types.StringType))
+              s"drop-column($name)"
+            }
+          case 12 => // LAYOUT EVOLUTION: declare a random writer layout — every later rewrite
+            // follows it; content (the model) must be invariant under any clustering
+            val l = graft.table.TableLayout(
+              Seq("z", "hilbert", "doc-major")(rnd.nextInt(3)),
+              sourceBuckets = Seq(16, 64)(rnd.nextInt(2)),
+              ntokBinWidth = Seq(64, 128, 512)(rnd.nextInt(3)))
+            table.setLayout(l)
+            assert(table.currentLayout().contains(l))
+            s"set-layout(${l.curve})"
           case 9 => // publish or discard a random pending stage (no-op when none outstanding)
             if (pendingStages.isEmpty) "wap-noop"
             else {
