@@ -544,6 +544,41 @@ object EngineQueries {
     sealAndReclaim(PortableSeq.content(SeqIO.read(s, mirror)), source.root, mirror.root)
   }
 
+  /** STRUCTURED STREAMING TABLE SOURCE driver-green (q55): the table is consumed through
+    * `spark.readStream.format("graft")` (table versions as offsets, [[graft.sources
+    * .GraftTableSource]]) into a parquet foreachBatch sink across THREE separate query runs
+    * sharing one checkpoint — full history, then a restart that must deliver ONLY a newly
+    * appended batch (the offset log), then a restart that must deliver nothing. Any duplicate or
+    * lost row fails the content hash (the sink is append-mode parquet: redelivery = duplicate
+    * rows). DuckDB predicts port ∪ appended batch.
+    */
+  def streamSource(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("streamtbl"), port, (n / 500).toInt.max(10))
+    val scratch = Files.createTempDirectory("graft-streamsink-").toString
+    val sink = s"$scratch/rows"
+    def drain(): Unit = {
+      val q = s.readStream.format("graft").option("path", table.root).load()
+        .writeStream.option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch((b: DataFrame, _: Long) => b.write.mode("append").parquet(sink))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // run 1: the full history
+    val batch = port.filter(pmod(col("docnum"), lit(10)) === 4)
+      .select(format_string("s%09d", col("docnum")).as("doc_id"),
+        col("tokens"), col("n_tok"), col("source"))
+    graft.sources.Ingest.append(s, table, batch) // an append-family commit while the query is down
+    drain() // run 2 resumes from the checkpoint: only (v_ckpt, head]
+    drain() // run 3: nothing left — a redelivery would duplicate rows and fail the hash
+    val delivered = s.read.parquet(sink)
+    require(delivered.count() == n + batch.count(),
+      "the stream must deliver each appended row exactly once across restarts")
+    sealAndReclaim(PortableSeq.content(delivered), table.root, sink)
+  }
+
   /** CSV sink + CSV source roundtrip (reference S5/S2 driver-green): a deterministic slice is
     * exported as the reference's `;`-delimited-array CSV convention, ingested back through the
     * CSV source into a fresh table, and read out — content must equal the slice exactly (the
@@ -700,6 +735,15 @@ object EngineQueries {
            |FROM port WHERE docnum%10 = 2""".stripMargin,
       // the mirror equals the source's post-merge state (the q26 oracle on the TARGET table)
       "q54_engine_cdc_consume" -> mergedContentSql(reps),
+      // exactly-once delivery across three checkpointed stream runs: port ∪ the appended batch,
+      // each row once (the sink is append-mode parquet — any redelivery duplicates a row)
+      "q55_engine_stream_source" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT $contentColsSql FROM port
+           |UNION ALL
+           |SELECT printf('s%09d', docnum), n_tok::BIGINT, source,
+           |  md5(array_to_string(tokens, ','))
+           |FROM port WHERE docnum%10 = 4""".stripMargin,
       "q38_jdbc_roundtrip" ->
         s"""WITH port AS (${sql(reps)})
            |SELECT $contentColsSql FROM port WHERE docnum%40 = 0""".stripMargin,

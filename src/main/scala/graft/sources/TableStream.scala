@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.table.{SeqIO, SeqTable}
+
+/** `spark.readStream.format("graft")` — the engine's table as a native Structured Streaming
+  * source, so a downstream training-data pipeline composes the changelog with Spark's own
+  * streaming machinery (watermarks, windowed aggregation, `foreachBatch`, checkpoint recovery)
+  * instead of hand-rolling a poll loop around [[ChangeFeed]].
+  *
+  * Offsets ARE table versions: `getOffset` is the table head, and batch `(start, end]` maps to
+  * the commit range `(startVersion, endVersion]` — exactly-once delivery falls out of Spark's
+  * offset log (a restarted query replays the last uncommitted range; version-ranged reads are
+  * deterministic). Two modes:
+  *
+  *   - `mode=appends` (default): the append changelog ([[SeqIO.readAppendedBetween]]) — rows in
+  *     the order commits appended them, with ONLY append-family commits contributing (Iceberg's
+  *     incremental append scan): compaction moves rows it already delivered, and merge/DML
+  *     rewrites are invisible here — use `mode=cdc` when upserts must surface. The
+  *     streaming-ingest shape: "every sequence ever appended, once".
+  *   - `mode=cdc`: the NET row-level diff of the range ([[SeqIO.tableDiff]]) with a leading
+  *     `change_type` (`D`/`I`) column — deletes and updates surface, a mirror consumer applies
+  *     each micro-batch as a MERGE (cf. [[ChangeFeed.consumeInto]]).
+  *
+  * `startingVersion` = number (default 0 — full history) | `latest` (only commits after the
+  * FIRST start; the resolved version is pinned under the query's own metadata dir so restarts
+  * from the checkpoint keep the original meaning). The schema is pinned at stream start (Spark
+  * streams are fixed-schema): columns added to the table mid-stream are dropped until restart,
+  * dropped ones null-fill — Delta's contract.
+  *
+  * Retention: version-ranged reads need their endpoint snapshots retained; `expireSnapshots`
+  * past a stream's checkpointed offset fails the next batch LOUDLY (missing snapshot), never
+  * silently skips — keep expiry behind the slowest consumer, same as Iceberg CDC.
+  *
+  * Scale: each micro-batch is the engine's own vectorized-parquet range read (the distributed
+  * metadata diff above 100k files for cdc mode) — the source adds no per-row driver work; the
+  * only driver state is one Long offset.
+  */
+class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  import GraftTableSource._
+
+  override def shortName(): String = "graft"
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), streamSchema(tableOf(parameters), modeOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val table = tableOf(parameters)
+    val mode = modeOf(parameters)
+    val starting = parameters.get("startingversion").orElse(parameters.get("startingVersion")) match {
+      case Some("latest") => resolveLatestOnce(sqlContext.sparkSession, metadataPath, table)
+      case Some(v) => v.toLong
+      case None => 0L
+    }
+    new GraftTableSource(sqlContext.sparkSession, table, mode, starting,
+      streamSchema(table, mode))
+  }
+
+  /** `startingVersion=latest` means "commits after the FIRST start of this query" — createSource
+    * runs again on every restart, so the resolved head is pinned as a file in the query's own
+    * source-metadata dir (the offset log's sibling; Spark hands each source this path for
+    * exactly this). A crash between resolve and pin just re-resolves — the pin only fixes the
+    * skip-history point; delivery exactly-once is the offset log's job.
+    */
+  private def resolveLatestOnce(spark: SparkSession, metadataPath: String,
+      table: SeqTable): Long = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toLong
+      finally in.close()
+    } else {
+      val v = table.currentVersion()
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false) // no-overwrite: a concurrent first-start loses cleanly
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      v
+    }
+  }
+}
+
+object GraftTableSource {
+  val ModeAppends = "appends"
+  val ModeCdc = "cdc"
+
+  private[sources] def tableOf(parameters: Map[String, String]): SeqTable = {
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source: option 'path' (the table directory) is required"))
+    new SeqTable(dir)
+  }
+
+  private[sources] def modeOf(parameters: Map[String, String]): String = {
+    val m = parameters.getOrElse("mode", ModeAppends).toLowerCase
+    require(m == ModeAppends || m == ModeCdc, s"graft source: mode must be appends|cdc, got $m")
+    m
+  }
+
+  /** cdc batches lead with change_type; both modes then carry the table schema at stream start. */
+  private[sources] def streamSchema(table: SeqTable, mode: String): StructType = {
+    val base = table.currentSchema()
+    if (mode == ModeCdc) StructType(StructField("change_type", StringType, nullable = false) +: base.fields)
+    else base
+  }
+}
+
+class GraftTableSource(spark: SparkSession, table: SeqTable, mode: String,
+    startingVersion: Long, pinned: StructType) extends Source {
+  import GraftTableSource._
+
+  override def schema: StructType = pinned
+
+  /** Offsets round-trip through Spark's offset log as JSON — after a restart they arrive as
+    * SerializedOffset, so parse the json form rather than matching on LongOffset.
+    */
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = {
+    val head = table.currentVersion() // re-reads the version pointer: no driver-side staleness
+    if (head <= startingVersion) None else Some(LongOffset(head))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startingVersion)
+    val to = versionOf(end)
+    val raw = mode match {
+      case ModeAppends =>
+        if (from >= to) SeqIO.readAppendedBetween(spark, table, to, to) // empty, schema-correct
+        else SeqIO.readAppendedBetween(spark, table, from, to)
+      case ModeCdc => SeqIO.tableDiff(spark, table, math.min(from, to), to)
+    }
+    // conform to the pinned stream schema: mid-stream add-column → dropped until restart;
+    // mid-stream drop-column → null-filled (both documented above)
+    val cols = pinned.fields.toSeq.map { f =>
+      if (raw.columns.contains(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+    }
+    GraftSqlBridge.asStreamingDataFrame(raw.select(cols: _*))
+  }
+
+  override def commit(end: Offset): Unit = () // retention is the table's expiry policy, not ours
+
+  override def stop(): Unit = ()
+}

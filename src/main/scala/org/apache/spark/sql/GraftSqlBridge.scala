@@ -10,6 +10,17 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Re-wrap a batch DataFrame as a STREAMING one (`isStreaming = true`) — what a V1
+    * `execution.streaming.Source.getBatch` must return (MicroBatchExecution asserts it).
+    * `internalCreateDataFrame` is `private[sql]`; this is the same wrapping FileStreamSource
+    * applies to its own per-batch scans. The inner plan is captured lazily (`toRdd` plans but
+    * does not execute), so the micro-batch still runs as one whole-stage-codegen'd Spark job.
+    */
+  def asStreamingDataFrame(df: Dataset[Row]): Dataset[Row] = {
+    val c = df.asInstanceOf[classic.Dataset[Row]]
+    c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema, isStreaming = true)
+  }
+
   /** One recognized comparison conjunct of a predicate: `attr <op> literal`, attribute-first
     * (literal-first inputs arrive flipped). `op` ∈ {=, >, >=, <, <=}.
     */

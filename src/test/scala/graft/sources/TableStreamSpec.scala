@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.nio.file.Files
+import scala.collection.mutable
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.fixtures.SeqGen
+import graft.ops.MergeInto
+import graft.planner.GridConfig
+import graft.table.{SeqIO, SeqTable}
+
+/** `spark.readStream.format("graft")` — table versions as streaming offsets: every appended row
+  * is delivered exactly once across micro-batches AND across query restarts (Spark's offset log
+  * + deterministic version-ranged reads), and cdc mode surfaces net D/I rows a mirror can apply.
+  */
+class TableStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val cfg = GridConfig()
+
+  private def fresh(tag: String): String =
+    Files.createTempDirectory(s"stream-$tag-").toString
+
+  /** An append-family commit (what appends mode delivers — merges are rewrite commits). */
+  private def append(table: SeqTable, df: DataFrame): Unit = {
+    val metas = SeqIO.writeFiles(spark, table, df)
+    table.commit("append", metas, Set.empty)
+  }
+
+  /** Run the source to exhaustion via foreachBatch, collecting (batchId, rows). */
+  private def drain(df: DataFrame, checkpoint: String)(
+      sink: mutable.Buffer[(Long, Seq[Row])]): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink.synchronized { sink += ((id, batch.collect().toSeq)); () }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("appends mode: full history once, then only new commits, exactly once across restart") {
+    val root = fresh("app")
+    val (table, _) = SeqGen.fragmentedTable(spark, s"$root/t", 300, 3)
+    val checkpoint = s"$root/ckpt"
+    val got = mutable.Buffer.empty[(Long, Seq[Row])]
+    val stream = spark.readStream.format("graft").option("path", table.root).load()
+      .select("doc_id")
+
+    drain(stream, checkpoint)(got)
+    val first = got.flatMap(_._2).map(_.getString(0))
+    assert(first.size === 300 && first.distinct.size === 300,
+      "initial batch must deliver the full history exactly once")
+
+    // new APPEND commits while the query is DOWN, then a restart from the same checkpoint:
+    // only the new range is delivered (the offset log survives the restart). A merge/compaction
+    // in appends mode would deliver nothing — that's cdc mode's job (next test).
+    val changes = SeqGen.changeSet(spark, 300, changes = 100, deletes = 0).persist()
+    append(table, changes.drop("_op"))
+    got.clear()
+    drain(stream, checkpoint)(got)
+    val second = got.flatMap(_._2).map(_.getString(0))
+    assert(second.nonEmpty, "the appended rows must arrive after restart")
+    assert(second.size === second.distinct.size, "no duplicates across the restart")
+    // every appended id is in the delivered set, and nothing from the untouched prefix re-arrives
+    val touched = changes.select("doc_id").collect().map(_.getString(0)).toSet
+    assert(touched.subsetOf(second.toSet),
+      "every merged key must appear in the post-restart delivery")
+    val untouchedBefore = first.toSet -- touched
+    assert(second.toSet.intersect(untouchedBefore).isEmpty,
+      "rows appended before the checkpointed offset must NOT be redelivered")
+    changes.unpersist()
+
+    // nothing new → a third run delivers nothing
+    got.clear()
+    drain(stream, checkpoint)(got)
+    assert(got.flatMap(_._2).isEmpty, "an up-to-date stream must deliver nothing")
+  }
+
+  test("cdc mode: a merge's net D/I rows stream through; a mirror applying them converges") {
+    val root = fresh("cdc")
+    val (table, _) = SeqGen.fragmentedTable(spark, s"$root/t", 200, 2)
+    val stream = spark.readStream.format("graft")
+      .option("path", table.root).option("mode", "cdc").load()
+
+    // sync the full history first (one I row per live row)
+    val got = mutable.Buffer.empty[(Long, Seq[Row])]
+    drain(stream.select("change_type", "doc_id"), s"$root/ckpt")(got)
+    val initial = got.flatMap(_._2)
+    assert(initial.size === 200 && initial.forall(_.getString(0) == "I"))
+
+    val changes = SeqGen.changeSet(spark, 200, changes = 60, deletes = 20).persist()
+    MergeInto.merge(spark, table, changes, cfg, 500)
+    got.clear()
+    drain(stream.select("change_type", "doc_id"), s"$root/ckpt")(got)
+    val delta = got.flatMap(_._2)
+    val dIds = delta.filter(_.getString(0) == "D").map(_.getString(1)).toSet
+    val iIds = delta.filter(_.getString(0) == "I").map(_.getString(1)).toSet
+    val deleted = changes.filter(col("_op") === "D").select("doc_id").collect()
+      .map(_.getString(0)).toSet
+    assert(deleted.subsetOf(dIds), "every deleted key must surface as a D row")
+    assert(deleted.intersect(iIds).isEmpty, "a deleted key must not also be re-inserted")
+    assert(iIds.nonEmpty, "updates/inserts must surface as I rows")
+    // the stream's cumulative I − D set IS the table: apply both batches to an id-set mirror
+    val mirror = (initial.map(_.getString(1)).toSet -- dIds) ++ iIds
+    val live = SeqIO.read(spark, table).select("doc_id").collect().map(_.getString(0)).toSet
+    assert(mirror === live, "cumulative cdc application must reconstruct the live id set")
+    changes.unpersist()
+  }
+
+  test("startingVersion=latest skips history; a later append still arrives") {
+    val root = fresh("latest")
+    val (table, _) = SeqGen.fragmentedTable(spark, s"$root/t", 100, 2)
+    val stream = spark.readStream.format("graft")
+      .option("path", table.root).option("startingVersion", "latest").load()
+      .select("doc_id")
+    val got = mutable.Buffer.empty[(Long, Seq[Row])]
+    drain(stream, s"$root/ckpt")(got)
+    assert(got.flatMap(_._2).isEmpty, "latest must skip the pre-existing history")
+
+    val changes = SeqGen.changeSet(spark, 100, changes = 40, deletes = 0).persist()
+    append(table, changes.drop("_op"))
+    got.clear()
+    drain(stream, s"$root/ckpt")(got)
+    assert(got.flatMap(_._2).size === changes.count(),
+      "appends after stream creation must be delivered — and ONLY those (the 'latest' pin " +
+        "must survive the restart instead of re-resolving to the new head)")
+    changes.unpersist()
+  }
+}
