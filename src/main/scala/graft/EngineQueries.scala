@@ -493,11 +493,13 @@ object EngineQueries {
 
   /** SCHEMA EVOLUTION driver-green (q53): the portable table is appended (v1, base 4-column
     * schema), a NULLABLE `lang` column is added as a metadata-only commit, a re-keyed batch
-    * (docnum%10=2, 'e…') carrying lang = source is appended, and the WHOLE table is compacted —
-    * every pre-evolution row is physically rewritten and must still read lang as null
-    * (coalesced to '' for the hash compare), every new row must keep its value through the
-    * rewrite. Time travel to v1 must read the OLD 4-column schema. DuckDB predicts the final
-    * 5-column content from the portable input.
+    * (docnum%10=2, 'e…') carrying lang = source is appended, the column is RENAMED to
+    * `language` (metadata-only — the appended files physically still say `lang`), and the WHOLE
+    * table is compacted: every pre-evolution row is physically rewritten and must still read the
+    * column as null (coalesced to '' for the hash compare), every evolved row must carry its
+    * value THROUGH the rename via the former-name fallback and out the other side of the
+    * rewrite (which migrates the physical name — asserted on the raw files). Time travel to v1
+    * must read the OLD 4-column schema. DuckDB predicts the final 5-column content.
     */
   def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val reps = PortableSeq.repsFor(dir)
@@ -512,13 +514,19 @@ object EngineQueries {
       .select(format_string("e%09d", col("docnum")).as("doc_id"),
         col("tokens"), col("n_tok"), col("source"), col("source").as("lang"))
     graft.sources.Ingest.append(s, table, batch) // v3: evolved-width append
-    Rewrite.compactFiles(s, table, table.liveFiles(), cfg, targetFor(n)) // v4: rewrite ALL rows
+    table.renameColumn("lang", "language") // v4: metadata-only; v3's files keep the old name
+    require(SeqIO.read(s, table).columns.contains("language"),
+      "reads must project the renamed name")
+    Rewrite.compactFiles(s, table, table.liveFiles(), cfg, targetFor(n)) // v5: rewrite ALL rows
     require(SeqIO.readAt(s, table, v1).columns.length == 4,
       "time travel before the evolve must read the old schema")
+    require(!s.read.parquet(table.liveFiles().map(table.absolutePath): _*)
+      .columns.contains("lang"),
+      "the compaction rewrite must migrate the physical column to its renamed name")
     val content = SeqIO.read(s, table).select(
       col("doc_id"), col("n_tok").cast("long").as("n_tok"), col("source"),
       md5(concat_ws(",", transform(col("tokens"), _.cast("string")))).as("tok_md5"),
-      coalesce(col("lang"), lit("")).as("lang"))
+      coalesce(col("language"), lit("")).as("lang")) // oracle column name is stable: 'lang'
     sealAndReclaim(content, table.root)
   }
 

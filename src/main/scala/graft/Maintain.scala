@@ -290,6 +290,33 @@ object Maintain {
               s"${graft.sources.ChangeFeed.offsetOf(target, consumerId)})")
         }
 
+      case "evolve" :: dir :: rest =>
+        // schema evolution, all metadata-only commits:
+        //   evolve <dir>                      → print the current schema (+ name history)
+        //   evolve <dir> add <name> <type>    → add a nullable column (type: DDL, e.g. string)
+        //   evolve <dir> drop <name>          → drop an evolved column (name retired forever)
+        //   evolve <dir> rename <old> <new>   → rename an evolved column (rewrites migrate files)
+        val table = SeqTable.load(dir)
+        rest match {
+          case "add" :: name :: tpe :: _ =>
+            val snap = table.addColumn(name, org.apache.spark.sql.types.DataType.fromDDL(tpe))
+            println(s"[evolve] added nullable $name $tpe → v${snap.version}")
+          case "drop" :: name :: _ =>
+            val snap = table.dropColumn(name)
+            println(s"[evolve] dropped $name (name retired) → v${snap.version}")
+          case "rename" :: from :: to :: _ =>
+            val snap = table.renameColumn(from, to)
+            println(s"[evolve] renamed $from → $to (metadata-only; rewrites migrate the " +
+              s"physical name) → v${snap.version}")
+          case _ =>
+            val cols = table.currentSchema().fields.map { f =>
+              val hist = graft.table.SeqSchema.formerNames(f)
+              s"${f.name} ${f.dataType.simpleString}" +
+                (if (hist.nonEmpty) hist.mkString(" (was ", " ← ", ")") else "")
+            }
+            println(s"[evolve] schema: ${cols.mkString(", ")}")
+        }
+
       case "sql" :: stmt :: rest =>
         // ad-hoc SQL with the graft extensions registered — e.g.
         //   sql "SELECT * FROM best_regions('pts', 0.5D, 5)"  (after a CREATE TEMP VIEW)
@@ -307,7 +334,9 @@ object Maintain {
           "discard <tableDir> <id> | delete <tableDir> <condSql> | " +
           "update <tableDir> <condSql> <col=expr[;col=expr]> | " +
           "dedup <tableDir> [near] | consume <srcTableDir> <targetTableDir> <consumerId> | " +
-          "layout <tableDir> [curve [sourceBuckets [ntokBinWidth]]] | sql <statement>" +
+          "layout <tableDir> [curve [sourceBuckets [ntokBinWidth]]] | " +
+          "evolve <tableDir> [add <name> <type> | drop <name> | rename <old> <new>] | " +
+          "sql <statement>" +
           s"; got: $other")
         sys.exit(2)
     }

@@ -26,6 +26,31 @@ object SeqSchema {
     StructField("addedAt", LongType),
     StructField("clustered", BooleanType),
     StructField("docBloom", StringType))) // nullable → Option[String] on the case class
+
+  /** Field-metadata key carrying a renamed column's FORMER physical names, most recent first.
+    * RENAME COLUMN is metadata-only: writers always use current names, so a table's data files
+    * physically hold whichever name was current when each was written; readers reconcile by
+    * requesting every name in the history and taking the first physically-present one
+    * (Iceberg pins identity with field IDs — this is the same contract with the history
+    * serialized INSIDE `schema.json`, so every snapshot pairs its schema with its own history
+    * and time travel needs no side lookup).
+    */
+  val FormerNamesKey = "graft.formerNames"
+
+  def formerNames(f: StructField): Seq[String] =
+    if (f.metadata.contains(FormerNamesKey)) f.metadata.getStringArray(FormerNamesKey).toSeq
+    else Nil
+
+  def withFormerNames(f: StructField, names: Seq[String]): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putStringArray(FormerNamesKey, names.toArray).build())
+
+  /** Every name a schema has ever answered to (current + former), lowercased — the namespace
+    * add/rename must stay clear of: re-using a historical physical name would let the
+    * former-name fallback pick up unrelated values from files written under the old meaning.
+    */
+  def historicalNames(schema: StructType): Set[String] =
+    schema.fields.flatMap(f => f.name.toLowerCase +: formerNames(f).map(_.toLowerCase)).toSet
 }
 
 /** Spark-side write/read for [[SeqTable]].
@@ -110,12 +135,31 @@ object SeqIO {
 
   /** Read an explicit set of data files under `schema` (default: the base schema). Files
     * written before an add-column lack the field physically and null-fill (name-based
-    * reconciliation — parquet missing-column handling).
+    * reconciliation — parquet missing-column handling). A RENAMED column ([[SeqSchema
+    * .formerNames]]) is requested under its current AND every former physical name — each file
+    * holds exactly one of them (writers always write the names current at write time), the rest
+    * null-fill, and the first physically-present one wins per file. The per-file winner is
+    * decided by which twin column the file carries, so a legitimately-NULL value in a new-name
+    * file cannot fall through to an old-name value: the old name isn't IN that file.
     */
   def readFiles(spark: SparkSession, table: SeqTable, metas: Seq[FileMeta],
-      schema: StructType = SeqSchema.schema): DataFrame =
-    if (metas.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(metas.map(table.absolutePath): _*)
+      schema: StructType = SeqSchema.schema): DataFrame = {
+    if (metas.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val renamed = schema.fields.exists(f => SeqSchema.formerNames(f).nonEmpty)
+    if (!renamed) spark.read.schema(schema).parquet(metas.map(table.absolutePath): _*)
+    else {
+      val physical = StructType(schema.fields.flatMap { f =>
+        StructField(f.name, f.dataType, nullable = true) +:
+          SeqSchema.formerNames(f).map(n => StructField(n, f.dataType, nullable = true))
+      })
+      spark.read.schema(physical).parquet(metas.map(table.absolutePath): _*)
+        .select(schema.fields.map { f =>
+          val chain = (f.name +: SeqSchema.formerNames(f)).map(col)
+          (if (chain.size > 1) coalesce(chain: _*) else chain.head).as(f.name)
+        }.toSeq: _*)
+    }
+  }
 
   /** Broadcast ceiling for the delete-key side of the MoR anti-join; larger delete sets fall back
     * to a shuffle join (a 100-TB merge batch can carry more keys than any executor should hold).

@@ -274,8 +274,9 @@ final class SeqTable(val root: String) {
     */
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Snapshot = {
     val cur = currentSchema()
-    require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
-      s"addColumn($name): column already exists")
+    require(!SeqSchema.historicalNames(cur).contains(name.toLowerCase),
+      s"addColumn($name): the name is (or once was) a live column — re-using a historical " +
+        "physical name would let the rename fallback read unrelated values from old files")
     require(!currentSnapshot().properties.getOrElse("schema.dropped", "")
       .split(",").contains(name.toLowerCase),
       s"addColumn($name): name was dropped earlier — name-based reconciliation would resurrect " +
@@ -284,6 +285,35 @@ final class SeqTable(val root: String) {
       cur.fields :+ org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
     commit("evolve-schema", Nil, Set.empty,
       Map("schema-change" -> s"add-column $name ${dataType.simpleString}"),
+      propertyUpdates = Map("schema.json" -> next.json))
+  }
+
+  /** RENAME COLUMN — metadata-only, for EVOLVED columns (base-column names are the engine's
+    * API: doc_id merge key, tokens payload, n_tok/source layout stats). The old physical name
+    * joins the field's former-name history ([[SeqSchema.FormerNamesKey]], serialized inside
+    * `schema.json`): existing files keep their physical column, readers take the first
+    * physically-present name per file, writers and rewrites use the new name — the same
+    * change-is-metadata / migration-is-the-rewrite contract as layout evolution. Both the new
+    * name and every historical name are a closed namespace (see [[addColumn]]); time travel
+    * before the rename reads the old name because THAT snapshot's schema.json still says so.
+    */
+  def renameColumn(oldName: String, newName: String): Snapshot = {
+    require(!SeqSchema.schema.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+      s"renameColumn($oldName): base columns cannot be renamed")
+    val cur = currentSchema()
+    val idx = cur.fields.indexWhere(_.name.equalsIgnoreCase(oldName))
+    require(idx >= 0, s"renameColumn($oldName): no such column")
+    require(!SeqSchema.historicalNames(cur).contains(newName.toLowerCase),
+      s"renameColumn(→$newName): the name is (or once was) a live column — re-using a " +
+        "historical physical name would read unrelated values from old files")
+    require(!currentSnapshot().properties.getOrElse("schema.dropped", "")
+      .split(",").contains(newName.toLowerCase),
+      s"renameColumn(→$newName): name was dropped earlier; pick a fresh name (see dropColumn)")
+    val f = cur.fields(idx)
+    val next = org.apache.spark.sql.types.StructType(cur.fields.updated(idx,
+      SeqSchema.withFormerNames(f.copy(name = newName), f.name +: SeqSchema.formerNames(f))))
+    commit("evolve-schema", Nil, Set.empty,
+      Map("schema-change" -> s"rename-column $oldName -> $newName"),
       propertyUpdates = Map("schema.json" -> next.json))
   }
 
@@ -320,8 +350,12 @@ final class SeqTable(val root: String) {
       s"dropColumn($name): no such column")
     val next = org.apache.spark.sql.types.StructType(
       cur.fields.filterNot(_.name.equalsIgnoreCase(name)))
+    // a renamed column retires its WHOLE name history: any of those physical names could still
+    // live in un-rewritten files, so none may ever be re-added
+    val history = cur.fields.find(_.name.equalsIgnoreCase(name)).toSeq
+      .flatMap(f => f.name.toLowerCase +: SeqSchema.formerNames(f).map(_.toLowerCase))
     val dropped = currentSnapshot().properties.getOrElse("schema.dropped", "")
-    val retired = (dropped.split(",").filter(_.nonEmpty) :+ name.toLowerCase).distinct
+    val retired = (dropped.split(",").filter(_.nonEmpty) ++ history).distinct
     commit("evolve-schema", Nil, Set.empty,
       Map("schema-change" -> s"drop-column $name"),
       propertyUpdates = Map(

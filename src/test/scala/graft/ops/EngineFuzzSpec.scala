@@ -70,7 +70,7 @@ class EngineFuzzSpec extends AnyFunSuite {
       val evolvedCols = scala.collection.mutable.ArrayBuffer.empty[String]
       for (_ <- 1 to fuzzSteps) {
         step += 1
-        val op = rnd.nextInt(13)
+        val op = rnd.nextInt(14)
         val tag = op match {
           case 0 | 1 => // merge (COW or MoR) with upserts + deletes
             val mor = op == 1
@@ -140,6 +140,22 @@ class EngineFuzzSpec extends AnyFunSuite {
               intercept[IllegalArgumentException](
                 table.addColumn(name, org.apache.spark.sql.types.StringType))
               s"drop-column($name)"
+            }
+          case 13 => // RENAME an evolved column (no-op when none outstanding): later reads
+            // must reconcile old-named files through the former-name fallback, later writes
+            // use the new name, and the old name is closed to re-adding
+            if (evolvedCols.isEmpty) "rename-noop"
+            else {
+              val i = rnd.nextInt(evolvedCols.size)
+              val from = evolvedCols(i)
+              val to = s"rn$step"
+              table.renameColumn(from, to)
+              evolvedCols(i) = to
+              assert(table.currentSchema().fieldNames.contains(to) &&
+                !table.currentSchema().fieldNames.contains(from))
+              intercept[IllegalArgumentException](
+                table.addColumn(from, org.apache.spark.sql.types.StringType))
+              s"rename-column($from->$to)"
             }
           case 12 => // LAYOUT EVOLUTION: declare a random writer layout — every later rewrite
             // follows it; content (the model) must be invariant under any clustering

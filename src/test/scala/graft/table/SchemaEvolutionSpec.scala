@@ -137,6 +137,81 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(table.currentSchema().fieldNames.contains("lang2"))
   }
 
+  test("rename column: metadata-only, old files keep their values, writers migrate, " +
+      "time travel reads the old name") {
+    val root = fresh("rename")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 500, 4)
+    table.addColumn("lang", StringType)
+    val batch = SeqGen.table(spark, 50, parts = 1)
+      .withColumn("doc_id", concat(lit("en-"), col("doc_id")))
+      .withColumn("lang", lit("en"))
+    Ingest.append(spark, table, batch)
+    val filesBefore = table.liveFiles().map(_.path).toSet
+    val vOldName = table.currentVersion()
+
+    table.renameColumn("lang", "language")
+    assert(table.liveFiles().map(_.path).toSet === filesBefore,
+      "rename must be a metadata-only commit")
+    // reads project the NEW name; values written under the OLD physical name still arrive
+    val now = SeqIO.read(spark, table)
+    assert(now.columns.toSeq === baseCols :+ "language")
+    assert(now.filter(col("language") === "en").count() === 50)
+    assert(now.filter(col("language").isNull).count() === 500)
+    // time travel BEFORE the rename reads the old name (that snapshot's schema.json says so)
+    assert(SeqIO.readAt(spark, table, vOldName).columns.toSeq === baseCols :+ "lang")
+
+    // a new append under the new name coexists with old-named files in one scan
+    val batch2 = SeqGen.table(spark, 30, parts = 1)
+      .withColumn("doc_id", concat(lit("fr-"), col("doc_id")))
+      .withColumn("language", lit("fr"))
+    Ingest.append(spark, table, batch2)
+    val mixed = SeqIO.read(spark, table)
+    assert(mixed.filter(col("language") === "en").count() === 50)
+    assert(mixed.filter(col("language") === "fr").count() === 30)
+
+    // the changelog across the rename is expressed in the head schema, values intact
+    val diff = SeqIO.tableDiff(spark, table, vOldName, table.currentVersion())
+    assert(diff.columns.toSeq === ("change_type" +: baseCols :+ "language"))
+    assert(diff.filter(col("change_type") === "I" && col("language") === "fr").count() === 30)
+
+    // a full compaction migrates the physical name; content is invariant
+    Rewrite.compactFiles(spark, table, table.liveFiles(), cfg, 500)
+    val physical = spark.read.parquet(table.liveFiles().map(table.absolutePath): _*)
+    assert(physical.columns.contains("language") && !physical.columns.contains("lang"),
+      "rewritten files must carry only the current physical name")
+    val after = SeqIO.read(spark, table)
+    assert(after.filter(col("language") === "en").count() === 50)
+    assert(after.filter(col("language") === "fr").count() === 30)
+
+    // UPDATE through the new name; rename chains compose (language → tongue)
+    Dml.updateWhere(spark, table, col("language").isNull, Map("language" -> lit("und")), cfg, 500)
+    assert(SeqIO.read(spark, table).filter(col("language") === "und").count() === 500)
+    table.renameColumn("language", "tongue")
+    assert(SeqIO.read(spark, table).filter(col("tongue") === "en").count() === 50)
+  }
+
+  test("rename namespace: base columns pinned; historical and dropped names are closed forever") {
+    val root = fresh("rename-ns")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 100, 2)
+    table.addColumn("lang", StringType)
+    table.renameColumn("lang", "language")
+    // base columns cannot be renamed (engine API) nor shadowed by a rename target
+    intercept[IllegalArgumentException](table.renameColumn("doc_id", "key"))
+    intercept[IllegalArgumentException](table.renameColumn("language", "tokens"))
+    // the old name is HISTORY: not re-addable, not a rename target
+    intercept[IllegalArgumentException](table.addColumn("lang", StringType))
+    table.addColumn("score", org.apache.spark.sql.types.DoubleType)
+    intercept[IllegalArgumentException](table.renameColumn("score", "lang"))
+    // dropping a renamed column retires its WHOLE name history
+    table.dropColumn("language")
+    intercept[IllegalArgumentException](table.addColumn("language", StringType))
+    intercept[IllegalArgumentException](table.addColumn("lang", StringType))
+    intercept[IllegalArgumentException](table.renameColumn("score", "lang"))
+    // a genuinely fresh name is fine
+    table.renameColumn("score", "quality")
+    assert(table.currentSchema().fieldNames.toSeq === baseCols :+ "quality")
+  }
+
   test("rollback does not undo a schema change; MoR deletes work on evolved tables") {
     val root = fresh("rb")
     val (table, _) = SeqGen.fragmentedTable(spark, root, 400, 4)
