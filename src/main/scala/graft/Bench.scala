@@ -315,6 +315,52 @@ object Bench {
       return
     }
 
+    if (args.headOption.contains("streambench")) {
+      // Structured-Streaming-source throughput: the bench table consumed end-to-end through
+      // spark.readStream.format("graft") into a counting foreachBatch sink — full history as
+      // batch 0, then a 10% append delivered incrementally from the checkpoint (what a
+      // downstream training-data loader pays per poll: one version-ranged read of the delta,
+      // never a rescan). cdc-mode cold read timed for comparison.
+      val spark = session(cpus)
+      val root = Files.createTempDirectory("graft-stream-bench-").toString
+      val (table, _) = SeqGen.fragmentedTable(spark, s"$root/tbl", rows, nFiles)
+      val delivered = new java.util.concurrent.atomic.AtomicLong
+      def drain(mode: String): Double = {
+        val (_, sec) = time {
+          val q = spark.readStream.format("graft")
+            .option("path", table.root).option("mode", mode).load()
+            .writeStream.option("checkpointLocation", s"$root/ckpt-$mode")
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+              delivered.addAndGet(b.count()); ()
+            })
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        sec
+      }
+      val tFull = drain("appends")
+      println(f"[streambench] appends full-history: rows=${delivered.get} in $tFull%.1f s " +
+        f"(${delivered.get / tFull}%.0f rows/s)")
+      val delta = SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = 0)
+      val metas = SeqIO.writeFiles(spark, table, delta.drop("_op"))
+      table.commit("append", metas, Set.empty)
+      delivered.set(0)
+      val tInc = drain("appends")
+      println(f"[streambench] appends incremental (10%% delta from checkpoint): " +
+        f"rows=${delivered.get} in $tInc%.1f s")
+      delivered.set(0)
+      val tCdc = drain("cdc")
+      println(f"[streambench] cdc cold full-diff: rows=${delivered.get} in $tCdc%.1f s")
+      locally {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(root)
+        if (Files.exists(p))
+          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("diffbench")) {
       // Changelog METADATA diff at the 10^6-file scale (the 10^7-file design claim's measured
       // stand-in, planner-bench discipline): a table with SPARK_GRAFT_DIFF_FILES carried
