@@ -587,6 +587,30 @@ object EngineQueries {
     sealAndReclaim(PortableSeq.content(delivered), table.root, sink)
   }
 
+  /** TAGS driver-green (q56): the portable table (v1) is tagged `release`, then churned with a
+    * merge and a full compaction and EXPIRED to keepLast=1 — every untagged old version is
+    * reclaimed, but the tagged version (snapshot, manifests, data files) is retention-pinned
+    * and must read back byte-identically. DuckDB predicts the ORIGINAL portable content: any
+    * file the expiry wrongly reclaimed (or any leak of post-tag churn into the pinned read)
+    * fails the hash.
+    */
+  def tags(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("tags"), port, (n / 500).toInt.max(10))
+    val vRelease = table.currentVersion()
+    table.createTag("release", vRelease)
+    MergeInto.merge(s, table, PortableSeq.changes(port), cfg, targetFor(n))
+    Rewrite.compactFiles(s, table, table.liveFiles(), cfg, targetFor(n))
+    val (expired, _) = table.expireSnapshots(keepLast = 1)
+    require(expired.nonEmpty && !expired.contains(vRelease),
+      "expiry must reclaim untagged versions and skip the tagged one")
+    require(table.snapshotVersions().contains(vRelease), "the tagged snapshot must survive")
+    sealAndReclaim(
+      PortableSeq.content(SeqIO.readAt(s, table, table.tags()("release"))), table.root)
+  }
+
   /** CSV sink + CSV source roundtrip (reference S5/S2 driver-green): a deterministic slice is
     * exported as the reference's `;`-delimited-array CSV convention, ingested back through the
     * CSV source into a fresh table, and read out — content must equal the slice exactly (the
@@ -752,6 +776,8 @@ object EngineQueries {
            |SELECT printf('s%09d', docnum), n_tok::BIGINT, source,
            |  md5(array_to_string(tokens, ','))
            |FROM port WHERE docnum%10 = 4""".stripMargin,
+      // the tagged version reads back as the ORIGINAL portable content after churn + expiry
+      "q56_engine_tags" -> portContentSql(reps),
       "q38_jdbc_roundtrip" ->
         s"""WITH port AS (${sql(reps)})
            |SELECT $contentColsSql FROM port WHERE docnum%40 = 0""".stripMargin,

@@ -105,13 +105,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((
       FunctionIdentifier("table_at"),
       info("table_at",
-        "table_at(tableDir STRING[, version BIGINT]) - table content pinned at a snapshot " +
-          "(merge-on-read deletes applied; default: current head)"),
+        "table_at(tableDir STRING[, version BIGINT | tag STRING]) - table content pinned at a " +
+          "snapshot or a named tag (merge-on-read deletes applied; default: current head)"),
       (args: Seq[Expression]) => {
         require(args.size >= 1 && args.size <= 2, s"table_at expects 1-2 arguments, got ${args.size}")
         val spark = org.apache.spark.sql.SparkSession.active
         val table = graft.table.SeqTable.load(strArg(args(0), "table_at"))
-        val v = if (args.size > 1) longArg(args(1), "table_at") else table.currentVersion()
+        val v =
+          if (args.size <= 1) table.currentVersion()
+          else args(1) match {
+            case Literal(t: UTF8String, _) => // a tag name: resolve the pinned version
+              table.tags().getOrElse(t.toString,
+                throw new IllegalArgumentException(s"table_at: no such tag '$t'"))
+            case other => longArg(other, "table_at")
+          }
         graft.table.SeqIO.readAt(spark, table, v).queryExecution.analyzed: LogicalPlan
       }))
     e.injectTableFunction((

@@ -290,6 +290,27 @@ object Maintain {
               s"${graft.sources.ChangeFeed.offsetOf(target, consumerId)})")
         }
 
+      case "tag" :: dir :: rest =>
+        // named snapshot refs, retention-pinned (expiry keeps tagged versions):
+        //   tag <dir>                 → list tags
+        //   tag <dir> <name> [vN]     → tag version N (default: head)
+        val table = SeqTable.load(dir)
+        rest match {
+          case name :: more =>
+            val v = more.headOption.map(_.toLong).getOrElse(-1L)
+            val snap = table.createTag(name, v)
+            println(s"[tag] $name → v${table.tags()(name)} (commit v${snap.version}; " +
+              "expiry keeps this version until untagged)")
+          case Nil =>
+            val t = table.tags().toSeq.sortBy(_._1)
+            println(s"[tag] ${if (t.isEmpty) "<none>" else t.map { case (n, v) => s"$n=v$v" }.mkString(", ")}")
+        }
+
+      case "untag" :: dir :: name :: _ =>
+        val table = SeqTable.load(dir)
+        val snap = table.dropTag(name)
+        println(s"[tag] dropped $name → v${snap.version} (pinned version reclaimable at next expiry)")
+
       case "evolve" :: dir :: rest =>
         // schema evolution, all metadata-only commits:
         //   evolve <dir>                      → print the current schema (+ name history)
@@ -336,6 +357,7 @@ object Maintain {
           "dedup <tableDir> [near] | consume <srcTableDir> <targetTableDir> <consumerId> | " +
           "layout <tableDir> [curve [sourceBuckets [ntokBinWidth]]] | " +
           "evolve <tableDir> [add <name> <type> | drop <name> | rename <old> <new>] | " +
+          "tag <tableDir> [name [version]] | untag <tableDir> <name> | " +
           "sql <statement>" +
           s"; got: $other")
         sys.exit(2)

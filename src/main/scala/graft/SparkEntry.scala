@@ -347,6 +347,7 @@ object SparkEntry {
     "q53_engine_schema_evolution" -> ((s, dir) => EngineQueries.schemaEvolution(s, dir)),
     "q54_engine_cdc_consume" -> ((s, dir) => EngineQueries.cdcConsume(s, dir)),
     "q55_engine_stream_source" -> ((s, dir) => EngineQueries.streamSource(s, dir)),
+    "q56_engine_tags" -> ((s, dir) => EngineQueries.tags(s, dir)),
     "q38_jdbc_roundtrip" -> ((s, dir) => EngineQueries.jdbcRoundtrip(s, dir)),
 
     "q33_image_roundtrip" -> ((s, dir) => {

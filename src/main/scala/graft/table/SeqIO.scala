@@ -454,7 +454,8 @@ object SeqIO {
   def expireSnapshotsDistributed(spark: SparkSession, table: SeqTable,
       keepLast: Int): (Seq[Long], Seq[String]) = {
     val versions = table.snapshotVersions()
-    val keep = versions.takeRight(math.max(1, keepLast)).toSet
+    // tagged versions are retention-pinned, same as the driver path (SeqTable.expireSnapshots)
+    val keep = versions.takeRight(math.max(1, keepLast)).toSet ++ table.taggedVersions()
     val expired = versions.filterNot(keep)
     if (expired.isEmpty) return (Nil, Nil)
 

@@ -391,7 +391,8 @@ final class SeqTable(val root: String) {
       expectedBase: Option[Long] = None,
       plannedDeleteManifests: Option[Set[String]] = None,
       propertyUpdates: Map[String, String] = Map.empty,
-      requireAbsentProperties: Seq[String] = Nil): Snapshot = {
+      requireAbsentProperties: Seq[String] = Nil,
+      propertyRemovals: Set[String] = Set.empty): Snapshot = {
     var attempt = 0
     while (true) {
       val base = currentSnapshot()
@@ -442,7 +443,7 @@ final class SeqTable(val root: String) {
           "total-files" -> (basePaths.size - removedPaths.size + added.size).toString),
         System.currentTimeMillis(),
         base.deleteManifests.filterNot(removedDeleteManifests) ++ addedDeleteManifests,
-        base.properties ++ propertyUpdates)
+        base.properties -- propertyRemovals ++ propertyUpdates)
       try {
         writeSnapshotFile(next)
         writeVersionHint(next.version)
@@ -599,14 +600,58 @@ final class SeqTable(val root: String) {
     Files.deleteIfExists(stagedFile); ()
   }
 
+  // ---------- tags (named snapshot refs) ----------
+
+  /** The head's tags: name → pinned snapshot version. Tags live in table properties
+    * (`tag.<name>`), so they are CAS-consistent (two racing createTag calls serialize through
+    * the commit loop), carried forward by every commit, and survive rollback — and BOTH
+    * snapshot-expiry paths keep every tagged version and everything it references
+    * (Iceberg tag refs + retention, public design): a tagged training-set release stays
+    * time-travelable until the tag is dropped, regardless of `keepLast`.
+    */
+  def tags(): Map[String, Long] =
+    currentSnapshot().properties.collect {
+      case (k, v) if k.startsWith("tag.") => k.stripPrefix("tag.") -> v.toLong
+    }
+
+  /** Tag a retained snapshot (default: the head) — a metadata-only commit. */
+  def createTag(name: String, version: Long = -1L): Snapshot = {
+    require(name.nonEmpty && !name.exists(c => c == ',' || c == '=' || c.isWhitespace),
+      s"createTag($name): tag names must be non-empty with no whitespace/','/'='")
+    val v = if (version < 0) currentVersion() else version
+    require(snapshotVersions().contains(v), s"createTag($name): version $v is not retained")
+    // the absent-property fence makes create-vs-create race-safe: the loser's rebase sees the
+    // winner's tag and refuses instead of silently repointing it
+    commit("tag", Nil, Set.empty, Map("tag" -> s"$name=v$v"),
+      propertyUpdates = Map(s"tag.$name" -> v.toString),
+      requireAbsentProperties = Seq(s"tag.$name"))
+  }
+
+  /** Drop a tag — the pinned version becomes reclaimable by the next expiry. */
+  def dropTag(name: String): Snapshot = {
+    require(tags().contains(name), s"dropTag($name): no such tag")
+    commit("untag", Nil, Set.empty, Map("tag" -> s"-$name"),
+      propertyRemovals = Set(s"tag.$name"))
+  }
+
+  /** Versions pinned by tags AND still present in the version chain (a tag whose snapshot file
+    * a PRE-TAGS build already expired must not wedge expiry forever).
+    */
+  private[table] def taggedVersions(): Set[Long] = {
+    val present = snapshotVersions().toSet
+    tags().values.toSet.intersect(present)
+  }
+
   // ---------- snapshot expiry ----------
 
-  /** Drop all but the newest `keepLast` snapshots; physically delete data files and manifests
-    * reachable only from expired snapshots. Returns (expired snapshot versions, deleted data files).
+  /** Drop all but the newest `keepLast` snapshots — PLUS every tagged version ([[tags]]), which
+    * stays fully readable (snapshot file, manifests, data files) until untagged; physically
+    * delete data files and manifests reachable only from expired snapshots. Returns (expired
+    * snapshot versions, deleted data files).
     */
   def expireSnapshots(keepLast: Int): (Seq[Long], Seq[String]) = {
     val versions = snapshotVersions()
-    val keep = versions.takeRight(math.max(1, keepLast)).toSet
+    val keep = versions.takeRight(math.max(1, keepLast)).toSet ++ taggedVersions()
     val expired = versions.filterNot(keep)
     if (expired.isEmpty) return (Nil, Nil)
 

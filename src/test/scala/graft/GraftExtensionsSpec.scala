@@ -91,6 +91,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
         assert(spark.sql(s"SELECT count(*) AS n FROM table_at('$root')").head.getLong(0) === 180)
         assert(spark.sql(s"SELECT count(*) AS n FROM table_at('$root', $v1)").head.getLong(0) === 120)
+        // time travel by TAG name: a string second argument resolves the pinned version
+        t.createTag("golden", v1)
+        assert(spark.sql(s"SELECT count(*) AS n FROM table_at('$root', 'golden')")
+          .head.getLong(0) === 120, "table_at must resolve a tag to its pinned version")
+        intercept[Exception](spark.sql(s"SELECT * FROM table_at('$root', 'nope')").head)
         val delta = spark.sql(
           s"SELECT doc_id FROM table_changes('$root', $v1) ORDER BY doc_id")
           .collect().map(_.getString(0)).toSeq
@@ -130,8 +135,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         val hist = spark.sql(
           s"SELECT version, operation, total_files FROM table_history('$root') ORDER BY version")
           .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-        assert(hist === Seq((0L, "create"), (1L, "append"), (2L, "append")),
-          s"table_history must mirror the snapshot lineage, got $hist")
+        assert(hist === Seq((0L, "create"), (1L, "append"), (2L, "append"), (3L, "tag")),
+          s"table_history must mirror the snapshot lineage (incl. the tag commit), got $hist")
       }
     } finally {
       // do not stop(): SparkContext is shared process-wide with the other suites
