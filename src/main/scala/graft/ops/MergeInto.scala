@@ -70,6 +70,13 @@ object MergeInto {
     val tableSchema = table.currentSchema()
     val chColsPresent = changes.columns.map(_.toLowerCase).toSet
     require(chColsPresent.contains("doc_id"), "merge: change set must carry doc_id")
+    // a change set still speaking a RENAMED column's old name must fail loudly — the null-fill
+    // below would silently drop its values (same contract as Ingest.conform)
+    val renamedTo = tableSchema.fields.flatMap(f =>
+      graft.table.SeqSchema.formerNames(f).map(n => n.toLowerCase -> f.name)).toMap
+    val stale = chColsPresent.intersect(renamedTo.keySet)
+    require(stale.isEmpty, s"merge: change set uses renamed column name(s): " +
+      stale.toSeq.sorted.map(n => s"'$n' (now '${renamedTo(n)}')").mkString(", "))
     val ch = (if (hasOp) changes else changes.withColumn("_op", lit("U")))
       .select(tableSchema.fields.toSeq.map { f =>
         (if (chColsPresent.contains(f.name)) col(f.name).cast(f.dataType)

@@ -29,6 +29,14 @@ object Ingest {
       if (split0.columns.contains("n_tok")) split0
       else split0.withColumn("n_tok", size(col("tokens")))
     val present = withNtok.columns.toSet
+    // a producer still writing a RENAMED column's old name must fail loudly: conform would
+    // otherwise silently drop its values and null-fill the current name (rename is metadata-only
+    // for the TABLE's files; incoming batches must speak the current schema)
+    val renamedTo = schema.fields.flatMap(f =>
+      graft.table.SeqSchema.formerNames(f).map(n => n.toLowerCase -> f.name)).toMap
+    val stale = present.intersect(renamedTo.keySet)
+    require(stale.isEmpty, s"input batch uses renamed column name(s): " +
+      stale.toSeq.sorted.map(n => s"'$n' (now '${renamedTo(n)}')").mkString(", "))
     withNtok.select(schema.fields.toSeq.map { f =>
       (if (present.contains(f.name)) col(f.name).cast(f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)

@@ -68,9 +68,11 @@ class EngineFuzzSpec extends AnyFunSuite {
       val pendingStages = scala.collection.mutable.Map.empty[String, Seq[(String, (Long, Int, String))]]
       // evolved (non-base) columns currently in the schema — drop targets
       val evolvedCols = scala.collection.mutable.ArrayBuffer.empty[String]
+      // live tags: name -> pinned version (validated for retention + content every step)
+      val liveTags = scala.collection.mutable.Map.empty[String, Long]
       for (_ <- 1 to fuzzSteps) {
         step += 1
-        val op = rnd.nextInt(14)
+        val op = rnd.nextInt(15)
         val tag = op match {
           case 0 | 1 => // merge (COW or MoR) with upserts + deletes
             val mor = op == 1
@@ -157,6 +159,21 @@ class EngineFuzzSpec extends AnyFunSuite {
                 table.addColumn(from, org.apache.spark.sql.types.StringType))
               s"rename-column($from->$to)"
             }
+          case 14 => // TAGS: pin the current version under a name, or drop one — a live tag's
+            // version must stay byte-identically readable through EVERY later op (incl. both
+            // expiry paths, which reap its untagged neighbors)
+            if (liveTags.size < 3 && (liveTags.isEmpty || rnd.nextBoolean())) {
+              val name = s"t$step"
+              table.createTag(name)
+              liveTags(name) = table.tags()(name)
+              intercept[Exception](table.createTag(name)) // duplicate create is CAS-fenced
+              s"tag($name=v${liveTags(name)})"
+            } else {
+              val name = liveTags.keys.toSeq.sorted.apply(rnd.nextInt(liveTags.size))
+              table.dropTag(name)
+              liveTags.remove(name)
+              s"untag($name)"
+            }
           case 12 => // LAYOUT EVOLUTION: declare a random writer layout — every later rewrite
             // follows it; content (the model) must be invariant under any clustering
             val l = graft.table.TableLayout(
@@ -241,6 +258,21 @@ class EngineFuzzSpec extends AnyFunSuite {
           val vs = table.snapshotVersions()
           assert(vs == vs.sorted && vs.distinct == vs && vs.last == snap.version,
             s"seed=$seed step=$step op=$tag: snapshot lineage corrupt: $vs")
+        }
+        // every live tag's pinned version must remain retained and read back exactly as the
+        // model looked when it was tagged (expiry reaps its untagged neighbors around it)
+        liveTags.foreach { case (name, v) =>
+          assert(table.tags().get(name).contains(v),
+            s"seed=$seed step=$step op=$tag: tag $name lost or repointed")
+          assert(table.snapshotVersions().contains(v),
+            s"seed=$seed step=$step op=$tag: tagged version v$v was expired")
+          import spark.implicits._
+          val got = SeqIO.readAt(spark, table, v)
+            .select(col("doc_id"), xxhash64(col("tokens")).as("th"), col("n_tok"), col("source"))
+            .as[(String, Long, Int, String)].collect()
+            .map { case (id, th, n, s) => id -> (th, n, s) }.toMap
+          assert(got === history(v),
+            s"seed=$seed step=$step op=$tag: tagged v$v content diverged from its history")
         }
         // outstanding WAP stages must survive every op (incl. expiry + manifest rewrites) and
         // stay OUT of the visible content until published

@@ -210,6 +210,20 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     // a genuinely fresh name is fine
     table.renameColumn("score", "quality")
     assert(table.currentSchema().fieldNames.toSeq === baseCols :+ "quality")
+
+    // a STALE PRODUCER still writing the old name must fail loudly — both on append (conform)
+    // and on merge (change-set normalization) — instead of silently null-filling the new name
+    val staleBatch = SeqGen.table(spark, 5, parts = 1)
+      .withColumn("doc_id", concat(lit("stale-"), col("doc_id")))
+      .withColumn("score", lit(1.0))
+    val eAppend = intercept[IllegalArgumentException](Ingest.append(spark, table, staleBatch))
+    assert(eAppend.getMessage.contains("'score' (now 'quality')"))
+    val eMerge = intercept[IllegalArgumentException](
+      MergeInto.merge(spark, table, staleBatch, cfg, 500))
+    assert(eMerge.getMessage.contains("'score' (now 'quality')"))
+    // the same batch speaking the CURRENT name goes through
+    Ingest.append(spark, table, staleBatch.withColumnRenamed("score", "quality"))
+    assert(SeqIO.read(spark, table).filter(col("quality") === 1.0).count() === 5)
   }
 
   test("rollback does not undo a schema change; MoR deletes work on evolved tables") {
