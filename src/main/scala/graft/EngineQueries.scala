@@ -611,6 +611,35 @@ object EngineQueries {
       PortableSeq.content(SeqIO.readAt(s, table, table.tags()("release"))), table.root)
   }
 
+  /** BRANCHES driver-green (q57): the portable table (v1) forks an `audit` branch; two re-keyed
+    * batches land as BRANCH commits — main must stay untouched in version AND content — the
+    * chain is audited through the branch read, then FAST-FORWARDED onto main as one commit.
+    * Final main content must equal port ∪ both branch batches (DuckDB): a leak into main, a
+    * lost branch commit, or a non-atomic publish all fail the hash.
+    */
+  def branches(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps).persist()
+    val n = port.count()
+    val table = fragmented(s, fresh("branch"), port, (n / 500).toInt.max(10))
+    val vBase = table.currentVersion()
+    table.createBranch("audit")
+    def rekey(m: Int, p: String) = port.filter(pmod(col("docnum"), lit(10)) === m)
+      .select(format_string(s"$p%09d", col("docnum")).as("doc_id"),
+        col("tokens"), col("n_tok"), col("source"))
+    graft.sources.Ingest.appendToBranch(s, table, "audit", rekey(1, "g"))
+    graft.sources.Ingest.appendToBranch(s, table, "audit", rekey(9, "h"))
+    port.unpersist()
+    require(table.currentVersion() == vBase && SeqIO.read(s, table).count() == n,
+      "branch commits leaked into main")
+    require(SeqIO.readBranch(s, table, "audit").count() > n,
+      "the branch audit read must see the whole chain")
+    table.fastForward("audit")
+    require(table.currentVersion() == vBase + 1, "publish must be exactly ONE main commit")
+    table.dropBranch("audit")
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
+  }
+
   /** CSV sink + CSV source roundtrip (reference S5/S2 driver-green): a deterministic slice is
     * exported as the reference's `;`-delimited-array CSV convention, ingested back through the
     * CSV source into a fresh table, and read out — content must equal the slice exactly (the
@@ -778,6 +807,18 @@ object EngineQueries {
            |FROM port WHERE docnum%10 = 4""".stripMargin,
       // the tagged version reads back as the ORIGINAL portable content after churn + expiry
       "q56_engine_tags" -> portContentSql(reps),
+      // main after the fast-forward = port ∪ both branch batches, each exactly once
+      "q57_engine_branches" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT $contentColsSql FROM port
+           |UNION ALL
+           |SELECT printf('g%09d', docnum), n_tok::BIGINT, source,
+           |  md5(array_to_string(tokens, ','))
+           |FROM port WHERE docnum%10 = 1
+           |UNION ALL
+           |SELECT printf('h%09d', docnum), n_tok::BIGINT, source,
+           |  md5(array_to_string(tokens, ','))
+           |FROM port WHERE docnum%10 = 9""".stripMargin,
       "q38_jdbc_roundtrip" ->
         s"""WITH port AS (${sql(reps)})
            |SELECT $contentColsSql FROM port WHERE docnum%40 = 0""".stripMargin,

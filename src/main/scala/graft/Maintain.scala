@@ -290,6 +290,39 @@ object Maintain {
               s"${graft.sources.ChangeFeed.offsetOf(target, consumerId)})")
         }
 
+      case "branch" :: dir :: rest =>
+        // write-audit-publish generalized to a chain (own CAS lineage, fast-forward publish):
+        //   branch <dir>                    → list branches (base → head)
+        //   branch <dir> create <name>      → fork from the main head
+        //   branch <dir> append <name> <pq> → append a parquet batch onto the branch
+        //   branch <dir> read <name>        → audit: branch-head row count
+        //   branch <dir> publish <name>     → fast-forward onto main (loud if main advanced)
+        //   branch <dir> drop <name>        → delete the chain (files become aged orphans)
+        val table = SeqTable.load(dir)
+        rest match {
+          case "create" :: name :: _ =>
+            val s = table.createBranch(name)
+            println(s"[branch] created $name at fork v${s.version}")
+          case "append" :: name :: pq :: _ =>
+            val s = graft.sources.Ingest.appendToBranch(spark, table, name,
+              spark.read.parquet(pq))
+            println(s"[branch] $name += $pq → branch v${s.version} (main untouched)")
+          case "read" :: name :: _ =>
+            println(s"[branch] $name head=v${table.branchHead(name).version} " +
+              s"rows=${SeqIO.readBranch(spark, table, name).count()}")
+          case "publish" :: name :: _ =>
+            val s = table.fastForward(name)
+            println(s"[branch] fast-forwarded $name → main v${s.version}")
+          case "drop" :: name :: _ =>
+            table.dropBranch(name)
+            println(s"[branch] dropped $name (unpublished files become aged orphans)")
+          case _ =>
+            val bs = table.branchNames()
+            println(s"[branch] ${if (bs.isEmpty) "<none>"
+              else bs.map(n => s"$n (v${table.branchBaseVersion(n)} → " +
+                s"v${table.branchHead(n).version})").mkString(", ")}")
+        }
+
       case "tag" :: dir :: rest =>
         // named snapshot refs, retention-pinned (expiry keeps tagged versions):
         //   tag <dir>                 → list tags
@@ -358,6 +391,7 @@ object Maintain {
           "layout <tableDir> [curve [sourceBuckets [ntokBinWidth]]] | " +
           "evolve <tableDir> [add <name> <type> | drop <name> | rename <old> <new>] | " +
           "tag <tableDir> [name [version]] | untag <tableDir> <name> | " +
+          "branch <tableDir> [create|append|read|publish|drop <name> [parquet]] | " +
           "sql <statement>" +
           s"; got: $other")
         sys.exit(2)

@@ -60,6 +60,15 @@ object Ingest {
     table.commit("append", metas, Set.empty)
   }
 
+  /** Append onto a BRANCH ([[SeqTable.createBranch]]): same write + conform, the commit lands on
+    * the branch's own CAS chain — main readers never see it until [[SeqTable.fastForward]].
+    */
+  def appendToBranch(spark: SparkSession, table: SeqTable, name: String,
+      df: DataFrame): Snapshot = {
+    val metas = SeqIO.writeFiles(spark, table, conform(df, table.currentSchema()))
+    table.commit("append", metas, Set.empty, ref = name)
+  }
+
   /** WRITE-AUDIT-PUBLISH append: materialize the batch and STAGE it ([[SeqTable.stageCommit]])
     * without touching the version chain — invisible to every reader until
     * `table.publishStaged(id)` adopts it (exactly once), or reclaimed by

@@ -250,6 +250,12 @@ object SeqIO {
     readWithDeletes(spark, table, snap, table.liveFiles(snap))
   }
 
+  /** Full read at a branch head — the audit view of the whole unpublished chain. */
+  def readBranch(spark: SparkSession, table: SeqTable, name: String): DataFrame = {
+    val snap = table.branchHead(name)
+    readWithDeletes(spark, table, snap, table.liveFiles(snap))
+  }
+
   /** AUDIT read of a staged (write-audit-publish) commit: the staged batch's rows in isolation —
     * quality gates / dedup checks run here BEFORE the batch becomes visible to anyone.
     */
@@ -454,8 +460,10 @@ object SeqIO {
   def expireSnapshotsDistributed(spark: SparkSession, table: SeqTable,
       keepLast: Int): (Seq[Long], Seq[String]) = {
     val versions = table.snapshotVersions()
-    // tagged versions are retention-pinned, same as the driver path (SeqTable.expireSnapshots)
-    val keep = versions.takeRight(math.max(1, keepLast)).toSet ++ table.taggedVersions()
+    // tagged + branch-fork versions are retention-pinned, same as the driver path
+    // (SeqTable.expireSnapshots)
+    val keep = versions.takeRight(math.max(1, keepLast)).toSet ++
+      table.taggedVersions() ++ table.branchPinnedVersions()
     val expired = versions.filterNot(keep)
     if (expired.isEmpty) return (Nil, Nil)
 

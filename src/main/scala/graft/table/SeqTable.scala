@@ -392,10 +392,13 @@ final class SeqTable(val root: String) {
       plannedDeleteManifests: Option[Set[String]] = None,
       propertyUpdates: Map[String, String] = Map.empty,
       requireAbsentProperties: Seq[String] = Nil,
-      propertyRemovals: Set[String] = Set.empty): Snapshot = {
+      propertyRemovals: Set[String] = Set.empty,
+      ref: String = ""): Snapshot = {
     var attempt = 0
     while (true) {
-      val base = currentSnapshot()
+      // ref = "" commits to MAIN; ref = <branchName> commits to that branch's own CAS chain
+      // (same rebase/conflict/carry-forward machinery, different head + snapshot namespace)
+      val base = if (ref.isEmpty) currentSnapshot() else branchHead(ref)
       // sequence-sensitive commits (MoR deletes embed seq = base+1) must not silently rebase
       expectedBase.foreach { v =>
         if (base.version != v)
@@ -445,8 +448,8 @@ final class SeqTable(val root: String) {
         base.deleteManifests.filterNot(removedDeleteManifests) ++ addedDeleteManifests,
         base.properties -- propertyRemovals ++ propertyUpdates)
       try {
-        writeSnapshotFile(next)
-        writeVersionHint(next.version)
+        writeSnapshotFile(next, ref)
+        if (ref.isEmpty) writeVersionHint(next.version)
         return next
       } catch {
         case _: FileAlreadyExistsException =>
@@ -459,13 +462,14 @@ final class SeqTable(val root: String) {
     throw new IllegalStateException("unreachable")
   }
 
-  private def writeSnapshotFile(s: Snapshot): Unit = {
+  private def writeSnapshotFile(s: Snapshot, ref: String = ""): Unit = {
     val tmp = Files.createTempFile(metaDir, ".tmp-snap", ".json")
     Files.writeString(tmp, Serialization.write(s))
     // the commit's compare-and-swap: hard-link creation is EEXIST-atomic (POSIX), unlike
     // Files.move without REPLACE_EXISTING whose exists-check+rename is a TOCTOU race — two
     // concurrent committers could both "win" and one commit would be silently lost
-    try Files.createLink(metaDir.resolve(s"v${s.version}.json"), tmp)
+    val name = if (ref.isEmpty) s"v${s.version}.json" else s"branch-$ref-v${s.version}.json"
+    try Files.createLink(metaDir.resolve(name), tmp)
     finally Files.deleteIfExists(tmp)
   }
 
@@ -600,6 +604,115 @@ final class SeqTable(val root: String) {
     Files.deleteIfExists(stagedFile); ()
   }
 
+  // ---------- branches (named WRITABLE refs) ----------
+
+  /** BRANCHES generalize write-audit-publish from one staged commit to a whole audited CHAIN:
+    * a branch is its own CAS snapshot lineage (`branch-<name>-v<K>.json`, versions continuing
+    * the main base's numbering) seeded from the main head it forked from. Any number of commits
+    * land on the branch through the SAME [[commit]] machinery (rebase, conflict checks,
+    * manifest carry-forward — `ref = name`), readers see it only via [[branchHead]]-pinned
+    * reads, and [[fastForward]] publishes the whole chain onto main atomically — refusing
+    * LOUDLY if main advanced past the fork point (Iceberg's fast-forward-only branch publish,
+    * public design). Branch-referenced data lives in the shared data/metadata dirs: branch
+    * manifests are invisible to main expiry (never reaped), the fork-point main version is
+    * retention-pinned like a tag ([[branchPinnedVersions]]), and [[removeOrphans]] treats every
+    * branch snapshot's files as referenced. [[dropBranch]] deletes the chain's snapshot files;
+    * its unpublished data files become age-guarded orphans.
+    */
+  private val BranchFileRe = "^branch-(.+)-v([0-9]+)\\.json$".r
+
+  def branchNames(): Seq[String] =
+    SeqTable.listDir(metaDir).iterator
+      .map(_.getFileName.toString)
+      .collect { case BranchFileRe(name, _) => name }
+      .toSeq.distinct.sorted
+
+  def branchVersions(name: String): Seq[Long] =
+    SeqTable.listDir(metaDir).iterator
+      .map(_.getFileName.toString)
+      .collect { case BranchFileRe(n, v) if n == name => v.toLong }
+      .toSeq.sorted
+
+  def branchSnapshot(name: String, version: Long): Snapshot =
+    Serialization.read[Snapshot](
+      Files.readString(metaDir.resolve(s"branch-$name-v$version.json")))
+
+  def branchHead(name: String): Snapshot = {
+    val vs = branchVersions(name)
+    require(vs.nonEmpty, s"branchHead($name): no such branch")
+    branchSnapshot(name, vs.max)
+  }
+
+  /** The MAIN version the branch forked from (its lowest snapshot is a copy of that head). */
+  def branchBaseVersion(name: String): Long = {
+    val vs = branchVersions(name)
+    require(vs.nonEmpty, s"branchBaseVersion($name): no such branch")
+    vs.min
+  }
+
+  /** Fork a branch from the current main head. Create-vs-create races lose cleanly on the
+    * EEXIST-atomic link of the seed snapshot.
+    */
+  def createBranch(name: String): Snapshot = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '.' || c == '-'),
+      s"createBranch($name): branch names are [A-Za-z0-9_.-]+")
+    require(branchVersions(name).isEmpty, s"createBranch($name): branch exists")
+    val base = currentSnapshot()
+    val seed = base.copy(operation = "branch",
+      summary = base.summary + ("branch-from" -> base.version.toString))
+    writeSnapshotFile(seed, ref = name) // EEXIST-atomic: a concurrent create fails loudly
+    seed
+  }
+
+  /** Publish the branch onto main: ONE atomic main commit adopting the branch head's manifests,
+    * delete manifests and properties. Requires main to still be AT the fork point — if anything
+    * committed to main since, this fails loudly (inside the CAS loop, so a racing main commit
+    * cannot slip between the check and the link) and the caller re-forks from the new head.
+    */
+  def fastForward(name: String): Snapshot = {
+    val head = branchHead(name)
+    val baseV = branchBaseVersion(name)
+    val totalFiles = liveFiles(head).size
+    while (true) {
+      val main = currentSnapshot()
+      require(main.version == baseV,
+        s"fastForward($name): main advanced to v${main.version} past the fork point v$baseV — " +
+          "recreate the branch from the new head and replay")
+      if (head.version == baseV) return main // empty branch: nothing to adopt
+      val next = Snapshot(main.version + 1, main.version, "fast-forward", head.manifests,
+        Map("fast-forward-branch" -> name,
+          "branch-commits" -> (head.version - baseV).toString,
+          "total-files" -> totalFiles.toString),
+        System.currentTimeMillis(), head.deleteManifests, head.properties)
+      try {
+        writeSnapshotFile(next)
+        writeVersionHint(next.version)
+        return next
+      } catch {
+        case _: FileAlreadyExistsException => // a main commit won the version: re-check (→ loud)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Delete the branch's snapshot chain. Unpublished branch data files lose their last
+    * reference and become [[removeOrphans]] candidates (age-guarded).
+    */
+  def dropBranch(name: String): Unit = {
+    val vs = branchVersions(name)
+    require(vs.nonEmpty, s"dropBranch($name): no such branch")
+    vs.foreach(v => Files.deleteIfExists(metaDir.resolve(s"branch-$name-v$v.json")))
+  }
+
+  /** Fork-point main versions of live branches, still present in the chain — retention-pinned
+    * by both expiry paths (the branch carries the fork head's manifests forward; reaping the
+    * fork version would delete shared manifests/files out from under the branch).
+    */
+  private[table] def branchPinnedVersions(): Set[Long] = {
+    val present = snapshotVersions().toSet
+    branchNames().map(branchBaseVersion).toSet.intersect(present)
+  }
+
   // ---------- tags (named snapshot refs) ----------
 
   /** The head's tags: name → pinned snapshot version. Tags live in table properties
@@ -651,7 +764,8 @@ final class SeqTable(val root: String) {
     */
   def expireSnapshots(keepLast: Int): (Seq[Long], Seq[String]) = {
     val versions = snapshotVersions()
-    val keep = versions.takeRight(math.max(1, keepLast)).toSet ++ taggedVersions()
+    val keep =
+      versions.takeRight(math.max(1, keepLast)).toSet ++ taggedVersions() ++ branchPinnedVersions()
     val expired = versions.filterNot(keep)
     if (expired.isEmpty) return (Nil, Nil)
 
@@ -694,9 +808,11 @@ final class SeqTable(val root: String) {
     */
   def removeOrphans(olderThanMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = {
     val now = System.currentTimeMillis()
-    // staged (write-audit-publish) commits reference real data files + manifests that no
-    // version-chain snapshot knows about — they are NOT orphans until the user discards them
-    val snaps = snapshotVersions().map(snapshot) ++ stagedIds().map(stagedSnapshot)
+    // staged (write-audit-publish) commits and BRANCH snapshots reference real data files +
+    // manifests that no main-chain snapshot knows about — they are NOT orphans until the user
+    // discards/drops them
+    val snaps = snapshotVersions().map(snapshot) ++ stagedIds().map(stagedSnapshot) ++
+      branchNames().flatMap(n => branchVersions(n).map(v => branchSnapshot(n, v)))
     val referenced = snaps.flatMap(liveFiles).map(_.path).toSet
     val dead = SeqTable.listDir(dataDir).iterator
       .filter(p => Files.isRegularFile(p))

@@ -1,0 +1,110 @@
+package graft.table
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.fixtures.SeqGen
+import graft.ops.MergeInto
+import graft.planner.GridConfig
+import graft.sources.Ingest
+
+/** Branches — write-audit-publish generalized to a CHAIN: commits land on a branch's own CAS
+  * lineage invisibly to main, the whole chain publishes atomically via fast-forward (refusing
+  * loudly if main advanced past the fork), the fork-point version is retention-pinned like a
+  * tag, and branch data files are orphan-protected until the branch is dropped.
+  */
+class BranchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val cfg = GridConfig()
+
+  private def fresh(tag: String): String =
+    Files.createTempDirectory(s"branch-$tag-").toString + "/t"
+
+  private def hashOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val h = df.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))"), lit(0L))).head()
+    (h.getLong(0), h.getLong(1))
+  }
+
+  private def batch(prefix: String, n: Long) = SeqGen.table(spark, n, parts = 1)
+    .withColumn("doc_id", concat(lit(prefix), col("doc_id")))
+
+  test("branch lifecycle: invisible multi-commit chain, fast-forward publishes atomically") {
+    val (table, _) = SeqGen.fragmentedTable(spark, fresh("life"), 600, 5)
+    val vBase = table.currentVersion()
+    val mainBefore = hashOf(SeqIO.read(spark, table))
+
+    table.createBranch("audit")
+    assert(table.branchNames() === Seq("audit"))
+    Ingest.appendToBranch(spark, table, "audit", batch("a-", 40))
+    Ingest.appendToBranch(spark, table, "audit", batch("b-", 30))
+    // main: untouched in version AND content; branch: base ∪ both commits
+    assert(table.currentVersion() === vBase, "branch commits must not advance main")
+    assert(hashOf(SeqIO.read(spark, table)) === mainBefore)
+    val br = SeqIO.readBranch(spark, table, "audit")
+    assert(br.count() === 670)
+    assert(table.branchHead("audit").version === vBase + 2)
+
+    // publish: ONE main commit adopting the chain; content becomes the branch head's
+    val ff = table.fastForward("audit")
+    assert(ff.version === vBase + 1 && ff.operation === "fast-forward")
+    assert(hashOf(SeqIO.read(spark, table)) === hashOf(br))
+    assert(table.currentVersion() === vBase + 1)
+
+    // an empty branch fast-forwards as a no-op
+    table.createBranch("empty")
+    assert(table.fastForward("empty").version === table.currentVersion())
+    table.dropBranch("audit"); table.dropBranch("empty")
+    assert(table.branchNames().isEmpty)
+    intercept[IllegalArgumentException](table.branchHead("audit"))
+    intercept[IllegalArgumentException](table.dropBranch("audit"))
+  }
+
+  test("fast-forward refuses loudly when main advanced past the fork point") {
+    val (table, _) = SeqGen.fragmentedTable(spark, fresh("race"), 300, 3)
+    table.createBranch("audit")
+    intercept[Exception](table.createBranch("audit")) // EEXIST-atomic duplicate create
+    Ingest.appendToBranch(spark, table, "audit", batch("x-", 20))
+    Ingest.append(spark, table, batch("m-", 10)) // main moves on
+    val e = intercept[IllegalArgumentException](table.fastForward("audit"))
+    assert(e.getMessage.contains("advanced"), s"got: ${e.getMessage}")
+    // recovery: re-fork from the new head and replay, then publish
+    table.dropBranch("audit")
+    table.createBranch("audit")
+    Ingest.appendToBranch(spark, table, "audit", batch("x-", 20))
+    table.fastForward("audit")
+    assert(SeqIO.read(spark, table).filter(col("doc_id").startsWith("x-")).count() === 20)
+  }
+
+  test("the fork-point version is retention-pinned on both expiry paths; drop releases it") {
+    val (table, _) = SeqGen.fragmentedTable(spark, fresh("pin"), 500, 4)
+    val vBase = table.currentVersion()
+    table.createBranch("slow-audit")
+    Ingest.appendToBranch(spark, table, "slow-audit", batch("s-", 25))
+    val brHash = hashOf(SeqIO.readBranch(spark, table, "slow-audit"))
+
+    // churn main way past keepLast, expire on BOTH paths: the fork version must survive
+    (1 to 3).foreach { _ =>
+      val c = SeqGen.changeSet(spark, 500, changes = 80, deletes = 20).persist()
+      MergeInto.merge(spark, table, c, cfg, 500); c.unpersist()
+    }
+    val (e1, _) = table.expireSnapshots(keepLast = 1)
+    assert(e1.nonEmpty && !e1.contains(vBase), "driver expiry must pin the fork version")
+    val c = SeqGen.changeSet(spark, 500, changes = 40, deletes = 0).persist()
+    MergeInto.merge(spark, table, c, cfg, 500); c.unpersist()
+    val (e2, _) = SeqIO.expireSnapshotsDistributed(spark, table, keepLast = 1)
+    assert(!e2.contains(vBase), "distributed expiry must pin the fork version")
+    assert(hashOf(SeqIO.readBranch(spark, table, "slow-audit")) === brHash,
+      "the branch must stay byte-identically readable through expiry churn")
+
+    // orphan sweep must spare branch files while the branch lives, reap them after drop
+    assert(table.removeOrphans(olderThanMs = 0L).isEmpty,
+      "orphan sweep must spare live-branch files")
+    table.dropBranch("slow-audit")
+    assert(table.removeOrphans(olderThanMs = 0L).nonEmpty,
+      "dropped-branch files must become reapable orphans")
+    val (e3, _) = table.expireSnapshots(keepLast = 1)
+    assert(e3.contains(vBase), "dropping the branch releases the fork version to expiry")
+  }
+}
