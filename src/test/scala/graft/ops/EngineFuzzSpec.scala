@@ -11,13 +11,16 @@ import graft.table.{SeqIO, SeqTable}
 
 /** Randomized engine torture: a seeded random sequence of lifecycle operations (COW merge,
   * MoR merge, compaction cycle, delete materialization, manifest rewrite — driver AND
-  * distributed, snapshot expiry, STREAMING APPEND, ROLLBACK, WAP STAGE/PUBLISH/DISCARD) against
+  * distributed, snapshot expiry, STREAMING APPEND, ROLLBACK, WAP STAGE/PUBLISH/DISCARD,
+  * SCHEMA EVOLUTION add/drop/rename, LAYOUT declaration, TAGS, BRANCH fork/publish) against
   * an in-memory model of the table's logical content. After EVERY op the physical table must
   * match the model exactly on (doc_id, token checksum, n_tok, source); once a stream has
   * appended, the streaming high-water-mark table property must survive every subsequent op —
   * the exact interleaving (stream → rewrite-manifests → expiry) where the round-4
-  * properties-drop bug hid; and outstanding write-audit-publish stages must stay invisible yet
-  * alive (no op may reap or leak them) until their own publish/discard step.
+  * properties-drop bug hid; outstanding write-audit-publish stages must stay invisible yet
+  * alive (no op may reap or leak them) until their own publish/discard step; live tags must
+  * stay pinned, retained and byte-identical to their history; and an outstanding branch must
+  * stay intact, fork-pinned and invisible until its own publish (or loud stale refusal).
   */
 class EngineFuzzSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -70,9 +73,11 @@ class EngineFuzzSpec extends AnyFunSuite {
       val evolvedCols = scala.collection.mutable.ArrayBuffer.empty[String]
       // live tags: name -> pinned version (validated for retention + content every step)
       val liveTags = scala.collection.mutable.Map.empty[String, Long]
+      // one outstanding branch: (name, fork main version, the branch batch's model rows)
+      var pendingBranch: Option[(String, Long, Seq[(String, (Long, Int, String))])] = None
       for (_ <- 1 to fuzzSteps) {
         step += 1
-        val op = rnd.nextInt(15)
+        val op = rnd.nextInt(16)
         val tag = op match {
           case 0 | 1 => // merge (COW or MoR) with upserts + deletes
             val mor = op == 1
@@ -158,6 +163,36 @@ class EngineFuzzSpec extends AnyFunSuite {
               intercept[IllegalArgumentException](
                 table.addColumn(from, org.apache.spark.sql.types.StringType))
               s"rename-column($from->$to)"
+            }
+          case 15 => // BRANCHES: fork + branch-append (invisible to main/model), then on a later
+            // step publish via fast-forward IF main is still at the fork (content adopts the
+            // chain) — or assert the LOUD stale refusal and drop (main advanced in between)
+            pendingBranch match {
+              case None =>
+                val name = s"br$step"
+                val fork = table.currentVersion()
+                table.createBranch(name)
+                val b = SeqGen.table(spark, 20, parts = 1)
+                  .withColumn("doc_id", concat(lit(s"br$step-"), col("doc_id"))).persist()
+                graft.sources.Ingest.appendToBranch(spark, table, name, b)
+                pendingBranch = Some((name, fork, modelOf(b).map { case (k, v, _) => (k, v) }))
+                b.unpersist()
+                assert(table.currentVersion() == fork,
+                  "a branch commit must not advance main")
+                s"branch-fork($name@v$fork)" // model untouched: branch commits are invisible
+              case Some((name, fork, rows)) =>
+                val out =
+                  if (table.currentVersion() == fork) {
+                    table.fastForward(name)
+                    rows.foreach { case (k, v) => model(k) = v }
+                    s"branch-publish($name)"
+                  } else {
+                    intercept[IllegalArgumentException](table.fastForward(name))
+                    s"branch-stale-drop($name)"
+                  }
+                table.dropBranch(name)
+                pendingBranch = None
+                out
             }
           case 14 => // TAGS: pin the current version under a name, or drop one — a live tag's
             // version must stay byte-identically readable through EVERY later op (incl. both
@@ -273,6 +308,16 @@ class EngineFuzzSpec extends AnyFunSuite {
             .map { case (id, th, n, s) => id -> (th, n, s) }.toMap
           assert(got === history(v),
             s"seed=$seed step=$step op=$tag: tagged v$v content diverged from its history")
+        }
+        // an outstanding branch must survive every op: chain intact, fork version pinned from
+        // expiry, and its rows NEVER visible on main before its own publish step
+        pendingBranch.foreach { case (name, fork, rows) =>
+          assert(table.branchNames().contains(name),
+            s"seed=$seed step=$step op=$tag: pending branch $name vanished")
+          assert(table.snapshotVersions().contains(fork),
+            s"seed=$seed step=$step op=$tag: branch fork v$fork was expired")
+          assert(rows.forall { case (k, _) => !model.contains(k) },
+            s"seed=$seed step=$step op=$tag: branch rows leaked into the model")
         }
         // outstanding WAP stages must survive every op (incl. expiry + manifest rewrites) and
         // stay OUT of the visible content until published
