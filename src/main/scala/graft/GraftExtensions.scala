@@ -145,6 +145,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifests), so it is safe at 10^7 files; table_history is driver-side by nature (one row
     // per RETAINED snapshot — bounded by expiry, the same files the commit protocol reads).
     e.injectTableFunction((
+      FunctionIdentifier("table_branch"),
+      info("table_branch",
+        "table_branch(tableDir STRING, name STRING) - full read at a branch head: the audit " +
+          "view of the branch's unpublished commit chain (lazy, merge-on-read deletes applied)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, s"table_branch expects 2 arguments, got ${args.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val table = graft.table.SeqTable.load(strArg(args(0), "table_branch"))
+        graft.table.SeqIO.readBranch(spark, table, strArg(args(1), "table_branch"))
+          .queryExecution.analyzed: LogicalPlan
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("table_scan"),
       info("table_scan",
         "table_scan(tableDir STRING, source STRING, ntokMin INT, ntokMax INT) - manifest-pruned " +

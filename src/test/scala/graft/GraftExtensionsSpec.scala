@@ -96,6 +96,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
         assert(spark.sql(s"SELECT count(*) AS n FROM table_at('$root', 'golden')")
           .head.getLong(0) === 120, "table_at must resolve a tag to its pinned version")
         intercept[Exception](spark.sql(s"SELECT * FROM table_at('$root', 'nope')").head)
+        // branch audit from SQL: the head of the unpublished chain, invisible to table_at
+        t.createBranch("qa")
+        graft.sources.Ingest.appendToBranch(spark, t, "qa", SeqGen.table(spark, 15, parts = 1)
+          .withColumn("doc_id", org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("q-"),
+            org.apache.spark.sql.functions.col("doc_id"))))
+        assert(spark.sql(s"SELECT count(*) AS n FROM table_branch('$root', 'qa')")
+          .head.getLong(0) === 195, "table_branch must read the branch head")
+        assert(spark.sql(s"SELECT count(*) AS n FROM table_at('$root')").head.getLong(0) === 180,
+          "branch commits must stay invisible to main reads")
+        t.dropBranch("qa")
         val delta = spark.sql(
           s"SELECT doc_id FROM table_changes('$root', $v1) ORDER BY doc_id")
           .collect().map(_.getString(0)).toSeq
