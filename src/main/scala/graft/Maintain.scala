@@ -118,6 +118,36 @@ object Maintain {
         println(s"[demo] cdc-consume: mirrored $mirrored rows into $dir-mirror " +
           s"(offset ${graft.sources.ChangeFeed.offsetOf(mirror, "demo")}, replay = no-op)")
 
+        // tag the mirrored state (retention-pinned), then prove a branch chain publishes
+        // atomically and stays invisible until it does
+        val vTagged = table.currentVersion()
+        table.createTag("demo-release")
+        println(s"[demo] tag: demo-release → v$vTagged (expiry keeps it until untagged)")
+        table.createBranch("demo-audit")
+        val brBatch = SeqGen.table(spark, 300, parts = 1)
+          .withColumn("doc_id", concat(lit("br-"), col("doc_id")))
+        graft.sources.Ingest.appendToBranch(spark, table, "demo-audit", brBatch)
+        require(SeqIO.read(spark, table).count() == preWap, "branch commit leaked into main")
+        val brRows = SeqIO.readBranch(spark, table, "demo-audit").count()
+        table.fastForward("demo-audit")
+        table.dropBranch("demo-audit")
+        require(SeqIO.read(spark, table).count() == preWap + 300,
+          "fast-forward must adopt the branch chain")
+        println(s"[demo] branch: demo-audit forked, +300 rows invisible (audit saw $brRows), " +
+          s"fast-forwarded → v${table.currentVersion()}")
+
+        // the table as a streaming source: the appended history arrives through
+        // spark.readStream.format("graft") exactly once
+        val streamed = new java.util.concurrent.atomic.AtomicLong
+        val sq = spark.readStream.format("graft").option("path", table.root).load()
+          .writeStream.option("checkpointLocation", s"$dir-stream-ckpt")
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+            streamed.addAndGet(b.count()); ()
+          }).start()
+        try sq.processAllAvailable() finally sq.stop()
+        println(s"[demo] stream-source: readStream delivered ${streamed.get} appended rows " +
+          "(versions as offsets)")
+
         go = true
         while (go) { // post-merge maintenance
           val report = MaintenanceRunner.runCycle(spark, table, cfg, opts.copy(k = 16), ckpt)
