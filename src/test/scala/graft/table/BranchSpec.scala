@@ -77,6 +77,38 @@ class BranchSpec extends AnyFunSuite {
     assert(SeqIO.read(spark, table).filter(col("doc_id").startsWith("x-")).count() === 20)
   }
 
+  test("concurrent branch appends all land exactly once through the per-branch CAS rebase") {
+    val (table, _) = SeqGen.fragmentedTable(spark, fresh("cas"), 200, 2)
+    val fork = table.currentVersion()
+    table.createBranch("hot")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    val gate = new CountDownLatch(1)
+    val done = new CountDownLatch(4)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 4).foreach { i =>
+      val b = batch(s"c$i-", 10).persist(); b.count()
+      pool.execute(() => {
+        gate.await(30, TimeUnit.SECONDS)
+        try Ingest.appendToBranch(spark, table, "hot", b)
+        catch { case t: Throwable => failures.add(t) }
+        finally { b.unpersist(); done.countDown() }
+      })
+    }
+    gate.countDown()
+    assert(done.await(300, TimeUnit.SECONDS), "branch appends must finish")
+    pool.shutdown()
+    assert(failures.isEmpty, s"concurrent branch appends must all succeed: ${failures.peek()}")
+    assert(table.branchHead("hot").version === fork + 4,
+      "each racer must land as its own branch commit (CAS rebase, no lost commits)")
+    val ids = SeqIO.readBranch(spark, table, "hot")
+      .filter(col("doc_id").rlike("^c[1-4]-")).count()
+    assert(ids === 40, "every racer's batch lands exactly once")
+    assert(table.currentVersion() === fork, "main must be untouched by the race")
+    table.fastForward("hot")
+    assert(SeqIO.read(spark, table).count() === 240)
+  }
+
   test("the fork-point version is retention-pinned on both expiry paths; drop releases it") {
     val (table, _) = SeqGen.fragmentedTable(spark, fresh("pin"), 500, 4)
     val vBase = table.currentVersion()
