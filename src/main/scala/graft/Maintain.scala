@@ -320,6 +320,15 @@ object Maintain {
               s"${graft.sources.ChangeFeed.offsetOf(target, consumerId)})")
         }
 
+      case "orphans" :: dir :: rest =>
+        // reclaim crash-stranded data files no snapshot/stage/branch references (age-guarded;
+        // default 3 days — the guard must exceed the longest write-before-commit duration)
+        val table = SeqTable.load(dir)
+        val olderThanMs = rest.headOption.map(_.toLong).getOrElse(3L * 24 * 3600 * 1000)
+        val gone = table.removeOrphans(olderThanMs)
+        println(s"[orphans] removed ${gone.size} file(s) older than ${olderThanMs}ms" +
+          (if (gone.isEmpty) "" else s": ${gone.take(5).mkString(", ")}${if (gone.size > 5) " …" else ""}"))
+
       case "branch" :: dir :: rest =>
         // write-audit-publish generalized to a chain (own CAS lineage, fast-forward publish):
         //   branch <dir>                    → list branches (base → head)
@@ -420,7 +429,7 @@ object Maintain {
           "dedup <tableDir> [near] | consume <srcTableDir> <targetTableDir> <consumerId> | " +
           "layout <tableDir> [curve [sourceBuckets [ntokBinWidth]]] | " +
           "evolve <tableDir> [add <name> <type> | drop <name> | rename <old> <new>] | " +
-          "tag <tableDir> [name [version]] | untag <tableDir> <name> | " +
+          "tag <tableDir> [name [version]] | untag <tableDir> <name> | orphans <tableDir> [olderThanMs] | " +
           "branch <tableDir> [create|append|read|publish|drop <name> [parquet]] | " +
           "sql <statement>" +
           s"; got: $other")
