@@ -29,7 +29,10 @@ import graft.table.{SeqIO, SeqTable}
   *
   * `startingVersion` = number (default 0 — full history) | `latest` (only commits after the
   * FIRST start; the resolved version is pinned under the query's own metadata dir so restarts
-  * from the checkpoint keep the original meaning). The schema is pinned at stream start (Spark
+  * from the checkpoint keep the original meaning). `maxVersionsPerTrigger` = N caps each
+  * micro-batch at N commits (best-effort, Delta's maxFilesPerTrigger contract) — the backfill
+  * of a huge table streams as bounded batches instead of one. The schema is pinned at stream
+  * start (Spark
   * streams are fixed-schema): columns added to the table mid-stream are dropped until restart,
   * dropped ones null-fill — Delta's contract.
   *
@@ -60,8 +63,11 @@ class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
       case Some(v) => v.toLong
       case None => 0L
     }
+    val maxVersions = parameters.get("maxversionspertrigger")
+      .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toLong)
+    require(maxVersions.forall(_ > 0), "graft source: maxVersionsPerTrigger must be > 0")
     new GraftTableSource(sqlContext.sparkSession, table, mode, starting,
-      streamSchema(table, mode))
+      streamSchema(table, mode), maxVersions)
   }
 
   /** `startingVersion=latest` means "commits after the FIRST start of this query" — createSource
@@ -113,7 +119,8 @@ object GraftTableSource {
 }
 
 class GraftTableSource(spark: SparkSession, table: SeqTable, mode: String,
-    startingVersion: Long, pinned: StructType) extends Source {
+    startingVersion: Long, pinned: StructType,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
   import GraftTableSource._
 
   override def schema: StructType = pinned
@@ -126,14 +133,26 @@ class GraftTableSource(spark: SparkSession, table: SeqTable, mode: String,
     case other => other.json.trim.toLong
   }
 
+  /** Rate-limit floor: the highest version this source has handed to a batch. Advanced by
+    * getBatch (including the recovery replay, whose START is the offset log's truth — so a
+    * restart can never re-deliver below the checkpoint even though this field starts cold).
+    */
+  @volatile private var floor: Long = startingVersion
+
   override def getOffset: Option[Offset] = {
     val head = table.currentVersion() // re-reads the version pointer: no driver-side staleness
-    if (head <= startingVersion) None else Some(LongOffset(head))
+    // maxVersionsPerTrigger caps each micro-batch at N COMMITS past the floor — batch 0 of a
+    // 10^12-row table must be a sequence of bounded batches, not one giant one. Best-effort
+    // (Delta's maxFilesPerTrigger contract): the post-restart first batch may exceed the cap
+    // once, because the committed offset lives in Spark's log, not here.
+    val capped = maxVersionsPerTrigger.map(m => math.min(head, floor + m)).getOrElse(head)
+    if (capped <= math.max(startingVersion, floor)) None else Some(LongOffset(capped))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
+    floor = math.max(floor, math.max(from, to))
     val raw = mode match {
       case ModeAppends =>
         if (from >= to) SeqIO.readAppendedBetween(spark, table, to, to) // empty, schema-correct

@@ -109,6 +109,24 @@ class TableStreamSpec extends AnyFunSuite {
     changes.unpersist()
   }
 
+  test("maxVersionsPerTrigger splits the backfill into bounded micro-batches") {
+    val root = fresh("rate")
+    val (table, _) = SeqGen.fragmentedTable(spark, s"$root/t", 100, 2) // v1
+    (1 to 3).foreach { i => // v2..v4: three more append commits
+      append(table, SeqGen.changeSet(spark, 100 + i, changes = 20, deletes = 0).drop("_op"))
+    }
+    val got = mutable.Buffer.empty[(Long, Seq[Row])]
+    val stream = spark.readStream.format("graft").option("path", table.root)
+      .option("maxVersionsPerTrigger", "1").load().select("doc_id")
+    drain(stream, s"$root/ckpt")(got)
+    // 4 commits × cap 1 → exactly 4 micro-batches, union identical to the unthrottled read
+    assert(got.size === 4, s"4 commits at cap 1 must arrive as 4 batches, got ${got.size}")
+    assert(got.forall(_._2.nonEmpty), "every throttled batch must carry its commit's rows")
+    val all = got.flatMap(_._2).map(_.getString(0))
+    assert(all.size === SeqIO.read(spark, table).count(),
+      "the throttled union must equal the table (no loss, no duplicates)")
+  }
+
   test("startingVersion=latest skips history; a later append still arrives") {
     val root = fresh("latest")
     val (table, _) = SeqGen.fragmentedTable(spark, s"$root/t", 100, 2)
