@@ -219,6 +219,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "n_manifests", "n_delete_manifests", "total_files")
         out.queryExecution.analyzed: LogicalPlan
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("table_refs"),
+      info("table_refs",
+        "table_refs(tableDir STRING) - named refs: tags (kind='tag', retention-pinned version) " +
+          "and branches (kind='branch', fork base → head)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, s"table_refs expects 1 argument, got ${args.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        val table = graft.table.SeqTable.load(strArg(args(0), "table_refs"))
+        val tags = table.tags().toSeq.map { case (n, v) => ("tag", n, v, v) }
+        val branches = table.branchNames().map(n =>
+          ("branch", n, table.branchBaseVersion(n), table.branchHead(n).version))
+        val out = (tags ++ branches).sortBy(r => (r._1, r._2))
+          .toDF("kind", "name", "base_version", "head_version")
+        out.queryExecution.analyzed: LogicalPlan
+      }))
     e.injectFunction((
       FunctionIdentifier("lsh_buckets"),
       info("lsh_buckets",

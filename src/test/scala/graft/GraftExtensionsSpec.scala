@@ -106,6 +106,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .head.getLong(0) === 195, "table_branch must read the branch head")
         assert(spark.sql(s"SELECT count(*) AS n FROM table_at('$root')").head.getLong(0) === 180,
           "branch commits must stay invisible to main reads")
+        // refs observability: tags and branches with their pinned/base/head versions
+        val refs = spark.sql(s"SELECT kind, name, base_version, head_version " +
+            s"FROM table_refs('$root') ORDER BY kind, name")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+        assert(refs === Seq(("branch", "qa", 3L, 4L), ("tag", "golden", v1, v1)),
+          s"table_refs must list both ref kinds, got $refs")
         t.dropBranch("qa")
         val delta = spark.sql(
           s"SELECT doc_id FROM table_changes('$root', $v1) ORDER BY doc_id")
