@@ -611,6 +611,39 @@ object EngineQueries {
       PortableSeq.content(SeqIO.readAt(s, table, table.tags()("release"))), table.root)
   }
 
+  /** STREAMING CDC SOURCE driver-green (q58): the table is consumed in `mode=cdc` through
+    * `spark.readStream.format("graft")` across two checkpointed runs — full history as I rows,
+    * then a MERGE's net D/I delta — into an append-mode parquet sink. The final state is
+    * reconstructed as delivered I rows `exceptAll` delivered D rows (multiset semantics: an
+    * updated row's old image cancels, its new image survives) and must equal DuckDB's
+    * post-merge prediction — wrong/missing/duplicated change rows all fail the hash.
+    */
+  def streamCdc(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("streamcdc"), port, (n / 500).toInt.max(10))
+    val scratch = Files.createTempDirectory("graft-streamcdc-").toString
+    val sink = s"$scratch/rows"
+    def drain(): Unit = {
+      val q = s.readStream.format("graft")
+        .option("path", table.root).option("mode", "cdc").load()
+        .writeStream.option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch((b: DataFrame, _: Long) => b.write.mode("append").parquet(sink))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // run 1: the full history as I rows
+    MergeInto.merge(s, table, PortableSeq.changes(port), cfg, targetFor(n))
+    drain() // run 2: the merge's NET D/I delta only
+    val delivered = s.read.parquet(sink)
+    require(delivered.filter(col("change_type") === "D").count() > 0,
+      "the merge's deletes and update-old-images must surface as D rows")
+    val state = delivered.filter(col("change_type") === "I").drop("change_type")
+      .exceptAll(delivered.filter(col("change_type") === "D").drop("change_type"))
+    sealAndReclaim(PortableSeq.content(state), table.root, sink)
+  }
+
   /** BRANCHES driver-green (q57): the portable table (v1) forks an `audit` branch; two re-keyed
     * batches land as BRANCH commits — main must stay untouched in version AND content — the
     * chain is audited through the branch read, then FAST-FORWARDED onto main as one commit.
@@ -807,6 +840,8 @@ object EngineQueries {
            |FROM port WHERE docnum%10 = 4""".stripMargin,
       // the tagged version reads back as the ORIGINAL portable content after churn + expiry
       "q56_engine_tags" -> portContentSql(reps),
+      // the cdc stream's cumulative I \ D multiset reconstructs the post-merge state
+      "q58_engine_stream_cdc" -> mergedContentSql(reps),
       // main after the fast-forward = port ∪ both branch batches, each exactly once
       "q57_engine_branches" ->
         s"""WITH port AS (${sql(reps)})

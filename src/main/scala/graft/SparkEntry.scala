@@ -349,6 +349,7 @@ object SparkEntry {
     "q55_engine_stream_source" -> ((s, dir) => EngineQueries.streamSource(s, dir)),
     "q56_engine_tags" -> ((s, dir) => EngineQueries.tags(s, dir)),
     "q57_engine_branches" -> ((s, dir) => EngineQueries.branches(s, dir)),
+    "q58_engine_stream_cdc" -> ((s, dir) => EngineQueries.streamCdc(s, dir)),
     "q38_jdbc_roundtrip" -> ((s, dir) => EngineQueries.jdbcRoundtrip(s, dir)),
 
     "q33_image_roundtrip" -> ((s, dir) => {
