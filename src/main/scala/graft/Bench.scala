@@ -694,8 +694,12 @@ object Bench {
       val pBefore = hostProbe2(spark)
       val (results, mb, failed, pMid) = runOnce()
       val pAfter = hostProbe2(spark)
-      if (best == null || results.values.sum < best._1.values.sum)
-        best = (results, mb, failed, pBefore, pMid, pAfter)
+      // best attempt = fewest FAILED queries first, then smallest total: a crashed query
+      // contributes no timing row, so comparing sums alone would prefer a broken attempt
+      // (smaller sum by omission) over a clean one
+      val better = best == null || failed.size < best._3.size ||
+        (failed.size == best._3.size && results.values.sum < best._1.values.sum)
+      if (better) best = (results, mb, failed, pBefore, pMid, pAfter)
       val all = Seq(pBefore, pMid, pAfter)
       healthy = all.map(_._1).max <= probeMax && all.map(_._2).max <= probe32Max &&
         all.map(_._3).max <= probeDiskMax

@@ -60,7 +60,8 @@ object MergeInto {
       mor: Boolean = false,
       auto: Boolean = false,
       autoMorFraction: Double = 0.3,
-      propertyUpdates: Map[String, String] = Map.empty): MergeResult = {
+      propertyUpdates: Map[String, String] = Map.empty,
+      requirePropertyEquals: Map[String, Option[String]] = Map.empty): MergeResult = {
     val hasOp = changes.columns.contains("_op")
     // normalize the change set to the table's CURRENT schema (fixed once for the whole merge):
     // columns the change set doesn't carry null-fill — a 4-column change set merges cleanly
@@ -72,17 +73,19 @@ object MergeInto {
     require(chColsPresent.contains("doc_id"), "merge: change set must carry doc_id")
     // a change set still speaking a RENAMED column's old name must fail loudly — the null-fill
     // below would silently drop its values (same contract as Ingest.conform)
-    val renamedTo = tableSchema.fields.flatMap(f =>
-      graft.table.SeqSchema.formerNames(f).map(n => n.toLowerCase -> f.name)).toMap
-    val stale = chColsPresent.intersect(renamedTo.keySet)
-    require(stale.isEmpty, s"merge: change set uses renamed column name(s): " +
-      stale.toSeq.sorted.map(n => s"'$n' (now '${renamedTo(n)}')").mkString(", "))
+    graft.table.SeqSchema.requireNoStaleNames(tableSchema, chColsPresent, "merge: change set")
     val ch = (if (hasOp) changes else changes.withColumn("_op", lit("U")))
       .select(tableSchema.fields.toSeq.map { f =>
-        (if (chColsPresent.contains(f.name)) col(f.name).cast(f.dataType)
+        (if (chColsPresent.contains(f.name.toLowerCase)) col(f.name).cast(f.dataType)
          else lit(null).cast(f.dataType)).as(s"c_${f.name}")
       } :+ col("_op"): _*)
       .persist()
+    // BASE columns are not null-fillable for UPSERTS: a change set missing tokens/n_tok would
+    // write null payload rows and crash far away (the byte-balanced curve write reads n_tok).
+    // Delete-only change sets (doc_id + _op) legitimately omit them — checked lazily.
+    if (!chColsPresent.contains("tokens") || !chColsPresent.contains("n_tok"))
+      require(ch.filter(col("_op") =!= "D").isEmpty,
+        "merge: upsert rows must carry tokens and n_tok (delete-only change sets may omit them)")
     def upsertRows = ch.filter(col("_op") =!= "D")
       .select(tableSchema.fieldNames.toSeq.map(n => col(s"c_$n").as(n)): _*)
     val debugTiming = sys.env.contains("GRAFT_TIMING")
@@ -154,7 +157,8 @@ object MergeInto {
               Map("merge-attempt" -> attempt.toString, "delete-seq" -> seq.toString),
               maxRetries = 0, addedDeleteManifests = dms,
               expectedBase = Some(snap.version), // seq is baked into the manifest: no silent rebase
-              propertyUpdates = propertyUpdates)
+              propertyUpdates = propertyUpdates,
+              requirePropertyEquals = requirePropertyEquals)
             return MergeResult(s, 0, attempt, added.map(_.records).sum)
           } catch {
             case e: table.CommitConflictException =>
@@ -204,7 +208,8 @@ object MergeInto {
           val s = table.commit("merge", rewritten ++ insertedFiles, affectedPaths,
             Map("merge-attempt" -> attempt.toString),
             plannedDeleteManifests = Some(snap.deleteManifests.toSet),
-            propertyUpdates = propertyUpdates)
+            propertyUpdates = propertyUpdates,
+            requirePropertyEquals = requirePropertyEquals)
           return MergeResult(s, affected.size, attempt,
             (rewritten ++ insertedFiles).map(_.records).sum)
         } catch {

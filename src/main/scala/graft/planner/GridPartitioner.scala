@@ -88,7 +88,15 @@ object DistributedTopK {
       round += 1
     }
     // Fallback: final round with effectively-unbounded K′ (node grids are small by construction).
+    // With executor pre-merge active, per-partition partials are still CAPPED (GridTopK bounds
+    // the fallback buffer at 2^20) — so completeness must be CHECKED, not assumed: a truncated
+    // partial marks itself inexhausted and mergeTopK's safe prefix stops at its threshold; a
+    // silently short result here would under-plan maintenance with no signal.
     val perNode = runRound(Int.MaxValue)
-    RegionKernel.mergeTopK(perNode, k, overlapAllowed, sigma)._1
+    val (accepted, complete) = RegionKernel.mergeTopK(perNode, k, overlapAllowed, sigma)
+    require(complete,
+      s"top-k merge incomplete even at unbounded K' (got ${accepted.size}/$k provable) — " +
+        "executor pre-merge truncated past the provable prefix; raise the pre-merge cap")
+    accepted
   }
 }

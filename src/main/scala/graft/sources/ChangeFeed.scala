@@ -35,21 +35,30 @@ object ChangeFeed {
     * replacement), and advance the offset IN THE SAME COMMIT. Returns the consumed range, or
     * None when the consumer is already at the head.
     *
-    * Re-running after any crash is safe (see object scaladoc); re-running concurrently with the
-    * same id is benign — net-changelog application is idempotent (the second merge rewrites the
-    * same rows to the same state).
+    * Re-running after any crash is safe (see object scaladoc). Running concurrently with the
+    * same id is SERIALIZED by an offset equality fence: both racers plan against the offset
+    * they read, the first commit wins and advances it, and the loser's commit fails loudly at
+    * rebase (a plain retry re-polls from the new offset). Without the fence, racers that read
+    * different source heads could commit the offset BACKWARDS.
     */
   def consumeInto(spark: SparkSession, source: SeqTable, target: SeqTable, consumerId: String,
       cfg: GridConfig = GridConfig(), targetRecordsPerFile: Long = 100000L,
       mor: Boolean = false): Option[(Long, Long)] = {
-    val from = offsetOf(target, consumerId)
+    val key = offsetKey(consumerId)
+    val rawOffset = target.currentSnapshot().properties.get(key)
+    val from = rawOffset.map(_.toLong).getOrElse(0L)
     val head = source.currentVersion()
     if (head <= from) return None
     val batch = SeqIO.tableDiff(spark, source, from, head)
       .withColumn("_op", when(col("change_type") === "D", lit("D")).otherwise(lit("U")))
       .drop("change_type")
+    // equality-fence the offset against the value this batch was planned on: two concurrent
+    // consumers with one id that read DIFFERENT source heads would otherwise both apply, and
+    // the slower one's commit would move the offset BACKWARDS (serving a reverted mirror until
+    // the next poll). The loser now fails loudly at its rebase and simply re-polls.
     MergeInto.merge(spark, target, batch, cfg, targetRecordsPerFile, mor = mor,
-      propertyUpdates = Map(offsetKey(consumerId) -> head.toString))
+      propertyUpdates = Map(key -> head.toString),
+      requirePropertyEquals = Map(key -> rawOffset))
     Some((from, head))
   }
 

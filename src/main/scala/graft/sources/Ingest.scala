@@ -28,17 +28,13 @@ object Ingest {
     val withNtok =
       if (split0.columns.contains("n_tok")) split0
       else split0.withColumn("n_tok", size(col("tokens")))
-    val present = withNtok.columns.toSet
+    val present = withNtok.columns.toSet // lowercased above
     // a producer still writing a RENAMED column's old name must fail loudly: conform would
     // otherwise silently drop its values and null-fill the current name (rename is metadata-only
     // for the TABLE's files; incoming batches must speak the current schema)
-    val renamedTo = schema.fields.flatMap(f =>
-      graft.table.SeqSchema.formerNames(f).map(n => n.toLowerCase -> f.name)).toMap
-    val stale = present.intersect(renamedTo.keySet)
-    require(stale.isEmpty, s"input batch uses renamed column name(s): " +
-      stale.toSeq.sorted.map(n => s"'$n' (now '${renamedTo(n)}')").mkString(", "))
+    graft.table.SeqSchema.requireNoStaleNames(schema, present, "input batch")
     withNtok.select(schema.fields.toSeq.map { f =>
-      (if (present.contains(f.name)) col(f.name).cast(f.dataType)
+      (if (present.contains(f.name.toLowerCase)) col(f.name).cast(f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)
     }: _*)
   }

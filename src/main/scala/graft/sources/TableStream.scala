@@ -143,16 +143,25 @@ class GraftTableSource(spark: SparkSession, table: SeqTable, mode: String,
     val head = table.currentVersion() // re-reads the version pointer: no driver-side staleness
     // maxVersionsPerTrigger caps each micro-batch at N COMMITS past the floor — batch 0 of a
     // 10^12-row table must be a sequence of bounded batches, not one giant one. Best-effort
-    // (Delta's maxFilesPerTrigger contract): the post-restart first batch may exceed the cap
-    // once, because the committed offset lives in Spark's log, not here.
+    // (Delta's maxFilesPerTrigger contract): right after a restart the cold floor can make
+    // this offer an offset below (then, once re-anchored, above) the checkpointed one for a
+    // batch or two — getBatch's floor clamp keeps delivery exactly-once through that.
     val capped = maxVersionsPerTrigger.map(m => math.min(head, floor + m)).getOrElse(head)
     if (capped <= math.max(startingVersion, floor)) None else Some(LongOffset(capped))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(versionOf).getOrElse(startingVersion)
+    val from0 = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
-    floor = math.max(floor, math.max(from, to))
+    // Never deliver below the floor. After a restart with the cap on, the cold floor makes
+    // getOffset offer an offset BELOW the checkpointed one (Spark's log holds the committed
+    // offset, this source doesn't); Spark runs (committed, low] — empty here, and the floor
+    // absorbs `committed` from the start argument — and a later (low, head] request must not
+    // re-deliver the (low, committed] prefix this stream already consumed. Clamping the start
+    // to the floor makes that redelivery structurally impossible; the recovery replay of the
+    // last uncommitted batch is unaffected (it runs first, while the floor is still cold).
+    val from = math.max(from0, math.min(floor, to))
+    floor = math.max(floor, math.max(from0, to))
     val raw = mode match {
       case ModeAppends =>
         if (from >= to) SeqIO.readAppendedBetween(spark, table, to, to) // empty, schema-correct

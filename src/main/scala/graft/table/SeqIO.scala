@@ -51,6 +51,18 @@ object SeqSchema {
     */
   def historicalNames(schema: StructType): Set[String] =
     schema.fields.flatMap(f => f.name.toLowerCase +: formerNames(f).map(_.toLowerCase)).toSet
+
+  /** Refuse input columns matching a RENAMED column's former name — the shared guard of every
+    * write surface (append/stage/stream conform, merge change-set normalization): the
+    * name-based null-fill would otherwise silently drop the stale producer's values.
+    */
+  def requireNoStaleNames(schema: StructType, columns: Iterable[String], ctx: String): Unit = {
+    val renamedTo = schema.fields.flatMap(f =>
+      formerNames(f).map(n => n.toLowerCase -> f.name)).toMap
+    val stale = columns.map(_.toLowerCase).toSet.intersect(renamedTo.keySet)
+    require(stale.isEmpty, s"$ctx uses renamed column name(s): " +
+      stale.toSeq.sorted.map(n => s"'$n' (now '${renamedTo(n)}')").mkString(", "))
+  }
 }
 
 /** Spark-side write/read for [[SeqTable]].
@@ -666,17 +678,23 @@ object SeqIO {
     // reverses the stream behind a salt for independence). Raw columns must NOT be join keys:
     // evolved (added) columns are nullable, and equality joins drop NULL = NULL rows — the exact
     // bug the engine fuzz caught when an add-column preceded a MoR merge (and a latent one for
-    // any null source). Nullable columns enter the hash via an explicit null ENCODING
-    // (coalesce to a sentinel), never null-skip: xxhash64 skips null children, which would let
-    // a value "slide" between two adjacent nullable columns and false-cancel a real change.
+    // any null source). Every column enters the hash with an explicit null ENCODING
+    // (a paired isNull flag — see below), never null-skip: xxhash64 skips null children, which
+    // would let a value "slide" between adjacent nullable columns and false-cancel a change.
     // Each side is scanned exactly TWICE (key counts + payload re-attach); the count-diff table
     // is key-level tiny and localCheckpointed so the I and D branches don't re-trigger the
     // aggregations. Collision risk ~2^-128 per changed key from the paired hashes (the
     // engine-wide content-hash discipline).
     val keyCols = Seq("_h1", "_h2")
-    val enc: Seq[Column] = cols.map { n =>
-      if (n == "tokens") col("tokens") // non-null array payload: hashes natively
-      else coalesce(col(n).cast("string"), lit(" NULL"))
+    val enc: Seq[Column] = cols.flatMap { n =>
+      // every column hashes as the PAIR (isNull flag, null-coalesced value): null-ness is its
+      // own fixed-arity hash input — no sentinel value to collide with real data, tokens=null
+      // and tokens=[] differ by flag (xxhash64 hashes both to the same stream otherwise: it
+      // skips null children and an empty array contributes nothing) — and nothing null ever
+      // reaches xxhash64, so its null-skip can never engage
+      val flag = col(n).isNull.cast("int")
+      if (n == "tokens") Seq(flag, coalesce(col(n), array().cast("array<int>")))
+      else Seq(flag, coalesce(col(n).cast("string"), lit("")))
     }
     def withKeys(df: DataFrame): DataFrame = df.select(
       cols.map(col) :+

@@ -393,7 +393,8 @@ final class SeqTable(val root: String) {
       propertyUpdates: Map[String, String] = Map.empty,
       requireAbsentProperties: Seq[String] = Nil,
       propertyRemovals: Set[String] = Set.empty,
-      ref: String = ""): Snapshot = {
+      ref: String = "",
+      requirePropertyEquals: Map[String, Option[String]] = Map.empty): Snapshot = {
     var attempt = 0
     while (true) {
       // ref = "" commits to MAIN; ref = <branchName> commits to that branch's own CAS chain
@@ -412,6 +413,15 @@ final class SeqTable(val root: String) {
         if (base.properties.contains(key))
           throw new CommitConflictException(
             s"commit($operation): property '$key' already present — fenced commit refused")
+      }
+      // equality fence: the commit is valid only against the property state the caller planned
+      // on (e.g. a CDC consumer's own offset) — a racer that moved it first wins, this one
+      // fails loudly instead of silently regressing the property on rebase
+      requirePropertyEquals.foreach { case (key, expected) =>
+        if (base.properties.get(key) != expected)
+          throw new CommitConflictException(
+            s"commit($operation): property '$key' is ${base.properties.get(key)} but this " +
+              s"commit was planned against $expected — stale fenced commit refused")
       }
       plannedDeleteManifests.foreach { planned =>
         val appeared = base.deleteManifests.toSet -- planned -- addedDeleteManifests
@@ -664,25 +674,55 @@ final class SeqTable(val root: String) {
     seed
   }
 
-  /** Publish the branch onto main: ONE atomic main commit adopting the branch head's manifests,
-    * delete manifests and properties. Requires main to still be AT the fork point — if anything
-    * committed to main since, this fails loudly (inside the CAS loop, so a racing main commit
-    * cannot slip between the check and the link) and the caller re-forks from the new head.
+  /** Publish the branch onto main: ONE atomic main commit adopting the branch head's content.
+    * Requires main to still be AT the fork point — if anything committed to main since, this
+    * fails loudly (inside the CAS loop, so a racing main commit cannot slip between the check
+    * and the link) and the caller re-forks from the new head.
+    *
+    * Files the BRANCH added carry `addedAt` stamps from the branch's own version numbering
+    * (fork+1 … fork+k), which lands ABOVE the published main version (fork+1): a later MoR
+    * delete at main seq fork+2 would skip rows stamped fork+2 (`_del_seq > _added` fails) and
+    * silently resurrect them. So publish RE-STAMPS every adopted entry with `addedAt >` fork to
+    * the publish version — the exact re-stamp `publishStaged` gets from `commit()` — by
+    * rewriting only the manifests that contain such entries (manifest-sized work; carried base
+    * manifests keep their shared names). Branch-side MoR delete manifests are REFUSED loudly:
+    * re-stamping collapses the branch's internal version order, so a delete committed on the
+    * branch could start hiding branch rows it never applied to — materialize deletes on the
+    * branch before publishing (documented slice boundary until per-file sequence numbers).
+    *
+    * If the branch only ADDED files (no base file rewritten/removed), the publish commits as an
+    * append-family operation: the incremental append scan and the appends-mode streaming source
+    * deliver exactly the branch's rows (the WAP-publish contract). A branch that also rewrote
+    * base files publishes as `fast-forward` (non-append): its added files are partly COPIES of
+    * already-delivered rows, which the append changelog must never redeliver.
     */
   def fastForward(name: String): Snapshot = {
     val head = branchHead(name)
     val baseV = branchBaseVersion(name)
-    val totalFiles = liveFiles(head).size
     while (true) {
       val main = currentSnapshot()
       require(main.version == baseV,
         s"fastForward($name): main advanced to v${main.version} past the fork point v$baseV — " +
           "recreate the branch from the new head and replay")
       if (head.version == baseV) return main // empty branch: nothing to adopt
-      val next = Snapshot(main.version + 1, main.version, "fast-forward", head.manifests,
+      require((head.deleteManifests.toSet -- main.deleteManifests.toSet).isEmpty,
+        s"fastForward($name): the branch added its own merge-on-read delete manifests — " +
+          "re-stamping cannot preserve their ordering; materialize deletes on the branch first")
+      val publishV = main.version + 1
+      val manifests = head.manifests.map { m =>
+        val entries = readManifest(m)
+        if (entries.forall(_.addedAt <= baseV)) m // carried from the base: share the name
+        else writeManifest(entries.map(e =>
+          if (e.addedAt > baseV) e.copy(addedAt = publishV) else e))
+      }
+      val basePaths = liveFiles(main).map(_.path).toSet
+      val headFiles = liveFiles(head)
+      val appendOnly = basePaths.subsetOf(headFiles.map(_.path).toSet)
+      val next = Snapshot(publishV, main.version,
+        if (appendOnly) "append" else "fast-forward", manifests,
         Map("fast-forward-branch" -> name,
           "branch-commits" -> (head.version - baseV).toString,
-          "total-files" -> totalFiles.toString),
+          "total-files" -> headFiles.size.toString),
         System.currentTimeMillis(), head.deleteManifests, head.properties)
       try {
         writeSnapshotFile(next)

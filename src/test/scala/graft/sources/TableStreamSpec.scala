@@ -127,6 +127,39 @@ class TableStreamSpec extends AnyFunSuite {
       "the throttled union must equal the table (no loss, no duplicates)")
   }
 
+  test("restart with the cap on: the cold rate-limit floor must not re-deliver " +
+      "already-checkpointed versions") {
+    val root = fresh("rate-restart")
+    val (table, _) = SeqGen.fragmentedTable(spark, s"$root/t", 100, 2) // v1
+    (1 to 3).foreach { i => // uniquely re-keyed: commits must not share doc_ids
+      append(table, SeqGen.changeSet(spark, 100 + i, changes = 10, deletes = 0).drop("_op")
+        .withColumn("doc_id", concat(lit(s"r$i-"), col("doc_id"))))
+    } // v2..v4
+    val stream = spark.readStream.format("graft").option("path", table.root)
+      .option("maxVersionsPerTrigger", "1").load().select("doc_id")
+    val got = mutable.Buffer.empty[(Long, Seq[Row])]
+    drain(stream, s"$root/ckpt")(got) // consume v1..v4 fully, all batches committed
+    val firstRun = got.flatMap(_._2).map(_.getString(0))
+
+    // commits while the query is down, then a RESTART: the in-memory floor is cold, so
+    // getOffset initially offers an offset below the checkpointed one — delivery must still be
+    // exactly-once (the getBatch floor clamp), never a replay of v1..v4's rows
+    (4 to 6).foreach { i =>
+      append(table, SeqGen.changeSet(spark, 200 + i, changes = 10, deletes = 0).drop("_op")
+        .withColumn("doc_id", concat(lit(s"r$i-"), col("doc_id"))))
+    } // v5..v7
+    got.clear()
+    drain(stream, s"$root/ckpt")(got)
+    val secondRun = got.flatMap(_._2).map(_.getString(0))
+    assert(secondRun.size === secondRun.distinct.size, "no duplicates within the restart run")
+    val expected = SeqIO.readAppendedBetween(spark, table, 4, 7)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(secondRun.toSet === expected,
+      s"restart must deliver exactly (v4, v7] — got ${secondRun.size} rows vs ${expected.size}")
+    assert(firstRun.size + secondRun.size ===
+      SeqIO.read(spark, table).count(), "across both runs: every row exactly once")
+  }
+
   test("startingVersion=latest skips history; a later append still arrives") {
     val root = fresh("latest")
     val (table, _) = SeqGen.fragmentedTable(spark, s"$root/t", 100, 2)

@@ -48,7 +48,9 @@ class BranchSpec extends AnyFunSuite {
 
     // publish: ONE main commit adopting the chain; content becomes the branch head's
     val ff = table.fastForward("audit")
-    assert(ff.version === vBase + 1 && ff.operation === "fast-forward")
+    // an append-only chain publishes as an append-family commit (the changelog contract)
+    assert(ff.version === vBase + 1 && ff.operation === "append" &&
+      ff.summary.get("fast-forward-branch").contains("audit"))
     assert(hashOf(SeqIO.read(spark, table)) === hashOf(br))
     assert(table.currentVersion() === vBase + 1)
 
@@ -75,6 +77,42 @@ class BranchSpec extends AnyFunSuite {
     Ingest.appendToBranch(spark, table, "audit", batch("x-", 20))
     table.fastForward("audit")
     assert(SeqIO.read(spark, table).filter(col("doc_id").startsWith("x-")).count() === 20)
+  }
+
+  test("publish re-stamps branch addedAt below the main head: later MoR deletes apply; " +
+      "append-only publishes feed the append changelog") {
+    val (table, _) = SeqGen.fragmentedTable(spark, fresh("restamp"), 300, 3)
+    val fork = table.currentVersion()
+    table.createBranch("audit")
+    Ingest.appendToBranch(spark, table, "audit", batch("p-", 30))
+    Ingest.appendToBranch(spark, table, "audit", batch("q-", 20)) // branch stamps fork+1, fork+2
+    val pub = table.fastForward("audit")
+    // adopted entries must be stamped AT the publish version, never above the main head —
+    // an addedAt > head breaks `_del_seq > _added` for the NEXT MoR commit
+    val stamps = table.liveFiles(pub).map(_.addedAt).toSet
+    assert(pub.version === fork + 1 && stamps.max === pub.version,
+      s"adopted files must carry addedAt <= publish version, got $stamps")
+    // an append-only publish IS an append: the incremental scan delivers exactly the chain
+    val appended = SeqIO.readAppendedBetween(spark, table, fork, table.currentVersion())
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(appended.count(_.startsWith("p-")) === 30 && appended.count(_.startsWith("q-")) === 20
+      && appended.size === 50, "append-only fast-forward must feed the append changelog")
+    // the regression scenario: a MoR delete right after the publish must hide published rows
+    val victims = SeqIO.read(spark, table).filter(col("doc_id").startsWith("p-"))
+      .select("doc_id", "tokens", "n_tok", "source").withColumn("_op", lit("D"))
+    MergeInto.merge(spark, table, victims, cfg, 500, mor = true)
+    assert(SeqIO.read(spark, table).filter(col("doc_id").startsWith("p-")).count() === 0,
+      "published-then-MoR-deleted rows must not resurrect (addedAt re-stamp)")
+    table.dropBranch("audit")
+
+    // a branch carrying its OWN delete manifests refuses publish loudly
+    table.createBranch("mor")
+    val delKeys = SeqIO.read(spark, table).select("doc_id").limit(5)
+    val dms = SeqIO.writeDeleteManifests(spark, table, delKeys, table.currentVersion() + 2)
+    table.commit("merge-mor", Nil, Set.empty, addedDeleteManifests = dms, ref = "mor")
+    val e = intercept[IllegalArgumentException](table.fastForward("mor"))
+    assert(e.getMessage.contains("delete manifests"), s"got: ${e.getMessage}")
+    table.dropBranch("mor")
   }
 
   test("concurrent branch appends all land exactly once through the per-branch CAS rebase") {

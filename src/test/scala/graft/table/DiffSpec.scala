@@ -122,6 +122,35 @@ class DiffSpec extends AnyFunSuite {
     driver.unpersist(); dist.unpersist(); c1.unpersist(); c2.unpersist()
   }
 
+  test("tokens null vs empty array must NOT false-cancel (per-column null flags in the hash)") {
+    val root = fresh("nulltok")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 120, 2)
+    val v1 = table.currentVersion()
+    // pick one existing key and upsert it with tokens = NULL, then across a second range flip
+    // it to tokens = [] with every OTHER column identical — a hash that null-skips the tokens
+    // column sees both states identically and drops the change from the diff
+    val key = SeqIO.read(spark, table).select("doc_id").orderBy("doc_id").head().getString(0)
+    val toNull = spark.sql(s"SELECT '$key' AS doc_id, " +
+      "CAST(NULL AS ARRAY<INT>) AS tokens, 0 AS n_tok, 's' AS source")
+    MergeInto.merge(spark, table, toNull, cfg, 500)
+    val v2 = table.currentVersion()
+    val toEmpty = spark.sql(s"SELECT '$key' AS doc_id, " +
+      "array()::ARRAY<INT> AS tokens, 0 AS n_tok, 's' AS source")
+    MergeInto.merge(spark, table, toEmpty, cfg, 500)
+    // (and the upsert-without-payload-columns shape now fails LOUDLY instead of crashing
+    // far away in the curve write)
+    intercept[IllegalArgumentException](
+      MergeInto.merge(spark, table, spark.sql(s"SELECT '$key' AS doc_id"), cfg, 500))
+    val d = SeqIO.tableDiff(spark, table, v2, table.currentVersion())
+      .filter(col("doc_id") === key).collect()
+      .map(r => (r.getString(0), Option(r.getSeq[Int](2)).map(_.size))).toSet
+    assert(d === Set(("D", None), ("I", Some(0))),
+      s"null→[] tokens must surface as a D/I pair, got $d")
+    // and the full-range diff still matches the definitional oracle
+    assertSameMultiset(SeqIO.tableDiff(spark, table, v1, table.currentVersion()),
+      bruteDiff(table, v1, table.currentVersion()))
+  }
+
   test("same version and empty ranges return empty with the changelog schema") {
     val root = fresh("empty")
     val (table, _) = SeqGen.fragmentedTable(spark, root, 200, 2)

@@ -226,6 +226,26 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(SeqIO.read(spark, table).filter(col("quality") === 1.0).count() === 5)
   }
 
+  test("mixed-case evolved columns: append and merge carry values (case-insensitive presence)") {
+    val root = fresh("case")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 200, 2)
+    table.addColumn("Lang", StringType) // original case preserved in the schema
+    // a merge change set CARRYING Lang must write its values, not silently null-fill them
+    val withLang = SeqGen.table(spark, 20, parts = 1)
+      .withColumn("doc_id", concat(lit("mc-"), col("doc_id")))
+      .withColumn("Lang", lit("en"))
+    MergeInto.merge(spark, table, withLang, cfg, 500)
+    assert(SeqIO.read(spark, table).filter(col("Lang") === "en").count() === 20,
+      "merge must carry a mixed-case evolved column's values")
+    // same through the append/conform path (which lowercases input column names)
+    val batch = SeqGen.table(spark, 10, parts = 1)
+      .withColumn("doc_id", concat(lit("mc2-"), col("doc_id")))
+      .withColumn("lang", lit("fr")) // producer writes lowercase; schema says Lang
+    Ingest.append(spark, table, batch)
+    assert(SeqIO.read(spark, table).filter(col("Lang") === "fr").count() === 10,
+      "conform must match evolved columns case-insensitively")
+  }
+
   test("rollback does not undo a schema change; MoR deletes work on evolved tables") {
     val root = fresh("rb")
     val (table, _) = SeqGen.fragmentedTable(spark, root, 400, 4)
