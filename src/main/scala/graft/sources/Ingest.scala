@@ -113,34 +113,45 @@ object Ingest {
     * stream-append snapshots between a crash and the restart and the batch would re-append,
     * duplicating rows). Replayed batches at or below the recovered mark are skipped.
     */
+  /** One exactly-once micro-batch appender (shared by [[stream]] and the
+    * `writeStream.format("graft")` sink, [[GraftTableSink]]): batch ids at or below the
+    * recovered high-water mark are SKIPPED (replay after crash), fresh ones commit their files
+    * with the HWM advanced in the SAME atomic commit — there is no window in which rows are
+    * visible but the batch is replayable, or vice versa. The HWM lives in table PROPERTIES
+    * (carried forward by every commit, durable across snapshot expiry).
+    */
+  private[sources] final class StreamBatcher(table: SeqTable, key: String) {
+    private val hwm = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    private val recovered = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def apply(batch: DataFrame, batchId: Long): Unit = {
+      if (recovered.compareAndSet(false, true)) {
+        // head properties first (durable across expiry); legacy summaries as a fallback for
+        // tables written before properties existed
+        val fromProps = table.currentSnapshot().properties.get(key).map(_.toLong)
+        val fromSummaries = table.snapshotVersions().map(table.snapshot)
+          .flatMap(_.summary.get(key)).map(_.toLong)
+        hwm.set((fromProps.toSeq ++ fromSummaries).foldLeft(Long.MinValue)(math.max))
+      }
+      if (batchId > hwm.get && !batch.isEmpty) {
+        val metas = SeqIO.writeFiles(batch.sparkSession, table,
+          conform(batch, table.currentSchema()))
+        table.commit("stream-append", metas, Set.empty,
+          Map("batch-id" -> batchId.toString),
+          propertyUpdates = Map(key -> batchId.toString))
+        hwm.set(batchId)
+        ()
+      }
+    }
+  }
+
   def stream(spark: SparkSession, table: SeqTable, source: DataFrame,
       checkpointDir: String): StreamingQuery = {
     val tag = Integer.toHexString(checkpointDir.hashCode)
-    val key = s"stream-batch-$tag"
-    val hwm = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
-    val recovered = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val batcher = new StreamBatcher(table, s"stream-batch-$tag")
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (recovered.compareAndSet(false, true)) {
-          // head properties first (durable across expiry); legacy summaries as a fallback for
-          // tables written before properties existed
-          val fromProps = table.currentSnapshot().properties.get(key).map(_.toLong)
-          val fromSummaries = table.snapshotVersions().map(table.snapshot)
-            .flatMap(_.summary.get(key)).map(_.toLong)
-          hwm.set((fromProps.toSeq ++ fromSummaries).foldLeft(Long.MinValue)(math.max))
-        }
-        if (batchId > hwm.get && !batch.isEmpty) {
-          val metas = SeqIO.writeFiles(batch.sparkSession, table,
-            conform(batch, table.currentSchema()))
-          table.commit("stream-append", metas, Set.empty,
-            Map("batch-id" -> batchId.toString),
-            propertyUpdates = Map(key -> batchId.toString))
-          hwm.set(batchId)
-          ()
-        }
-      }
+      .foreachBatch { (batch: DataFrame, batchId: Long) => batcher(batch, batchId) }
       .start()
   }
 

@@ -1,10 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.table.{SeqIO, SeqTable}
 
@@ -44,10 +45,32 @@ import graft.table.{SeqIO, SeqTable}
   * metadata diff above 100k files for cdc mode) — the source adds no per-row driver work; the
   * only driver state is one Long offset.
   */
-class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftSourceProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
   import GraftTableSource._
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft").option("path", dir)` — the table as a native streaming
+    * SINK: each micro-batch appends through the engine's exactly-once discipline (batch-id
+    * high-water mark advanced in the SAME commit as the batch's files — [[Ingest
+    * .StreamBatcher]], the `Ingest.stream` machinery behind the standard sink API). The target
+    * table is created on first use. Multiple queries writing ONE table must set distinct
+    * `queryTag` options (the HWM is per-tag). Append output mode only — updates route through
+    * MERGE/[[ChangeFeed]], not a streaming sink.
+    */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode")
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft sink: option 'path' (the table directory) is required"))
+    val table =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "metadata"))) new SeqTable(dir)
+      else SeqTable.create(dir)
+    val tag = parameters.getOrElse("querytag", parameters.getOrElse("queryTag", "sink"))
+    new GraftTableSink(table, s"stream-batch-$tag")
+  }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
@@ -179,4 +202,16 @@ class GraftTableSource(spark: SparkSession, table: SeqTable, mode: String,
   override def commit(end: Offset): Unit = () // retention is the table's expiry policy, not ours
 
   override def stop(): Unit = ()
+}
+
+/** The V1 sink behind `writeStream.format("graft")` — see [[GraftSourceProvider.createSink]].
+  * `addBatch` receives the micro-batch under its INCREMENTAL streaming plan, which batch
+  * actions reject; it is re-wrapped as a plain batch DataFrame (the standard V1-sink pattern)
+  * and appended through the exactly-once [[Ingest.StreamBatcher]].
+  */
+class GraftTableSink(table: SeqTable, hwmKey: String) extends Sink {
+  private val batcher = new Ingest.StreamBatcher(table, hwmKey)
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    batcher(GraftSqlBridge.asBatchDataFrame(data), batchId)
+  override def toString: String = s"GraftTableSink(${table.root})"
 }

@@ -21,6 +21,15 @@ object GraftSqlBridge {
     c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema, isStreaming = true)
   }
 
+  /** The inverse for a V1 `Sink.addBatch` input: the DataFrame Spark hands a sink carries the
+    * micro-batch's INCREMENTAL (streaming) plan, on which batch actions like `df.write` are
+    * rejected — re-wrap its rows as a plain batch DataFrame (the standard V1-sink pattern).
+    */
+  def asBatchDataFrame(df: Dataset[Row]): Dataset[Row] = {
+    val c = df.asInstanceOf[classic.Dataset[Row]]
+    c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema, isStreaming = false)
+  }
+
   /** One recognized comparison conjunct of a predicate: `attr <op> literal`, attribute-first
     * (literal-first inputs arrive flipped). `op` ∈ {=, >, >=, <, <=}.
     */
