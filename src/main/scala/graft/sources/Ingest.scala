@@ -21,6 +21,15 @@ object Ingest {
   def conform(df0: DataFrame,
       schema: org.apache.spark.sql.types.StructType = graft.table.SeqSchema.schema): DataFrame = {
     val df = df0.toDF(df0.columns.map(_.toLowerCase): _*) // JDBC dialects (derby…) uppercase names
+    // the null-fill below is for EVOLVED columns only — the base columns are the engine's row
+    // identity and payload (doc_id merge key, tokens, source); a batch missing one must fail
+    // loudly here, not append rows with null merge keys that no merge/delete can ever target
+    // (and whose null doc_id would corrupt per-file doc_id stats). n_tok alone derives.
+    val requiredBase = graft.table.SeqSchema.schema.fieldNames
+      .filterNot(_.equalsIgnoreCase("n_tok")).map(_.toLowerCase)
+    val missingBase = requiredBase.filterNot(df.columns.contains)
+    require(missingBase.isEmpty,
+      s"input batch missing required base column(s): ${missingBase.mkString(", ")}")
     val split0 =
       if (df.schema("tokens").dataType == org.apache.spark.sql.types.StringType)
         df.withColumn("tokens", split(col("tokens"), ";"))

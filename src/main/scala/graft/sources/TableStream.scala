@@ -90,7 +90,7 @@ class GraftSourceProvider extends StreamSourceProvider with StreamSinkProvider
       .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toLong)
     require(maxVersions.forall(_ > 0), "graft source: maxVersionsPerTrigger must be > 0")
     new GraftTableSource(sqlContext.sparkSession, table, mode, starting,
-      streamSchema(table, mode), maxVersions)
+      streamSchema(table, mode), maxVersions, Some(metadataPath))
   }
 
   /** `startingVersion=latest` means "commits after the FIRST start of this query" — createSource
@@ -143,7 +143,8 @@ object GraftTableSource {
 
 class GraftTableSource(spark: SparkSession, table: SeqTable, mode: String,
     startingVersion: Long, pinned: StructType,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: Option[String] = None) extends Source {
   import GraftTableSource._
 
   override def schema: StructType = pinned
@@ -159,8 +160,49 @@ class GraftTableSource(spark: SparkSession, table: SeqTable, mode: String,
   /** Rate-limit floor: the highest version this source has handed to a batch. Advanced by
     * getBatch (including the recovery replay, whose START is the offset log's truth — so a
     * restart can never re-deliver below the checkpoint even though this field starts cold).
+    *
+    * With maxVersionsPerTrigger set, a COLD floor after restart is not merely a throughput
+    * hiccup — it can wedge the stream forever: getOffset offers startingVersion+m, which can sit
+    * BELOW the checkpointed committed offset c; Spark runs the degenerate (c, s+m] batch once
+    * and COMMITS offset s+m (regressing its own log), and after a second restart
+    * offered == committed == s+m so no batch ever runs again — the floor only advances inside
+    * getBatch. So the delivered high-water mark is PERSISTED under the query's own
+    * source-metadata dir (the `startingVersion=latest` pin's sibling) on every getBatch and the
+    * floor is seeded from it here: a restarted source never offers below what it already
+    * delivered. Best-effort durability is enough — losing the file only reintroduces the
+    * (recoverable-by-one-more-restart-free) cold-floor window, never duplicate delivery, which
+    * stays the offset log's + getBatch clamp's job.
     */
-  @volatile private var floor: Long = startingVersion
+  @volatile private var floor: Long = math.max(startingVersion, readPersistedFloor())
+
+  private def floorPath: Option[org.apache.hadoop.fs.Path] =
+    metadataPath.map(p => new org.apache.hadoop.fs.Path(p, "graft-floor"))
+
+  private def readPersistedFloor(): Long = floorPath match {
+    case None => Long.MinValue
+    case Some(p) =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Long.MinValue
+      else {
+        val in = fs.open(p)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toLong
+        finally in.close()
+      }
+  }
+
+  private def persistFloor(v: Long): Unit = floorPath.foreach { p =>
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".graft-floor.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    // write-new + delete-old + rename: HDFS-style rename refuses to overwrite, so the old pin is
+    // removed first — a crash in the gap just loses the pin (cold-floor window re-opens; never
+    // duplicate delivery, which stays the offset log's + getBatch clamp's job)
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+    ()
+  }
 
   override def getOffset: Option[Offset] = {
     val head = table.currentVersion() // re-reads the version pointer: no driver-side staleness
@@ -184,7 +226,8 @@ class GraftTableSource(spark: SparkSession, table: SeqTable, mode: String,
     // to the floor makes that redelivery structurally impossible; the recovery replay of the
     // last uncommitted batch is unaffected (it runs first, while the floor is still cold).
     val from = math.max(from0, math.min(floor, to))
-    floor = math.max(floor, math.max(from0, to))
+    val advanced = math.max(floor, math.max(from0, to))
+    if (advanced > floor) { floor = advanced; persistFloor(advanced) }
     val raw = mode match {
       case ModeAppends =>
         if (from >= to) SeqIO.readAppendedBetween(spark, table, to, to) // empty, schema-correct
@@ -192,9 +235,18 @@ class GraftTableSource(spark: SparkSession, table: SeqTable, mode: String,
       case ModeCdc => SeqIO.tableDiff(spark, table, math.min(from, to), to)
     }
     // conform to the pinned stream schema: mid-stream add-column → dropped until restart;
-    // mid-stream drop-column → null-filled (both documented above)
+    // mid-stream drop-column → null-filled; mid-stream RENAME → the raw batch speaks the NEW
+    // name while the pin holds the OLD one, so each pinned field resolves through the batch-end
+    // schema's former-name history ([[graft.table.SeqSchema.formerNames]]) to its current
+    // physical name — a bare name match would silently null-fill the column until restart
+    val endSchema = table.schemaOf(table.snapshot(to))
     val cols = pinned.fields.toSeq.map { f =>
-      if (raw.columns.contains(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+      val physical = endSchema.fields
+        .find(g => g.name.equalsIgnoreCase(f.name) ||
+          graft.table.SeqSchema.formerNames(g).exists(_.equalsIgnoreCase(f.name)))
+        .map(_.name).getOrElse(f.name)
+      if (raw.columns.contains(physical)) col(physical).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
     }
     GraftSqlBridge.asStreamingDataFrame(raw.select(cols: _*))
   }

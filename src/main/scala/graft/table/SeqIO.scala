@@ -686,15 +686,31 @@ object SeqIO {
     // aggregations. Collision risk ~2^-128 per changed key from the paired hashes (the
     // engine-wide content-hash discipline).
     val keyCols = Seq("_h1", "_h2")
-    val enc: Seq[Column] = cols.flatMap { n =>
+    val enc: Seq[Column] = schema.fields.toSeq.flatMap { f =>
       // every column hashes as the PAIR (isNull flag, null-coalesced value): null-ness is its
       // own fixed-arity hash input — no sentinel value to collide with real data, tokens=null
       // and tokens=[] differ by flag (xxhash64 hashes both to the same stream otherwise: it
       // skips null children and an empty array contributes nothing) — and nothing null ever
-      // reaches xxhash64, so its null-skip can never engage
+      // reaches xxhash64, so its null-skip can never engage. Atomic columns hash their string
+      // cast; COMPLEX-typed evolved columns hash their own type directly (a string cast is
+      // lossy there: array<string> ["a, b"] and ["a","b"] both render "[a, b]", so two
+      // genuinely different rows would false-cancel and the net diff silently miss the change)
+      val n = f.name
       val flag = col(n).isNull.cast("int")
-      if (n == "tokens") Seq(flag, coalesce(col(n), array().cast("array<int>")))
-      else Seq(flag, coalesce(col(n).cast("string"), lit("")))
+      f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, _)
+            if n == "tokens" =>
+          // the base payload column stays on the direct typed hash (no per-row JSON rendering
+          // of multi-KB token arrays on the diff hot path)
+          Seq(flag, coalesce(col(n), array().cast("array<int>")))
+        case _: org.apache.spark.sql.types.ArrayType | _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType =>
+          // lossless canonical rendering: JSON preserves element boundaries (["a, b"] vs
+          // ["a","b"]) and in-array nulls, which both the string cast and xxhash64's
+          // null-child skip would alias
+          Seq(flag, coalesce(to_json(col(n)), lit("")))
+        case _ => Seq(flag, coalesce(col(n).cast("string"), lit("")))
+      }
     }
     def withKeys(df: DataFrame): DataFrame = df.select(
       cols.map(col) :+

@@ -27,7 +27,17 @@ object GraftSqlBridge {
     */
   def asBatchDataFrame(df: Dataset[Row]): Dataset[Row] = {
     val c = df.asInstanceOf[classic.Dataset[Row]]
-    c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema, isStreaming = false)
+    c.queryExecution.logical match {
+      // a bare [[asStreamingDataFrame]] wrapper (e.g. a Source.getBatch result inspected
+      // outside a running query): flip the leaf back — its own QueryExecution would refuse
+      // any batch action (checkForBatch) before toRdd could even plan
+      case l: execution.LogicalRDD if l.isStreaming =>
+        classic.Dataset.ofRows(c.sparkSession,
+          l.copy(isStreaming = false)(c.sparkSession, None, None))
+      case _ =>
+        c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema,
+          isStreaming = false)
+    }
   }
 
   /** One recognized comparison conjunct of a predicate: `attr <op> literal`, attribute-first

@@ -192,6 +192,25 @@ class IngestSpec extends AnyFunSuite {
         "{\n\"rank\":2,\n\"center\":[9.212416000000001,45.48625219],\n\"score\":17\n}\n]")
   }
 
+  test("conform refuses batches missing a base column; evolved columns still null-fill") {
+    import spark.implicits._
+    // missing source: pre-guard this appended rows with null merge-key-adjacent fields that
+    // merge/delete can never target
+    val noSource = Seq(("d1", Seq(1, 2))).toDF("doc_id", "tokens")
+    val e1 = intercept[IllegalArgumentException](Ingest.conform(noSource))
+    assert(e1.getMessage.contains("source"))
+    // missing doc_id
+    val noKey = Seq((Seq(1, 2), "web")).toDF("tokens", "source")
+    val e2 = intercept[IllegalArgumentException](Ingest.conform(noKey))
+    assert(e2.getMessage.contains("doc_id"))
+    // n_tok alone derives; EVOLVED columns absent from the batch still null-fill
+    val evolved = org.apache.spark.sql.types.StructType(graft.table.SeqSchema.schema.fields :+
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType))
+    val ok = Ingest.conform(Seq(("d1", Seq(1, 2), "web")).toDF("doc_id", "tokens", "source"),
+      evolved).collect()
+    assert(ok.length === 1 && ok(0).getAs[Int]("n_tok") === 2 && ok(0).isNullAt(4))
+  }
+
   test("export sink roundtrips csv") {
     val dir = fresh()
     import spark.implicits._

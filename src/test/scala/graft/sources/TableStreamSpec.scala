@@ -192,6 +192,90 @@ class TableStreamSpec extends AnyFunSuite {
     assert(dst.currentVersion() === vBefore, "an up-to-date pipeline must not commit")
   }
 
+  /** Drive a raw Source the way MicroBatchExecution does: getOffset → getBatch(last, o). */
+  private def drainSource(s: org.apache.spark.sql.execution.streaming.Source,
+      last0: Option[org.apache.spark.sql.execution.streaming.Offset])
+      : Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    var last = last0
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      s.getOffset.foreach { o =>
+        if (!last.contains(o)) { s.getBatch(last, o); last = Some(o); progressed = true }
+      }
+    }
+    last
+  }
+
+  test("capped restart: the persisted floor keeps getOffset at-or-above the checkpoint " +
+      "(no offset regression, no permanent stall)") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val root = fresh("floor")
+    val (table, _) = SeqGen.fragmentedTable(spark, s"$root/t", 100, 2) // v1
+    (1 to 3).foreach { i =>
+      append(table, SeqGen.changeSet(spark, 100 + i, changes = 10, deletes = 0).drop("_op")
+        .withColumn("doc_id", concat(lit(s"f$i-"), col("doc_id"))))
+    } // v2..v4
+    val provider = new GraftSourceProvider
+    val params = Map("path" -> table.root, "maxversionspertrigger" -> "1")
+    val meta = s"$root/srcmeta"
+    def newSource() = provider.createSource(spark.sqlContext, meta, None, "graft", params)
+
+    val s1 = newSource()
+    val committed = drainSource(s1, None) // v1..v4 delivered and "checkpointed" at offset 4
+    assert(committed === Some(LongOffset(4L)))
+
+    (4 to 6).foreach { i =>
+      append(table, SeqGen.changeSet(spark, 200 + i, changes = 10, deletes = 0).drop("_op")
+        .withColumn("doc_id", concat(lit(s"f$i-"), col("doc_id"))))
+    } // v5..v7
+
+    // RESTART: a cold floor would offer startingVersion+1 = 1, BELOW the committed offset 4 —
+    // Spark would run the degenerate (4, 1] batch, regress its offset log to 1, and a second
+    // restart would then see offered == committed == 1 forever (the permanent stall). The
+    // persisted delivered-HWM seeds the floor at 4, so the first offer is 5.
+    val s2 = newSource()
+    assert(s2.getOffset === Some(LongOffset(5L)),
+      "a restarted capped source must offer above its persisted delivered mark, not below " +
+        "the checkpoint")
+    val batch = org.apache.spark.sql.GraftSqlBridge.asBatchDataFrame(
+      s2.getBatch(Some(LongOffset(4L)), LongOffset(5L)))
+    val want = SeqIO.readAppendedBetween(spark, table, 4, 5).count()
+    assert(batch.count() === want, "the restart batch must deliver exactly (v4, v5]")
+
+    // a THIRD restart (the stall scenario's second) proceeds from the advanced mark too
+    val s3 = newSource()
+    assert(s3.getOffset === Some(LongOffset(6L)),
+      "the floor pin must advance with every delivered batch")
+  }
+
+  test("mid-stream RENAME: the pinned schema resolves the new physical name (no silent nulls)") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val root = fresh("rename")
+    val (table, _) = SeqGen.fragmentedTable(spark, s"$root/t", 50, 1) // v1
+    table.addColumn("lang", org.apache.spark.sql.types.StringType) // v2
+    val provider = new GraftSourceProvider
+    val src = provider.createSource(spark.sqlContext, s"$root/srcmeta", None, "graft",
+      Map("path" -> table.root))
+    val last = drainSource(src, None) // pin the schema (doc_id…lang), consume history
+
+    table.renameColumn("lang", "language") // v3, metadata-only, mid-stream
+    val batch = SeqGen.changeSet(spark, 50, changes = 20, deletes = 0).drop("_op")
+      .withColumn("doc_id", concat(lit("rn-"), col("doc_id")))
+      .withColumn("language", concat(lit("L-"), col("doc_id")))
+    Ingest.append(spark, table, batch) // v4: rows carry the NEW physical name
+
+    val o = src.getOffset.get
+    val got = org.apache.spark.sql.GraftSqlBridge.asBatchDataFrame(src.getBatch(last, o))
+    assert(got.columns.contains("lang"), "the stream keeps its pinned column names")
+    val delivered = got.filter(col("doc_id").startsWith("rn-"))
+    assert(delivered.count() === 20)
+    assert(delivered.filter(col("lang").isNull).count() === 0,
+      "values written under the renamed physical name must arrive under the pinned name, " +
+        "not null-fill")
+    assert(delivered.filter(col("lang") === concat(lit("L-"), col("doc_id"))).count() === 20)
+  }
+
   test("startingVersion=latest skips history; a later append still arrives") {
     val root = fresh("latest")
     val (table, _) = SeqGen.fragmentedTable(spark, s"$root/t", 100, 2)

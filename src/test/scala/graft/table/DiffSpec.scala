@@ -151,6 +151,27 @@ class DiffSpec extends AnyFunSuite {
       bruteDiff(table, v1, table.currentVersion()))
   }
 
+  test("complex-typed evolved columns hash losslessly: array boundary changes must not " +
+      "false-cancel") {
+    val root = fresh("complexhash")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 120, 2)
+    table.addColumn("labels",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val key = SeqIO.read(spark, table).select("doc_id").orderBy("doc_id").head().getString(0)
+    // ["a, b"] → ["a","b"]: a string cast renders BOTH as "[a, b]", so a cast-based hash
+    // false-cancels the update and the CDC consumer silently misses it
+    MergeInto.merge(spark, table, spark.sql(s"SELECT '$key' AS doc_id, " +
+      "array(1) AS tokens, 1 AS n_tok, 's' AS source, array('a, b') AS labels"), cfg, 500)
+    val v2 = table.currentVersion()
+    MergeInto.merge(spark, table, spark.sql(s"SELECT '$key' AS doc_id, " +
+      "array(1) AS tokens, 1 AS n_tok, 's' AS source, array('a', 'b') AS labels"), cfg, 500)
+    val d = SeqIO.tableDiff(spark, table, v2, table.currentVersion())
+      .filter(col("doc_id") === key).collect()
+      .map(r => (r.getString(0), r.getSeq[String](5).toList)).toSet
+    assert(d === Set(("D", List("a, b")), ("I", List("a", "b"))),
+      s"a genuine array-boundary change must surface as a D/I pair, got $d")
+  }
+
   test("same version and empty ranges return empty with the changelog schema") {
     val root = fresh("empty")
     val (table, _) = SeqGen.fragmentedTable(spark, root, 200, 2)
