@@ -446,6 +446,95 @@ object Bench {
       return
     }
 
+    if (args.headOption.contains("mergebench")) {
+      // MERGE INTO at the 10^6-file scale (the 10^7-file design claim's measured stand-in,
+      // diffbench discipline): a table with SPARK_GRAFT_MERGE_FILES carried manifest entries
+      // (never scanned — doc_id ranges disjoint from every change key, bloom payloads attached
+      // so the driver path carries real bytes) plus ~500 REAL data files the change set
+      // actually hits. Times the FULL merge (prune + COW rewrite + commit manifest edit) on
+      // byte-identical clones: driver path (materializes the live manifest, blooms included,
+      // on the driver) vs distributed path (narrow executor-side range join + executor bloom
+      // probe + executor manifest edit; ZERO driver manifest parses, asserted).
+      val nf = sys.env.get("SPARK_GRAFT_MERGE_FILES").map(_.toInt).getOrElse(1000000)
+      val spark = session(cpus)
+      import spark.implicits._
+      val top = Files.createTempDirectory("graft-merge-bench-")
+      val rootA = top.toString + "/tbl"
+      val table = graft.table.SeqTable.create(rootA)
+      table.manifestFormat = "parquet"
+      val fake = (0 until nf).iterator.map { i =>
+        val lo = 16 + (i * 37) % 2000
+        // doc_id range a… – b…: strictly below every real "doc-…" key, so the range prune must
+        // eliminate all of them WITHOUT bloom probes (and the driver path still hauls the blooms)
+        graft.table.FileMeta(s"data/f$i.parquet", 20000L, 2000000L, lo, lo + 400,
+          f"a$i%09d", f"b$i%09d", Seq(s"src${i % 64}"), 1L, clustered = true,
+          docBloom = Some("AAAA" * 64))
+      }.toVector
+      val dfR = SeqGen.table(spark, 1000, parts = 1).repartition(500)
+      val metasR = SeqIO.writeFiles(spark, table, dfR)
+      table.commit("append", fake ++ metasR, Set.empty)
+      val rootB = rootA + "-clone"
+      locally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(java.nio.file.Paths.get(rootA)).iterator().asScala.toSeq.foreach { p =>
+          val dst = java.nio.file.Paths.get(rootB)
+            .resolve(java.nio.file.Paths.get(rootA).relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(dst)
+          else { Files.createDirectories(dst.getParent); Files.copy(p, dst) }
+        }
+      }
+      val changes = SeqGen.changeSet(spark, 1000, changes = 50, deletes = 10).persist()
+      changes.count()
+      val cfg = GridConfig()
+      def usedHeap(): Long = {
+        System.gc(); Thread.sleep(300); System.gc()
+        Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+      }
+      // content hash of the files a merge ADDED (the fake entries have no physical files, so a
+      // full-table read is off the table — the added set is the merge's entire physical output)
+      def addedHash(t: graft.table.SeqTable): (Long, Long) = {
+        val v = t.currentVersion()
+        val added = SeqIO.fileMetaDS(spark, t, narrow = true).filter(_.addedAt == v).collect().toSeq
+        val h = SeqIO.readFiles(spark, t, added)
+          .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))"),
+            lit(0L))).head
+        (h.getLong(0), h.getLong(1))
+      }
+      // DISTRIBUTED first, cold handle: proves zero driver manifest parses end-to-end
+      val dist = graft.table.SeqTable.load(rootB)
+      dist.manifestFormat = "parquet"
+      val hd0 = usedHeap()
+      val (mrDist, tDist) = time(
+        MergeInto.merge(spark, dist, changes, cfg, 2000, distributedMetaFiles = 0L))
+      val hd1 = usedHeap()
+      require(dist.manifestFileReads.get() == 0L && dist.manifestNarrowFileReads.get() == 0L,
+        "distributed merge must parse zero manifests on the driver")
+      // DRIVER path on its own cold handle (forced: threshold above the table size)
+      val drv = graft.table.SeqTable.load(rootA)
+      drv.manifestFormat = "parquet"
+      val hv0 = usedHeap()
+      val (mrDrv, tDrv) = time(
+        MergeInto.merge(spark, drv, changes, cfg, 2000, distributedMetaFiles = Long.MaxValue))
+      val hv1 = usedHeap()
+      println(f"[mergebench] files=$nf distributed: merge=${tDist}%.1fs " +
+        f"rewrote=${mrDist.filesRewritten} wrote=${mrDist.recordsWritten} " +
+        f"driverParses=${dist.manifestFileReads.get()} heapDelta=${(hd1 - hd0) / 1e6}%.0fMB")
+      println(f"[mergebench] files=$nf driver:      merge=${tDrv}%.1fs " +
+        f"rewrote=${mrDrv.filesRewritten} wrote=${mrDrv.recordsWritten} " +
+        f"driverParses=${drv.manifestFileReads.get()} heapDelta=${(hv1 - hv0) / 1e6}%.0fMB")
+      println(s"[mergebench] parity: rewrote equal = " +
+        s"${mrDist.filesRewritten == mrDrv.filesRewritten}, " +
+        s"added-content hashes equal = ${addedHash(dist) == addedHash(drv)}")
+      spark.stop()
+      locally {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(top)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      return
+    }
+
     if (args.headOption.contains("scalingCluster")) {
       // N vs 4N EXECUTORS, literally: Spark's local-cluster master launches one real JVM per
       // executor (own heap, own GC, shuffle over localhost) — the faithful sandbox stand-in for
@@ -523,7 +612,31 @@ object Bench {
           tinyRep() // warmup
           val fixed = Seq.fill(2)(tinyRep()).min
           println(f"[scaling] executors=$n%2d fixed-latency probe (rows=$tinyRows) = ${fixed}%.2fs")
-          (n, best, fixed)
+          // MERGE-under-skew leg: the other headline op (north-rule evidence was rewrite-only
+          // through r6). A 10% change set with 80% of changed rows re-homed to ONE hot source —
+          // the upsert write concentrates in one grid cell, so the leg exercises the
+          // byte-balanced writer's hot-key salting at both cluster sizes, plus the prune,
+          // survivor anti-join and commit manifest edit. Each rep rolls back so every rep (and
+          // both cluster sizes) merges the identical change set into the identical table.
+          val mRows = math.max(10000L, sRows / 10)
+          val hot = SeqGen.changeSet(s, sRows, changes = mRows, deletes = mRows / 10)
+            .withColumn("source",
+              when(pmod(xxhash64(col("doc_id")), lit(100L)) < 80, lit("src-hot"))
+                .otherwise(col("source")))
+            .persist()
+          hot.count()
+          val mergeBase = table.currentVersion()
+          def mergeRep(): Double = {
+            val (_, sec) = time(MergeInto.merge(s, table, hot, cfg, target))
+            table.rollbackTo(mergeBase)
+            sec
+          }
+          mergeRep() // warmup
+          val mBest = Seq.fill(2)(mergeRep()).min
+          hot.unpersist()
+          println(f"[scaling] executors=$n%2d merge (skewed, rows=$mRows) = ${mBest}%.1fs " +
+            f"throughput=${mRows / mBest}%.0f changes/s")
+          (n, best, fixed, mBest)
         } finally { s.stop(); cleanup() }
       }
       val byLevel = results.groupBy(_._1).map { case (n, rs) => n -> rs.map(sRows / _._2).max }
@@ -536,7 +649,7 @@ object Bench {
       results.grouped(execPair.size).zipWithIndex.foreach { case (pass, i) =>
         val byN = pass.map(r => r._1 -> r).toMap
         (byN.get(lo), byN.get(hi)) match {
-          case (Some((_, tl, fl)), Some((_, th, fh))) =>
+          case (Some((_, tl, fl, ml)), Some((_, th, fh, mh))) =>
             // the separated reading is only meaningful when the probe is genuinely small next to
             // both legs — otherwise (tiny SPARK_GRAFT_SCALE_ROWS, or a noisy host window where
             // fh >= th) the subtraction prints NaN/negative garbage
@@ -545,6 +658,10 @@ object Bench {
               else " (fixed-latency probe too large vs leg; separated reading suppressed)"
             println(f"[scaling] pass-${i + 1} efficiency ($lo→$hi executors, adjacent legs) = " +
               f"${tl / ratio / th}%.2f" + separated)
+            println(f"[scaling] pass-${i + 1} MERGE efficiency ($lo→$hi executors, adjacent " +
+              f"legs) = ${ml / ratio / mh}%.2f" +
+              (if (fl < 0.5 * ml && fh < 0.5 * mh)
+                f" (fixed-latency-separated: ${(ml - fl) / ratio / (mh - fh)}%.2f)" else ""))
           case _ => () // incomplete trailing pass
         }
       }
@@ -682,38 +799,49 @@ object Bench {
     // (the r6_bench_h class: 2–3× write rows under green CPU probes). Tighten once a quiet
     // window gives the real floor.
     val probeDiskMax = sys.env.getOrElse("SPARK_GRAFT_PROBEDISK_MAX", "2.5").toDouble
-    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "5").toInt
+    val cooldownMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "60000").toLong
     hostProbe2(spark) // warmup: JIT + task-launch path
     var attempt = 0
-    var best: (scala.collection.mutable.LinkedHashMap[String, Double], MaintBench,
-      Seq[String], (Double, Double, Double), (Double, Double, Double),
-      (Double, Double, Double)) = null
-    var healthy = false
-    while (!healthy && attempt < maxAttempts) {
+    // PUBLISH-BEST-HEALTHY policy: the canonical artifact is the best attempt whose THREE probe
+    // samples were all green — an unhealthy-window timing only becomes the official number when
+    // no healthy window appeared in any attempt (and then probe_healthy:false says so). r6's
+    // canonical JSON was a loaded-window artifact while a same-day all-green 29.4 s attempt
+    // existed only as a side file; the official signal must not need a side-artifact defense.
+    final case class Attempt(results: scala.collection.mutable.LinkedHashMap[String, Double],
+      mb: MaintBench, failed: Seq[String], pBefore: (Double, Double, Double),
+      pMid: (Double, Double, Double), pAfter: (Double, Double, Double), healthy: Boolean)
+    var best: Attempt = null
+    def better(a: Attempt, b: Attempt): Boolean = {
+      // fewest FAILED queries first (a crashed query contributes no timing row, so comparing
+      // sums alone would prefer a broken attempt by omission), then HEALTHY over loaded-window,
+      // then smallest total
+      if (a.failed.size != b.failed.size) a.failed.size < b.failed.size
+      else if (a.healthy != b.healthy) a.healthy
+      else a.results.values.sum < b.results.values.sum
+    }
+    while ((best == null || !best.healthy) && attempt < maxAttempts) {
       attempt += 1
       val pBefore = hostProbe2(spark)
       val (results, mb, failed, pMid) = runOnce()
       val pAfter = hostProbe2(spark)
-      // best attempt = fewest FAILED queries first, then smallest total: a crashed query
-      // contributes no timing row, so comparing sums alone would prefer a broken attempt
-      // (smaller sum by omission) over a clean one
-      val better = best == null || failed.size < best._3.size ||
-        (failed.size == best._3.size && results.values.sum < best._1.values.sum)
-      if (better) best = (results, mb, failed, pBefore, pMid, pAfter)
       val all = Seq(pBefore, pMid, pAfter)
-      healthy = all.map(_._1).max <= probeMax && all.map(_._2).max <= probe32Max &&
+      val healthy = all.map(_._1).max <= probeMax && all.map(_._2).max <= probe32Max &&
         all.map(_._3).max <= probeDiskMax
+      val a = Attempt(results, mb, failed, pBefore, pMid, pAfter, healthy)
+      if (best == null || better(a, best)) best = a
       if (!healthy && attempt < maxAttempts) {
         System.err.println(f"[bench] degraded host window (single probes " +
           all.map(p => f"${p._1}%.2f").mkString("/") + f"s vs $probeMax%.2f, parallel32 " +
           all.map(p => f"${p._2}%.2f").mkString("/") + f"s vs $probe32Max%.2f, disk " +
           all.map(p => f"${p._3}%.2f").mkString("/") + f"s vs $probeDiskMax%.2f) — cooling " +
           f"down and retrying (attempt $attempt/$maxAttempts)")
-        Thread.sleep(45000)
+        Thread.sleep(cooldownMs)
       }
     }
     val (results, mb, failed, probeBefore, probeMid, probeAfter) =
-      (best._1, best._2, best._3, best._4, best._5, best._6)
+      (best.results, best.mb, best.failed, best.pBefore, best.pMid, best.pAfter)
+    val healthy = best.healthy // the PUBLISHED attempt's own health, not the last attempt's
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

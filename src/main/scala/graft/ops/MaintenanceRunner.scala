@@ -139,7 +139,8 @@ object MaintenanceRunner {
         val snap = timed(s"batch-rewrite(${files.size}f)")(
           Rewrite.compactFiles(spark, table, files, cfg, opts.targetRecordsPerFile,
             Map("maintenance-task" -> s"$cycle/${pending.map(_.taskId).max}",
-              "batched-tasks" -> pending.size.toString), opts.hilbert))
+              "batched-tasks" -> pending.size.toString), opts.hilbert,
+            distributedCommit = useDistributed))
         recordsRewritten += files.map(_.records).sum
         pending.foreach { t =>
           checkpoint.append(StateEvent("TASK_COMMITTED", cycle, t.taskId, baseVersion,
@@ -152,7 +153,8 @@ object MaintenanceRunner {
       val files = t.filePaths.flatMap(claimedMetas.get) // files may be gone if replanned; skip those
       if (files.nonEmpty) {
         val snap = Rewrite.compactFiles(spark, table, files, cfg, opts.targetRecordsPerFile,
-          Map("maintenance-task" -> s"$cycle/${t.taskId}"), opts.hilbert)
+          Map("maintenance-task" -> s"$cycle/${t.taskId}"), opts.hilbert,
+          distributedCommit = useDistributed)
         recordsRewritten += files.map(_.records).sum
         checkpoint.append(StateEvent("TASK_COMMITTED", cycle, t.taskId, baseVersion,
           snap.version, Seq(t.region.x, t.region.y, t.region.w), t.filePaths,

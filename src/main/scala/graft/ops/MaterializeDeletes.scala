@@ -17,40 +17,73 @@ object MaterializeDeletes {
       table: SeqTable,
       cfg: GridConfig,
       targetRecordsPerFile: Long,
-      maxAttempts: Int = 3): Option[Snapshot] = {
+      maxAttempts: Int = 3,
+      // above this many live files the candidate prune and the commit's manifest edit run on
+      // executors (0 = always): same routing as MERGE — the driver never holds the bloom-laden
+      // live manifest
+      distributedMetaFiles: Long = SeqIO.DistributedDiffMetaFiles): Option[Snapshot] = {
     var attempt = 0
     while (true) {
       attempt += 1
       val snap = table.currentSnapshot()
       if (snap.deleteManifests.isEmpty) return None
       import spark.implicits._
+      val useDistributed = distributedMetaFiles == 0L ||
+        snap.summary.get("total-files").flatMap(_.toLongOption).getOrElse(0L) >
+          distributedMetaFiles
+      if (useDistributed) table.manifestFormat = "parquet"
 
-      val live = table.liveFiles(snap)
       val dels = SeqIO.deletesDF(spark, table, snap)
         .select(col("_del_key").as("key"), col("_del_seq").as("seq"))
-
-      // candidates: files old enough for some delete to apply AND whose key range can contain it;
-      // then per-file doc_id Blooms cut the curve-layout survivors (where ranges prune nothing —
-      // see DocBloom) down to the files that actually hold a deleted key
-      val fileRanges = spark.createDataset(live.map(f => (f.path, f.minDocId, f.maxDocId, f.addedAt)))
-        .toDF("path", "min_doc", "max_doc", "added")
-      val rangePaths = fileRanges
-        .join(broadcast(dels),
-          col("key").between(col("min_doc"), col("max_doc")) && col("seq") > col("added"))
-        .select("path").distinct().as[String].collect().toSet
-      val rangeCandidates = live.filter(f => rangePaths.contains(f.path))
       // ONE bounded scan decides both "how many keys" and the probe set (dels is an uncached
       // multi-file text read — a separate count() plus a distinct-collect would re-read every
       // delete manifest twice more)
       val maxK = graft.table.DocBloom.PruneMaxKeys
       val keyArr = dels.select("key").distinct().limit(maxK.toInt + 1).as[String].collect()
-      val probeBudgetOk = keyArr.length <= maxK &&
-        keyArr.length.toLong * rangeCandidates.size <= 200_000_000L
-      val candidates =
-        if (!probeBudgetOk) rangeCandidates
-        // bloom absence proves the file holds no deleted key at all — sound to skip regardless
-        // of sequence numbers (the range+seq join above already handled ordering)
-        else rangeCandidates.filter(f => graft.table.DocBloom.mayContainAny(f, keyArr))
+
+      // candidates: files old enough for some delete to apply AND whose key range can contain it;
+      // then per-file doc_id Blooms cut the curve-layout survivors (where ranges prune nothing —
+      // see DocBloom) down to the files that actually hold a deleted key
+      val candidates: Seq[graft.table.FileMeta] =
+        if (!useDistributed) {
+          val live = table.liveFiles(snap)
+          val fileRanges = spark.createDataset(live.map(f => (f.path, f.minDocId, f.maxDocId, f.addedAt)))
+            .toDF("path", "min_doc", "max_doc", "added")
+          val rangePaths = fileRanges
+            .join(broadcast(dels),
+              col("key").between(col("min_doc"), col("max_doc")) && col("seq") > col("added"))
+            .select("path").distinct().as[String].collect().toSet
+          val rangeCandidates = live.filter(f => rangePaths.contains(f.path))
+          val probeBudgetOk = keyArr.length <= maxK &&
+            keyArr.length.toLong * rangeCandidates.size <= 200_000_000L
+          if (!probeBudgetOk) rangeCandidates
+          // bloom absence proves the file holds no deleted key at all — sound to skip regardless
+          // of sequence numbers (the range+seq join above already handled ordering)
+          else rangeCandidates.filter(f => graft.table.DocBloom.mayContainAny(f, keyArr))
+        } else {
+          // 10^7-file path: range+seq join on the NARROW manifest Dataset (executors), Bloom
+          // refinement on the candidates' full-width entries ON EXECUTORS — no docBloom byte
+          // reaches the driver, the collected candidates are delete-set-proportional
+          val metaN = SeqIO.fileMetaDSOf(spark, table, snap, narrow = true)
+          val cand = metaN.toDF()
+            .join(broadcast(dels),
+              col("key").between(col("minDocId"), col("maxDocId")) && col("seq") > col("addedAt"),
+              "left_semi")
+            .as[graft.table.FileMeta].collect().toSeq
+          val probeBudgetOk = keyArr.length <= maxK &&
+            keyArr.length.toLong * cand.size <= 200_000_000L
+          if (!probeBudgetOk || cand.isEmpty) cand
+          else {
+            val candPaths = spark.createDataset(cand.map(_.path)).toDF("path")
+            val ka = spark.sparkContext.broadcast(keyArr)
+            SeqIO.fileMetaDSOf(spark, table, snap)
+              .join(broadcast(candPaths), Seq("path"), "left_semi")
+              .as[graft.table.FileMeta]
+              .filter(f => graft.table.DocBloom.mayContainAny(f, ka.value))
+              .map(_.copy(docBloom = None))
+              .collect().toSeq
+          }
+        }
       val candidatePaths = candidates.map(_.path).toSet
 
       val added =
@@ -67,7 +100,9 @@ object MaterializeDeletes {
         return Some(table.commit("materialize-deletes", added, candidatePaths,
           Map("delete-manifests-dropped" -> snap.deleteManifests.size.toString),
           removedDeleteManifests = snap.deleteManifests.toSet,
-          plannedDeleteManifests = Some(snap.deleteManifests.toSet)))
+          plannedDeleteManifests = Some(snap.deleteManifests.toSet),
+          editPlanner =
+            if (useDistributed) Some(SeqIO.distributedManifestEdit(spark, table)) else None))
       } catch {
         case e: table.CommitConflictException =>
           added.foreach(f => java.nio.file.Files.deleteIfExists(

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.planner.GridConfig
-import graft.table.{SeqIO, SeqTable, Snapshot}
+import graft.table.{FileMeta, SeqIO, SeqTable, Snapshot}
 
 final case class MergeResult(
     snapshot: Snapshot,
@@ -61,7 +61,11 @@ object MergeInto {
       auto: Boolean = false,
       autoMorFraction: Double = 0.3,
       propertyUpdates: Map[String, String] = Map.empty,
-      requirePropertyEquals: Map[String, Option[String]] = Map.empty): MergeResult = {
+      requirePropertyEquals: Map[String, Option[String]] = Map.empty,
+      // above this many live files the prune AND the commit's manifest edit run fully
+      // distributed (0 = always): the driver never materializes the live manifest — at the
+      // 10^7-file design point the full FileMeta set is ~130 GB of docBloom payload
+      distributedMetaFiles: Long = SeqIO.DistributedDiffMetaFiles): MergeResult = {
     val hasOp = changes.columns.contains("_op")
     // normalize the change set to the table's CURRENT schema (fixed once for the whole merge):
     // columns the change set doesn't carry null-fill — a 4-column change set merges cleanly
@@ -113,7 +117,12 @@ object MergeInto {
       while (true) {
         attempt += 1
         val snap = table.currentSnapshot()
-        val live = table.liveFiles(snap)
+        // distributed routing mirrors tableDiff/the planner: above the threshold (or at 0,
+        // forcing it) the live manifest stays on executors end-to-end
+        val useDistributed = distributedMetaFiles == 0L ||
+          snap.summary.get("total-files").flatMap(_.toLongOption).getOrElse(0L) >
+            distributedMetaFiles
+        if (useDistributed) table.manifestFormat = "parquet" // new manifests column-prunable
 
         // 1. manifest pruning: files whose doc_id range may contain a change key (also drives the
         //    auto COW-vs-MoR routing, so it runs before the branch; pure metadata × keys).
@@ -121,22 +130,57 @@ object MergeInto {
         //    where every file spans the whole key domain), then per-file doc_id Blooms for sparse
         //    change sets — key-level pruning that works on ANY layout (DocBloom scaladoc).
         import spark.implicits._
-        val fileRanges = spark.createDataset(live.map(f => (f.path, f.minDocId, f.maxDocId)))
-          .toDF("path", "min_doc", "max_doc")
-        val rangePaths = timed("prune")(fileRanges
-          .join(broadcast(keys), col("c_doc_id").between(col("min_doc"), col("max_doc")))
-          .select("path").distinct().as[String].collect().toSet)
-        val rangeAffected = live.filter(f => rangePaths.contains(f.path))
-        // probe budget: the driver-side test is keys × candidate-files in the worst case; above
-        // the ceiling the range prune stands alone (dense sets route to MoR regardless)
-        val probeBudgetOk =
-          bloomKeys.nonEmpty && bloomKeys.length.toLong * rangeAffected.size <= 200_000_000L
-        val affected = timed("bloom-prune")(
-          if (!probeBudgetOk) rangeAffected
-          else rangeAffected.filter(f => graft.table.DocBloom.mayContainAny(f, bloomKeys)))
+        val (affected: Seq[FileMeta], liveRecords: Long) =
+          if (!useDistributed) {
+            // bench-scale fast path: cached driver manifests, zero metadata jobs
+            val live = table.liveFiles(snap)
+            val fileRanges = spark.createDataset(live.map(f => (f.path, f.minDocId, f.maxDocId)))
+              .toDF("path", "min_doc", "max_doc")
+            val rangePaths = timed("prune")(fileRanges
+              .join(broadcast(keys), col("c_doc_id").between(col("min_doc"), col("max_doc")))
+              .select("path").distinct().as[String].collect().toSet)
+            val rangeAffected = live.filter(f => rangePaths.contains(f.path))
+            // probe budget: the driver-side test is keys × candidate-files in the worst case;
+            // above the ceiling the range prune stands alone (dense sets route to MoR regardless)
+            val probeBudgetOk =
+              bloomKeys.nonEmpty && bloomKeys.length.toLong * rangeAffected.size <= 200_000_000L
+            val a = timed("bloom-prune")(
+              if (!probeBudgetOk) rangeAffected
+              else rangeAffected.filter(f => graft.table.DocBloom.mayContainAny(f, bloomKeys)))
+            (a, live.map(_.records).sum)
+          } else {
+            // 10^7-file path: the range join runs on the NARROW manifest Dataset (executors,
+            // bloom column never read), only range-candidate entries reach the driver
+            // (change-proportional); the Bloom refinement probes the candidates' full-width
+            // entries ON EXECUTORS against the broadcast key set, so no docBloom byte ever
+            // lands on the driver — candidates are collected bloom-stripped either way.
+            val metaN = SeqIO.fileMetaDSOf(spark, table, snap, narrow = true)
+            val liveRecords = timed("meta-agg")(
+              metaN.toDF().agg(coalesce(sum("records"), lit(0L))).head.getLong(0))
+            val cand = timed("prune")(metaN.toDF()
+              .join(broadcast(keys),
+                col("c_doc_id").between(col("minDocId"), col("maxDocId")), "left_semi")
+              .as[FileMeta].collect().toSeq)
+            val probeBudgetOk =
+              bloomKeys.nonEmpty && bloomKeys.length.toLong * cand.size <= 200_000_000L
+            val a = timed("bloom-prune")(
+              if (!probeBudgetOk || cand.isEmpty) cand
+              else {
+                val candPaths = spark.createDataset(cand.map(_.path)).toDF("path")
+                val bk = spark.sparkContext.broadcast(bloomKeys)
+                SeqIO.fileMetaDSOf(spark, table, snap)
+                  .join(broadcast(candPaths), Seq("path"), "left_semi")
+                  .as[FileMeta]
+                  .filter(f => graft.table.DocBloom.mayContainAny(f, bk.value))
+                  .map(_.copy(docBloom = None))
+                  .collect().toSeq
+              })
+            (a, liveRecords)
+          }
         val affectedPaths = affected.map(_.path).toSet
+        val editPlanner =
+          if (useDistributed) Some(SeqIO.distributedManifestEdit(spark, table)) else None
 
-        val liveRecords = live.map(_.records).sum
         val useMor = mor || (auto && liveRecords > 0 &&
           affected.map(_.records).sum > autoMorFraction * liveRecords)
 
@@ -209,7 +253,8 @@ object MergeInto {
             Map("merge-attempt" -> attempt.toString),
             plannedDeleteManifests = Some(snap.deleteManifests.toSet),
             propertyUpdates = propertyUpdates,
-            requirePropertyEquals = requirePropertyEquals)
+            requirePropertyEquals = requirePropertyEquals,
+            editPlanner = editPlanner)
           return MergeResult(s, affected.size, attempt,
             (rewritten ++ insertedFiles).map(_.records).sum)
         } catch {

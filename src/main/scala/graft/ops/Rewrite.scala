@@ -154,7 +154,10 @@ object Rewrite {
       targetRecordsPerFile: Long,
       summary: Map[String, String] = Map.empty,
       hilbert: Boolean = false,
-      maxAttempts: Int = 3): graft.table.Snapshot = {
+      maxAttempts: Int = 3,
+      // true = the commit's manifest edit runs on executors (SeqIO.distributedManifestEdit) —
+      // the 10^7-file path the distributed planner routes through; false = driver edit
+      distributedCommit: Boolean = false): graft.table.Snapshot = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -169,7 +172,9 @@ object Rewrite {
       try {
         return table.commit("compact", added, files.map(_.path).toSet,
           summary ++ Map("records" -> total.toString),
-          plannedDeleteManifests = Some(snap.deleteManifests.toSet))
+          plannedDeleteManifests = Some(snap.deleteManifests.toSet),
+          editPlanner =
+            if (distributedCommit) Some(SeqIO.distributedManifestEdit(spark, table)) else None)
       } catch {
         case e: table.CommitConflictException =>
           added.foreach(f => java.nio.file.Files.deleteIfExists(

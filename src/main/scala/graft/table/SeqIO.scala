@@ -256,23 +256,27 @@ object SeqIO {
     names
   }
 
-  /** Full-table read at the current snapshot (merge-on-read deletes applied). */
+  /** Full-table read at the current snapshot (merge-on-read deletes applied). Reads build their
+    * scan list from the NARROW manifest projection: the file paths must reach the driver to
+    * construct the relation (~1 GB at 10^7 files — fine), the ~13 KB/file docBloom payloads
+    * must not (~130 GB — the funnel every distributed metadata path exists to avoid).
+    */
   def read(spark: SparkSession, table: SeqTable): DataFrame = {
     val snap = table.currentSnapshot()
-    readWithDeletes(spark, table, snap, table.liveFiles(snap))
+    readWithDeletes(spark, table, snap, table.liveFilesNarrow(snap))
   }
 
   /** Full read at a branch head — the audit view of the whole unpublished chain. */
   def readBranch(spark: SparkSession, table: SeqTable, name: String): DataFrame = {
     val snap = table.branchHead(name)
-    readWithDeletes(spark, table, snap, table.liveFiles(snap))
+    readWithDeletes(spark, table, snap, table.liveFilesNarrow(snap))
   }
 
   /** AUDIT read of a staged (write-audit-publish) commit: the staged batch's rows in isolation —
     * quality gates / dedup checks run here BEFORE the batch becomes visible to anyone.
     */
   def readStaged(spark: SparkSession, table: SeqTable, id: String): DataFrame =
-    readFiles(spark, table, table.stagedSnapshot(id).manifests.flatMap(table.readManifest),
+    readFiles(spark, table, table.stagedSnapshot(id).manifests.flatMap(table.readManifestNarrow),
       table.currentSchema())
 
   /** TIME TRAVEL: full-table read pinned at snapshot `version` (that snapshot's manifests AND its
@@ -281,7 +285,7 @@ object SeqIO {
     */
   def readAt(spark: SparkSession, table: SeqTable, version: Long): DataFrame = {
     val snap = table.snapshot(version)
-    readWithDeletes(spark, table, snap, table.liveFiles(snap))
+    readWithDeletes(spark, table, snap, table.liveFilesNarrow(snap))
   }
 
   /** Snapshot operations whose added files are NEW rows (never rewrites of existing rows) —
@@ -459,6 +463,74 @@ object SeqIO {
     if (parts.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else parts.reduce(_ unionByName _)
+  }
+
+  /** (path, carrier-manifest basename) of a set of manifest carriers, scanned by executors —
+    * the distributed manifest edit needs to know WHICH manifest holds each removed path.
+    */
+  private def manifestPathCarrierDF(spark: SparkSession, table: SeqTable,
+      names: Seq[String]): DataFrame = {
+    def abs(m: String) = java.nio.file.Paths.get(table.root, "metadata", m).toString
+    val schema = StructType(Seq(StructField("path", StringType)))
+    def withCarrier(df: DataFrame): DataFrame =
+      df.select(col("path"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("_carrier"))
+    val (pq, jl) = names.partition(_.endsWith(".parquet"))
+    val parts = Seq(
+      if (jl.nonEmpty) Some(withCarrier(spark.read.schema(schema).json(jl.map(abs): _*))) else None,
+      if (pq.nonEmpty) Some(withCarrier(spark.read.schema(schema).parquet(pq.map(abs): _*))) else None
+    ).flatten
+    if (parts.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(schema.fields :+ StructField("_carrier", StringType)))
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** EXECUTOR-SIDE manifest edit for [[SeqTable.commit]]'s `editPlanner` — the 10^7-file path
+    * for every commit that REMOVES files (COW merge, compaction, delete materialization).
+    * The driver edit parses every base manifest (narrow) plus the touched ones full-width; here
+    * the removed-path membership runs as a broadcast join against a path+carrier manifest scan
+    * (the driver collects only |removedPaths| hit rows), and the survivors of touched manifests
+    * are anti-joined and re-written as parquet manifests BY EXECUTORS — the driver parses ZERO
+    * manifest entries and no docBloom byte ever reaches it. Re-invoked per CAS attempt against
+    * the rebased head, like the driver edit.
+    */
+  def distributedManifestEdit(spark: SparkSession, table: SeqTable)
+      : (Snapshot, Set[String]) => SeqTable.ManifestEdit = { (base, removedPaths) =>
+    import spark.implicits._
+    val removed = broadcast(spark.createDataset(removedPaths.toSeq).toDF("path"))
+    val hits = manifestPathCarrierDF(spark, table, base.manifests)
+      .join(removed, Seq("path")).collect() // ≤ |removedPaths| rows: change-proportional
+    val found = hits.map(_.getString(0)).toSet
+    val missing = removedPaths.diff(found)
+    if (missing.nonEmpty) SeqTable.ManifestEdit(base.manifests, Nil, missing)
+    else {
+      val touched = hits.map(_.getString(1)).toSet
+      val kept = base.manifests.filterNot(touched)
+      val rewritten =
+        if (touched.isEmpty) Nil
+        else {
+          val tmp = Files.createTempDirectory(table.metaDirPath, ".tmp-manifest-edit")
+          try {
+            manifestMetaDS(spark, table, touched.toSeq).toDF()
+              .join(removed, Seq("path"), "left_anti")
+              .coalesce(touched.size) // survivors ⊆ touched: never more parts than inputs
+              .write.mode("overwrite").parquet(tmp.toString)
+            SeqTable.listDir(tmp)
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .sortBy(_.getFileName.toString)
+              .map { p =>
+                val n = s"manifest-${java.util.UUID.randomUUID()}.parquet"
+                Files.move(p, table.metaDirPath.resolve(n))
+                n
+              }
+          } finally {
+            SeqTable.listDir(tmp).foreach(Files.deleteIfExists(_))
+            Files.deleteIfExists(tmp); ()
+          }
+        }
+      SeqTable.ManifestEdit(kept, rewritten, Set.empty)
+    }
   }
 
   /** [[SeqTable.expireSnapshots]] with the manifest diff on EXECUTORS — the 10^7-file path.
@@ -765,7 +837,7 @@ object SeqIO {
       ntokMin: Option[Int],
       ntokMax: Option[Int]): (DataFrame, ScanStats) = {
     val snap = table.currentSnapshot()
-    val live = table.liveFiles(snap)
+    val live = table.liveFilesNarrow(snap) // stats-only pruning: bloom payloads never needed
     val selected = live.filter { f =>
       val srcOk = source.forall(s => f.sources.isEmpty || f.sources.contains(s))
       val loOk = ntokMax.forall(hi => f.minNtok <= hi)

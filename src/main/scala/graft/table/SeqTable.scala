@@ -72,6 +72,13 @@ object TableLayout {
 object SeqTable {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)
 
+  /** The manifest consequence of one commit, as computed by a manifest-edit planner:
+    * `kept` are base manifests carried forward untouched, `rewritten` are freshly-written
+    * replacement manifests for the ones that lost files, `missing` are removed paths no base
+    * manifest holds (→ concurrent-rewrite conflict; when non-empty the planner wrote nothing).
+    */
+  final case class ManifestEdit(kept: Seq[String], rewritten: Seq[String], missing: Set[String])
+
   /** Eagerly list a directory, CLOSING the underlying DirectoryStream — `Files.list(...)` holds
     * a file handle until closed, and a long-running maintenance driver lists metadata/data dirs
     * every cycle.
@@ -147,9 +154,12 @@ final class SeqTable(val root: String) {
   // removal must hold the SAME lock as cacheManifest: a bare remove+addAndGet interleaved
   // between its clear() and set(b) double-subtracts, driving the counter negative and silently
   // loosening the byte bound
-  private def uncacheManifest(name: String): Unit = synchronized {
-    val old = manifestCache.remove(name)
-    if (old != null) { cachedBytes.addAndGet(-approxBytes(old)); () }
+  private def uncacheManifest(name: String): Unit = {
+    synchronized {
+      val old = manifestCache.remove(name)
+      if (old != null) { cachedBytes.addAndGet(-approxBytes(old)); () }
+    }
+    uncacheNarrow(name)
   }
 
   // ---------- snapshot access ----------
@@ -242,9 +252,108 @@ final class SeqTable(val root: String) {
     name
   }
 
+  // ---------- narrow (bloom-free) manifest reads ----------
+
+  // The docBloom payload dominates a FileMeta (~13 KB/file vs ~200 B of stats): at the
+  // 10^7-file design point a FULL manifest materialization is ~130 GB of driver heap, while the
+  // narrow projection is ~2 GB of paths+stats — and the plain read paths, the commit membership
+  // check and the pruned scan only ever need (path, stats, addedAt). Narrow entries carry
+  // docBloom = None, which every consumer treats as "unknown" (conservatively prunable-by-range
+  // only) — sound by [[FileMeta.docBloom]]'s own contract.
+  private val narrowCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[FileMeta]]()
+  private val MaxCachedNarrowBytes = 64L << 20
+  private val narrowBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** narrow manifest-file parses (cache misses) — observability for the scale specs */
+  private[graft] val manifestNarrowFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def cacheNarrow(name: String, metas: Seq[FileMeta]): Unit = synchronized {
+    val b = approxBytes(metas)
+    if (narrowBytes.addAndGet(b) > MaxCachedNarrowBytes) {
+      narrowCache.clear()
+      narrowBytes.set(b)
+    }
+    narrowCache.put(name, metas); ()
+  }
+
+  private def uncacheNarrow(name: String): Unit = synchronized {
+    val old = narrowCache.remove(name)
+    if (old != null) { narrowBytes.addAndGet(-approxBytes(old)); () }
+  }
+
+  private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
+  /** Field-skipping jsonl parse: the docBloom value is TOKENIZED but never decoded (Jackson's
+    * lazy string token — skipping it never allocates the ~13 KB base64 String), so the narrow
+    * read's retained AND transient heap is stats-sized.
+    */
+  private def parseNarrowLine(line: String): FileMeta = {
+    import com.fasterxml.jackson.core.JsonToken
+    val p = jsonFactory.createParser(line)
+    var path = ""; var records = 0L; var bytes = 0L
+    var minNtok = 0; var maxNtok = 0; var minDocId = ""; var maxDocId = ""
+    var sources: Seq[String] = Nil; var addedAt = 0L; var clustered = false
+    try {
+      require(p.nextToken() == JsonToken.START_OBJECT, s"manifest line is not an object: $line")
+      while (p.nextToken() != JsonToken.END_OBJECT) {
+        val name = p.currentName()
+        p.nextToken()
+        name match {
+          case "path" => path = p.getText
+          case "records" => records = p.getLongValue
+          case "bytes" => bytes = p.getLongValue
+          case "minNtok" => minNtok = p.getIntValue
+          case "maxNtok" => maxNtok = p.getIntValue
+          case "minDocId" => minDocId = p.getText
+          case "maxDocId" => maxDocId = p.getText
+          case "addedAt" => addedAt = p.getLongValue
+          case "clustered" => clustered = p.getBooleanValue
+          case "sources" =>
+            val b = Seq.newBuilder[String]
+            while (p.nextToken() != JsonToken.END_ARRAY) b += p.getText
+            sources = b.result()
+          case _ => p.skipChildren() // docBloom et al: token skipped, string never decoded
+        }
+      }
+    } finally p.close()
+    FileMeta(path, records, bytes, minNtok, maxNtok, minDocId, maxDocId, sources,
+      addedAt, clustered, docBloom = None)
+  }
+
+  /** [[readManifest]] without the docBloom payload (docBloom = None on every entry). Parquet
+    * manifests column-prune it off the scan entirely; jsonl manifests skip the field inside the
+    * token stream ([[parseNarrowLine]]). Separately cached and counted.
+    */
+  def readManifestNarrow(rel: String): Seq[FileMeta] = {
+    val full = manifestCache.get(rel)
+    if (full != null) return full.map(_.copy(docBloom = None)) // already in memory: just project
+    val cached = narrowCache.get(rel)
+    if (cached != null) return cached
+    manifestNarrowFileReads.incrementAndGet()
+    val metas =
+      if (rel.endsWith(".parquet")) {
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        import org.apache.spark.sql.functions.lit
+        val sch = org.apache.spark.sql.types.StructType(
+          SeqSchema.fileMetaSchema.filterNot(_.name == "docBloom"))
+        spark.read.schema(sch).parquet(metaDir.resolve(rel).toString)
+          .withColumn("docBloom", lit(null).cast("string"))
+          .as[FileMeta].collect().toSeq
+      } else
+        Files.readAllLines(metaDir.resolve(rel)).asScala.iterator
+          .filter(_.nonEmpty).map(parseNarrowLine).toSeq
+    cacheNarrow(rel, metas)
+    metas
+  }
+
   def liveFiles(s: Snapshot): Seq[FileMeta] = s.manifests.flatMap(readManifest)
 
   def liveFiles(): Seq[FileMeta] = liveFiles(currentSnapshot())
+
+  /** The live set WITHOUT bloom payloads — what every plain read path and the pruned scan
+    * actually need (see [[readManifestNarrow]]).
+    */
+  def liveFilesNarrow(s: Snapshot): Seq[FileMeta] = s.manifests.flatMap(readManifestNarrow)
 
   def absolutePath(meta: FileMeta): String = Paths.get(root).resolve(meta.path).toString
 
@@ -379,6 +488,12 @@ final class SeqTable(val root: String) {
     *   plan, silently rebasing over it would RESURRECT the rows it deleted inside our rewritten
     *   files (Iceberg's `validateNoNewDeleteFiles` guard, public design). We conflict instead and
     *   the caller replans with the new deletes applied.
+    * @param editPlanner how to locate-and-rewrite the manifests that lost files: None = the
+    *   driver edit below (narrow membership scan, FULL parse of touched manifests only);
+    *   Some(f) = an external planner — [[graft.table.SeqIO.distributedManifestEdit]] runs the
+    *   whole edit as executor-side joins + a parquet manifest write, so the driver parses ZERO
+    *   manifest entries (the 10^7-file path). Either way the edit is re-run per CAS attempt
+    *   against the rebased head.
     */
   def commit(
       operation: String,
@@ -394,7 +509,8 @@ final class SeqTable(val root: String) {
       requireAbsentProperties: Seq[String] = Nil,
       propertyRemovals: Set[String] = Set.empty,
       ref: String = "",
-      requirePropertyEquals: Map[String, Option[String]] = Map.empty): Snapshot = {
+      requirePropertyEquals: Map[String, Option[String]] = Map.empty,
+      editPlanner: Option[(Snapshot, Set[String]) => SeqTable.ManifestEdit] = None): Snapshot = {
     var attempt = 0
     while (true) {
       // ref = "" commits to MAIN; ref = <branchName> commits to that branch's own CAS chain
@@ -430,30 +546,34 @@ final class SeqTable(val root: String) {
             s"commit($operation): concurrent delete manifests appeared since the plan " +
               s"(${appeared.take(3).mkString(", ")}); rewriting now would resurrect deleted rows")
       }
-      val baseLive = liveFiles(base)
-      val basePaths = baseLive.map(_.path).toSet
-      val missing = removedPaths.diff(basePaths)
-      if (missing.nonEmpty)
-        throw new CommitConflictException(
-          s"commit($operation): files already rewritten by a concurrent commit: ${missing.take(3).mkString(", ")} …")
+      // base live-file count for the summary: every commit records it, so reading it back is
+      // free; only legacy snapshots fall back to a (narrow, bloom-free) manifest count
+      val baseCount: Long = base.summary.get("total-files").flatMap(_.toLongOption)
+        .getOrElse(base.manifests.iterator.map(readManifestNarrow(_).size.toLong).sum)
 
-      // carry forward untouched manifests; rewrite only manifests that lost files
-      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
-      val survivors = scala.collection.mutable.ArrayBuffer.empty[FileMeta]
-      base.manifests.foreach { m =>
-        val entries = readManifest(m)
-        if (entries.forall(e => !removedPaths.contains(e.path))) kept += m
-        else survivors ++= entries.filterNot(e => removedPaths.contains(e.path))
-      }
-      val newManifests = kept.toSeq ++
-        (if (survivors.nonEmpty) Seq(writeManifest(survivors.toSeq)) else Nil) ++
+      // manifest edit: pure-append commits carry every base manifest untouched (ZERO manifest
+      // reads); removals locate-and-rewrite only the manifests that lost files — via the driver
+      // edit (narrow membership scan; full parse of TOUCHED manifests only, so the bloom bytes
+      // the driver holds are change-proportional, never table-proportional) or the caller's
+      // distributed planner (see @param editPlanner)
+      val edit: SeqTable.ManifestEdit =
+        if (removedPaths.isEmpty) SeqTable.ManifestEdit(base.manifests, Nil, Set.empty)
+        else editPlanner match {
+          case Some(f) => f(base, removedPaths)
+          case None => driverManifestEdit(base, removedPaths)
+        }
+      if (edit.missing.nonEmpty)
+        throw new CommitConflictException(
+          s"commit($operation): files already rewritten by a concurrent commit: " +
+            s"${edit.missing.take(3).mkString(", ")} …")
+      val newManifests = edit.kept ++ edit.rewritten ++
         (if (added.nonEmpty) Seq(writeManifest(added.map(_.copy(addedAt = base.version + 1)))) else Nil)
 
       val next = Snapshot(base.version + 1, base.version, operation, newManifests,
         summary ++ Map(
           "added-files" -> added.size.toString,
           "removed-files" -> removedPaths.size.toString,
-          "total-files" -> (basePaths.size - removedPaths.size + added.size).toString),
+          "total-files" -> (baseCount - removedPaths.size + added.size).toString),
         System.currentTimeMillis(),
         base.deleteManifests.filterNot(removedDeleteManifests) ++ addedDeleteManifests,
         base.properties -- propertyRemovals ++ propertyUpdates)
@@ -470,6 +590,29 @@ final class SeqTable(val root: String) {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Driver-side manifest edit: membership tested on NARROW reads (no bloom bytes), and only
+    * the manifests that actually lost files are parsed full-width — the survivor rewrite must
+    * carry their docBloom forward. If any removed path is found in no manifest, nothing is
+    * written and the conflict surfaces via `missing`.
+    */
+  private def driverManifestEdit(base: Snapshot, removedPaths: Set[String]): SeqTable.ManifestEdit = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    val touched = scala.collection.mutable.ArrayBuffer.empty[String]
+    val found = scala.collection.mutable.HashSet.empty[String]
+    base.manifests.foreach { m =>
+      var hit = false
+      readManifestNarrow(m).foreach { e =>
+        if (removedPaths.contains(e.path)) { hit = true; found += e.path }
+      }
+      if (hit) touched += m else kept += m
+    }
+    val missing = removedPaths.diff(found)
+    if (missing.nonEmpty) return SeqTable.ManifestEdit(kept.toSeq, Nil, missing)
+    val survivors = touched.toSeq.flatMap(readManifest).filterNot(e => removedPaths.contains(e.path))
+    SeqTable.ManifestEdit(kept.toSeq,
+      if (survivors.nonEmpty) Seq(writeManifest(survivors)) else Nil, Set.empty)
   }
 
   private def writeSnapshotFile(s: Snapshot, ref: String = ""): Unit = {

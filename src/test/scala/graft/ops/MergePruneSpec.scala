@@ -105,6 +105,69 @@ class MergePruneSpec extends AnyFunSuite {
     before.unpersist(); dels.unpersist(); delKeys.unpersist()
   }
 
+  /** Byte-for-byte clone (UUID file names must match for exact parity). */
+  private def clone(rootA: String): String = {
+    val rootB = rootA + "-clone"
+    import scala.jdk.CollectionConverters._
+    Files.walk(java.nio.file.Paths.get(rootA)).iterator().asScala.toSeq.foreach { p =>
+      val dst = java.nio.file.Paths.get(rootB).resolve(java.nio.file.Paths.get(rootA).relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else { Files.createDirectories(dst.getParent); java.nio.file.Files.copy(p, dst) }
+    }
+    rootB
+  }
+
+  private def contentOf(t: SeqTable) = SeqIO.read(spark, t)
+    .select("doc_id", "tokens", "n_tok", "source")
+
+  test("DISTRIBUTED merge: parity with the driver path, ZERO driver manifest parses") {
+    val tA = curveTable()
+    val rootB = clone(tA.root)
+    val changes = SeqGen.changeSet(spark, 2000, changes = 40, deletes = 10).persist()
+    val mrA = MergeInto.merge(spark, tA, changes, cfg, targetRecordsPerFile = 20)
+
+    // cold handle, forced distributed: prune, bloom probe AND the commit's manifest edit all
+    // run on executors — the driver parses NOTHING, neither full nor narrow (at the 10^7-file
+    // design point the full manifest is ~130 GB of docBloom payload)
+    val tB = SeqTable.load(rootB)
+    val mrB = MergeInto.merge(spark, tB, changes, cfg, targetRecordsPerFile = 20,
+      distributedMetaFiles = 0L)
+    assert(tB.manifestFileReads.get() === 0L,
+      "distributed merge parsed a full manifest on the driver")
+    assert(tB.manifestNarrowFileReads.get() === 0L,
+      "distributed merge parsed a narrow manifest on the driver")
+    assert(mrB.filesRewritten === mrA.filesRewritten, "identical prune on identical layout")
+    assert(mrB.recordsWritten === mrA.recordsWritten)
+    val bad = contentOf(tA).exceptAll(contentOf(tB)).count() +
+      contentOf(tB).exceptAll(contentOf(tA)).count()
+    assert(bad === 0, "distributed and driver merges must produce identical table content")
+    // the distributed commit's summary bookkeeping stays exact (total-files feeds later commits)
+    assert(tB.currentSnapshot().summary("total-files").toLong === tB.liveFiles().size.toLong)
+    changes.unpersist()
+  }
+
+  test("DISTRIBUTED MaterializeDeletes: parity + zero driver manifest parses") {
+    val tA = curveTable()
+    val dels = SeqGen.changeSet(spark, 2000, changes = 0, deletes = 15).persist()
+    MergeInto.merge(spark, tA, dels, cfg, targetRecordsPerFile = 20, mor = true)
+    val rootB = clone(tA.root) // clone AFTER the MoR merge: identical delete manifests
+    val snapA = MaterializeDeletes.run(spark, tA, cfg, targetRecordsPerFile = 20)
+
+    val tB = SeqTable.load(rootB)
+    val snapB = MaterializeDeletes.run(spark, tB, cfg, targetRecordsPerFile = 20,
+      distributedMetaFiles = 0L)
+    assert(tB.manifestFileReads.get() === 0L,
+      "distributed materialization parsed a full manifest on the driver")
+    assert(tB.manifestNarrowFileReads.get() === 0L,
+      "distributed materialization parsed a narrow manifest on the driver")
+    assert(snapB.get.summary("removed-files") === snapA.get.summary("removed-files"))
+    assert(tB.currentSnapshot().deleteManifests.isEmpty)
+    val bad = contentOf(tA).exceptAll(contentOf(tB)).count() +
+      contentOf(tB).exceptAll(contentOf(tA)).count()
+    assert(bad === 0)
+    dels.unpersist()
+  }
+
   test("auto mode routes dense change sets to MoR and sparse ones to COW") {
     val tDense = docMajorTable()
     // 50% of keys changed → COW would rewrite ~everything → auto must choose MoR

@@ -246,6 +246,56 @@ class SeqTableSpec extends AnyFunSuite {
     assert(SeqIO.read(spark, t).count() === 100)
   }
 
+  test("plain reads are bloom-free on the driver: narrow manifest projection, both carriers") {
+    Seq("jsonl", "parquet").foreach { fmt =>
+      val root = fresh()
+      val t = SeqTable.create(root)
+      t.manifestFormat = fmt
+      val metas = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 400, parts = 2))
+      t.commit("append", metas, Set.empty)
+
+      val cold = SeqTable.load(root)
+      assert(SeqIO.read(spark, cold).count() === 400)
+      assert(cold.manifestFileReads.get() === 0L,
+        s"[$fmt] a plain read materialized a FULL (bloom-laden) manifest on the driver")
+      assert(cold.manifestNarrowFileReads.get() ===
+        cold.currentSnapshot().manifests.size.toLong,
+        s"[$fmt] the scan list must come from narrow manifest reads")
+      // narrow projection: no bloom payloads, every stat intact (vs the full read)
+      val narrow = cold.liveFilesNarrow(cold.currentSnapshot())
+      assert(narrow.forall(_.docBloom.isEmpty))
+      assert(narrow.toSet === cold.liveFiles().map(_.copy(docBloom = None)).toSet,
+        s"[$fmt] narrow entries must carry identical stats to the full read")
+      // cache: a second read parses nothing more
+      val after = cold.manifestNarrowFileReads.get()
+      assert(SeqIO.read(spark, cold).count() === 400)
+      assert(cold.manifestNarrowFileReads.get() === after, s"[$fmt] narrow reads must cache")
+    }
+  }
+
+  test("commit full-parses ONLY the manifests that lost files (narrow membership scan)") {
+    val root = fresh()
+    val t = SeqTable.create(root)
+    (1 to 3).foreach { i => // three manifests
+      val m = SeqIO.writeFiles(spark, t, SeqGen.table(spark, 100, parts = 1)
+        .withColumn("doc_id", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(s"b$i-"),
+          org.apache.spark.sql.functions.col("doc_id"))))
+      t.commit("append", m, Set.empty)
+    }
+    val cold = SeqTable.load(root)
+    assert(cold.currentSnapshot().manifests.size === 3)
+    val victim = cold.readManifestNarrow(cold.currentSnapshot().manifests.head).head.path
+    cold.commit("compact", Nil, Set(victim))
+    assert(cold.manifestNarrowFileReads.get() === 3L,
+      "membership must be decided on narrow (bloom-free) reads of every base manifest")
+    assert(cold.manifestFileReads.get() === 1L,
+      "only the ONE manifest that lost a file may be parsed full-width (its survivors' " +
+        "blooms must carry forward) — full parses must be change-proportional, not table-sized")
+    assert(SeqIO.read(spark, cold).count() === 200)
+    assert(cold.currentSnapshot().summary("total-files").toLong === cold.liveFiles().size.toLong)
+  }
+
   test("manifest cache: repeated liveFiles() and a rebasing commit parse each manifest at most once") {
     val root = fresh()
     val t = SeqTable.create(root)
