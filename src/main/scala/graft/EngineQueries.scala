@@ -530,6 +530,77 @@ object EngineQueries {
     sealAndReclaim(content, table.root)
   }
 
+  /** RE-ADD AFTER DROP driver-green (q59): the field-ID indirection end-to-end. The portable
+    * table (v1) gains a `lang` column, an evolved-width batch (docnum%10=2, 'e…') lands lang =
+    * source, the column is DROPPED, then RE-ADDED under a fresh field-ID physical name
+    * (`_fid<N>_lang` — [[graft.table.SeqSchema.PhysicalNameKey]]), and a new-generation batch
+    * (docnum%10=8, 'r…') lands lang = source under the new generation. The whole table is then
+    * compacted. The hash compare proves NO RESURRECTION row-by-row: every pre-drop row —
+    * including the 'e…' rows whose files physically still contained the dead generation's
+    * `lang` column until the rewrite — must read '' while the 'r…' rows keep their values.
+    */
+  def schemaReAdd(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("readd"), port, (n / 500).toInt.max(10)) // v1 append
+    table.addColumn("lang", org.apache.spark.sql.types.StringType)
+    graft.sources.Ingest.append(s, table, port.filter(pmod(col("docnum"), lit(10)) === 2)
+      .select(format_string("e%09d", col("docnum")).as("doc_id"),
+        col("tokens"), col("n_tok"), col("source"), col("source").as("lang")))
+    table.dropColumn("lang")
+    table.addColumn("lang", org.apache.spark.sql.types.StringType) // re-add: fresh field ID
+    require(SeqIO.read(s, table).filter(col("lang").isNotNull).isEmpty,
+      "re-added column must read null everywhere before new-generation writes")
+    graft.sources.Ingest.append(s, table, port.filter(pmod(col("docnum"), lit(10)) === 8)
+      .select(format_string("r%09d", col("docnum")).as("doc_id"),
+        col("tokens"), col("n_tok"), col("source"), col("source").as("lang")))
+    Rewrite.compactFiles(s, table, table.liveFiles(), cfg, targetFor(n))
+    require(!s.read.parquet(table.liveFiles().map(table.absolutePath): _*)
+      .columns.contains("lang"),
+      "the re-added generation must live under its field-ID physical name in rewritten files")
+    val content = SeqIO.read(s, table).select(
+      col("doc_id"), col("n_tok").cast("long").as("n_tok"), col("source"),
+      md5(concat_ws(",", transform(col("tokens"), _.cast("string")))).as("tok_md5"),
+      coalesce(col("lang"), lit("")).as("lang"))
+    sealAndReclaim(content, table.root)
+  }
+
+  /** TYPE WIDENING driver-green (q60): metadata-only int→long promotion of an evolved column.
+    * The portable table (v1) gains an Int `score`, a batch (docnum%10=3, 'n…') lands score =
+    * n_tok as Int, the column is WIDENED to Long (no file touched), and a post-widen batch
+    * (docnum%10=7, 'x…') lands score = n_tok * 10^9 — values only a Long can hold. Narrow-typed
+    * files must read up-cast in the same scan as wide ones, survive a full compaction, and time
+    * travel before the widen must read the NARROW type. DuckDB predicts the BIGINT content.
+    */
+  def schemaWiden(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("widen"), port, (n / 500).toInt.max(10)) // v1 append
+    table.addColumn("score", IntegerType)
+    graft.sources.Ingest.append(s, table, port.filter(pmod(col("docnum"), lit(10)) === 3)
+      .select(format_string("n%09d", col("docnum")).as("doc_id"),
+        col("tokens"), col("n_tok"), col("source"), col("n_tok").cast("int").as("score")))
+    val vNarrow = table.currentVersion()
+    table.widenColumn("score", LongType) // metadata-only promotion
+    require(SeqIO.readAt(s, table, vNarrow).schema("score").dataType == IntegerType,
+      "time travel before the widen must read the narrow type")
+    graft.sources.Ingest.append(s, table, port.filter(pmod(col("docnum"), lit(10)) === 7)
+      .select(format_string("x%09d", col("docnum")).as("doc_id"),
+        col("tokens"), col("n_tok"), col("source"),
+        (col("n_tok").cast("long") * 1000000000L).as("score")))
+    Rewrite.compactFiles(s, table, table.liveFiles(), cfg, targetFor(n))
+    val out = SeqIO.read(s, table)
+    require(out.schema("score").dataType == LongType, "reads must project the widened type")
+    val content = out.select(
+      col("doc_id"), col("n_tok").cast("long").as("n_tok"), col("source"),
+      md5(concat_ws(",", transform(col("tokens"), _.cast("string")))).as("tok_md5"),
+      coalesce(col("score"), lit(-1L)).as("score"))
+    sealAndReclaim(content, table.root)
+  }
+
   /** CDC CONSUME driver-green (q54): a mirror table is fed from the source's net changelog by
     * [[graft.sources.ChangeFeed.consumeInto]] — initial sync, then a MERGE on the source and a
     * second consumption step, then a REPLAYED step that must be a no-op (the offset advanced in
@@ -827,6 +898,35 @@ object EngineQueries {
            |SELECT printf('e%09d', docnum), n_tok::BIGINT, source,
            |  md5(array_to_string(tokens, ',')), source
            |FROM port WHERE docnum%10 = 2""".stripMargin,
+      // field-ID re-add: EVERY pre-drop row (port + the 'e…' old-generation batch whose files
+      // physically still held the dead column) reads '' — resurrection would flip those rows'
+      // hash; only the post-re-add 'r…' batch carries values
+      "q59_engine_schema_readd" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT doc_id, n_tok::BIGINT AS n_tok, source,
+           |  md5(array_to_string(tokens, ',')) AS tok_md5, '' AS lang FROM port
+           |UNION ALL
+           |SELECT printf('e%09d', docnum), n_tok::BIGINT, source,
+           |  md5(array_to_string(tokens, ',')), ''
+           |FROM port WHERE docnum%10 = 2
+           |UNION ALL
+           |SELECT printf('r%09d', docnum), n_tok::BIGINT, source,
+           |  md5(array_to_string(tokens, ',')), source
+           |FROM port WHERE docnum%10 = 8""".stripMargin,
+      // int→long widening: narrow-generation 'n…' rows read up-cast, wide 'x…' rows hold values
+      // only a BIGINT can; base rows read the column as null (-1)
+      "q60_engine_schema_widen" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT doc_id, n_tok::BIGINT AS n_tok, source,
+           |  md5(array_to_string(tokens, ',')) AS tok_md5, -1::BIGINT AS score FROM port
+           |UNION ALL
+           |SELECT printf('n%09d', docnum), n_tok::BIGINT, source,
+           |  md5(array_to_string(tokens, ',')), n_tok::BIGINT
+           |FROM port WHERE docnum%10 = 3
+           |UNION ALL
+           |SELECT printf('x%09d', docnum), n_tok::BIGINT, source,
+           |  md5(array_to_string(tokens, ',')), n_tok::BIGINT * 1000000000
+           |FROM port WHERE docnum%10 = 7""".stripMargin,
       // the mirror equals the source's post-merge state (the q26 oracle on the TARGET table)
       "q54_engine_cdc_consume" -> mergedContentSql(reps),
       // exactly-once delivery across three checkpointed stream runs: port ∪ the appended batch,

@@ -350,6 +350,8 @@ object SparkEntry {
     "q56_engine_tags" -> ((s, dir) => EngineQueries.tags(s, dir)),
     "q57_engine_branches" -> ((s, dir) => EngineQueries.branches(s, dir)),
     "q58_engine_stream_cdc" -> ((s, dir) => EngineQueries.streamCdc(s, dir)),
+    "q59_engine_schema_readd" -> ((s, dir) => EngineQueries.schemaReAdd(s, dir)),
+    "q60_engine_schema_widen" -> ((s, dir) => EngineQueries.schemaWiden(s, dir)),
     "q38_jdbc_roundtrip" -> ((s, dir) => EngineQueries.jdbcRoundtrip(s, dir)),
 
     "q33_image_roundtrip" -> ((s, dir) => {

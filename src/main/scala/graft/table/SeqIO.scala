@@ -45,12 +45,31 @@ object SeqSchema {
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putStringArray(FormerNamesKey, names.toArray).build())
 
-  /** Every name a schema has ever answered to (current + former), lowercased — the namespace
-    * add/rename must stay clear of: re-using a historical physical name would let the
+  /** Field-metadata key carrying a column's PHYSICAL name when it differs from the logical one —
+    * the field-ID indirection that makes RE-ADDING a dropped name safe (Iceberg resolves columns
+    * by numeric field ID baked into each data file; this format can't stamp plain parquet files,
+    * so the ID lives in the physical COLUMN NAME instead: a re-added column writes
+    * `_fid<N>_<name>`, unique forever via the monotonic `schema.next-field-id` table property).
+    * Old files' physical `<name>` column belongs to the DEAD generation and is simply never
+    * requested — no per-file conditionals, no resurrection. Writers map logical→physical at the
+    * write boundary ([[SeqIO.writeFiles]]); readers request physical names and alias back.
+    */
+  val PhysicalNameKey = "graft.physicalName"
+
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey) else f.name
+
+  def withPhysicalName(f: StructField, physical: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(PhysicalNameKey, physical).build())
+
+  /** Every name a schema has ever answered to (current + physical + former), lowercased — the
+    * namespace add/rename must stay clear of: re-using a historical physical name would let the
     * former-name fallback pick up unrelated values from files written under the old meaning.
     */
   def historicalNames(schema: StructType): Set[String] =
-    schema.fields.flatMap(f => f.name.toLowerCase +: formerNames(f).map(_.toLowerCase)).toSet
+    schema.fields.flatMap(f => f.name.toLowerCase +: physicalName(f).toLowerCase +:
+      formerNames(f).map(_.toLowerCase)).toSet
 
   /** Refuse input columns matching a RENAMED column's former name — the shared guard of every
     * write surface (append/stage/stream conform, merge change-set normalization): the
@@ -93,8 +112,11 @@ object SeqIO {
     val batch = java.util.UUID.randomUUID().toString.take(8)
     val tmp = table.dataDir.resolve(s".tmp-$batch")
     // the table's CURRENT schema decides the physical column set: evolved columns ride along
-    // through every rewrite; the stats pass below reads only the core narrow columns regardless
-    timed("write")(df.select(table.currentSchema().fieldNames.map(col).toSeq: _*)
+    // through every rewrite; the stats pass below reads only the core narrow columns regardless.
+    // Logical→PHYSICAL name mapping happens here, the single write boundary: a re-added column
+    // lands under its generation-unique physical name (see [[SeqSchema.PhysicalNameKey]])
+    timed("write")(df.select(table.currentSchema().fields.toSeq.map(f =>
+        col(f.name).as(SeqSchema.physicalName(f))): _*)
       .write.mode("overwrite").parquet(tmp.toString))
 
     val parts = SeqTable.listDir(tmp)
@@ -158,16 +180,21 @@ object SeqIO {
       schema: StructType = SeqSchema.schema): DataFrame = {
     if (metas.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val renamed = schema.fields.exists(f => SeqSchema.formerNames(f).nonEmpty)
-    if (!renamed) spark.read.schema(schema).parquet(metas.map(table.absolutePath): _*)
+    // logical == physical and no rename history → plain pruned scan, no projection layer
+    val mapped = schema.fields.exists(f =>
+      SeqSchema.formerNames(f).nonEmpty || SeqSchema.physicalName(f) != f.name)
+    if (!mapped) spark.read.schema(schema).parquet(metas.map(table.absolutePath): _*)
     else {
+      // request each field under its PHYSICAL name plus every former physical name; a re-added
+      // column's dead-generation twin (the plain old name in pre-drop files) is never in this
+      // set, so its stale values are unreachable by construction
       val physical = StructType(schema.fields.flatMap { f =>
-        StructField(f.name, f.dataType, nullable = true) +:
+        StructField(SeqSchema.physicalName(f), f.dataType, nullable = true) +:
           SeqSchema.formerNames(f).map(n => StructField(n, f.dataType, nullable = true))
       })
       spark.read.schema(physical).parquet(metas.map(table.absolutePath): _*)
         .select(schema.fields.map { f =>
-          val chain = (f.name +: SeqSchema.formerNames(f)).map(col)
+          val chain = (SeqSchema.physicalName(f) +: SeqSchema.formerNames(f)).map(col)
           (if (chain.size > 1) coalesce(chain: _*) else chain.head).as(f.name)
         }.toSeq: _*)
     }

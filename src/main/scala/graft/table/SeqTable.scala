@@ -374,26 +374,65 @@ final class SeqTable(val root: String) {
 
   def currentSchema(): org.apache.spark.sql.types.StructType = schemaOf(currentSnapshot())
 
-  /** ADD COLUMN — the first supported schema evolution: appends a NULLABLE column to the table
-    * schema as a metadata-only commit (no data file is touched; existing files read the new
-    * column as null). The base columns' roles are fixed (doc_id merge key, tokens payload,
-    * n_tok/source layout stats); added columns ride along through every rewrite, merge,
-    * changelog and scan. Rollback does NOT undo a schema change (schema is table configuration,
-    * like Iceberg's: content reverts, the column stays).
+  /** ADD COLUMN — a metadata-only commit appending a NULLABLE column (no data file is touched;
+    * existing files read the new column as null). The base columns' roles are fixed (doc_id
+    * merge key, tokens payload, n_tok/source layout stats); added columns ride along through
+    * every rewrite, merge, changelog and scan. Rollback does NOT undo a schema change (schema
+    * is table configuration, like Iceberg's: content reverts, the column stays). RE-ADDING a
+    * previously-dropped name is supported via field-ID physical-name indirection: the new
+    * generation reads/writes `_fid<N>_<name>`, so stale pre-drop values can never resurrect
+    * ([[SeqSchema.PhysicalNameKey]]).
     */
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Snapshot = {
     val cur = currentSchema()
     require(!SeqSchema.historicalNames(cur).contains(name.toLowerCase),
       s"addColumn($name): the name is (or once was) a live column — re-using a historical " +
         "physical name would let the rename fallback read unrelated values from old files")
-    require(!currentSnapshot().properties.getOrElse("schema.dropped", "")
-      .split(",").contains(name.toLowerCase),
-      s"addColumn($name): name was dropped earlier — name-based reconciliation would resurrect " +
-        "stale values from pre-drop files; pick a fresh name (see dropColumn)")
-    val next = org.apache.spark.sql.types.StructType(
-      cur.fields :+ org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    require(!name.toLowerCase.matches("_fid\\d+_.*"),
+      s"addColumn($name): the _fid<N>_ prefix is reserved for field-ID physical names")
+    val head = currentSnapshot()
+    val dropped = head.properties.getOrElse("schema.dropped", "")
+      .split(",").filter(_.nonEmpty).toSet
+    // RE-ADD of a dropped name: legal via field-ID indirection — the new generation writes and
+    // reads a fresh physical name (`_fid<N>_<name>`), so the dead generation's plain column in
+    // un-rewritten pre-drop files is unreachable by construction (no stale-value resurrection,
+    // Iceberg's field-ID semantics; see [[SeqSchema.PhysicalNameKey]])
+    val reAdd = dropped.contains(name.toLowerCase)
+    val fieldId = head.properties.get("schema.next-field-id").map(_.toLong).getOrElse(1L)
+    val f0 = org.apache.spark.sql.types.StructField(name, dataType, nullable = true)
+    val field = if (reAdd) SeqSchema.withPhysicalName(f0, s"_fid${fieldId}_${name.toLowerCase}")
+                else f0
+    val next = org.apache.spark.sql.types.StructType(cur.fields :+ field)
     commit("evolve-schema", Nil, Set.empty,
-      Map("schema-change" -> s"add-column $name ${dataType.simpleString}"),
+      Map("schema-change" -> (s"add-column $name ${dataType.simpleString}" +
+        (if (reAdd) s" (re-add, fid $fieldId)" else ""))),
+      propertyUpdates = Map("schema.json" -> next.json) ++
+        (if (reAdd) Map("schema.next-field-id" -> (fieldId + 1).toString) else Map.empty))
+  }
+
+  /** WIDEN COLUMN TYPE — metadata-only promotion of an EVOLVED column (int→long, float→double,
+    * int→double: the value-preserving promotions Spark 4's vectorized parquet reader performs
+    * at scan time, and Iceberg's allowed type evolutions, public design). Existing files keep
+    * their narrower physical type and read up-cast; new writes land the wide type. Base columns
+    * are the engine's API (n_tok feeds Int-typed stats/kernels) and stay fixed.
+    */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Snapshot = {
+    import org.apache.spark.sql.types._
+    require(!SeqSchema.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"widenColumn($name): base columns cannot change type")
+    val cur = currentSchema()
+    val idx = cur.fields.indexWhere(_.name.equalsIgnoreCase(name))
+    require(idx >= 0, s"widenColumn($name): no such column")
+    val f = cur.fields(idx)
+    val ok = (f.dataType, to) match {
+      case (IntegerType, LongType) | (IntegerType, DoubleType) | (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"widenColumn($name): ${f.dataType.simpleString} → ${to.simpleString} is not a " +
+      "value-preserving promotion (allowed: int→long, int→double, float→double)")
+    val next = org.apache.spark.sql.types.StructType(cur.fields.updated(idx, f.copy(dataType = to)))
+    commit("evolve-schema", Nil, Set.empty,
+      Map("schema-change" -> s"widen-column $name ${f.dataType.simpleString} -> ${to.simpleString}"),
       propertyUpdates = Map("schema.json" -> next.json))
   }
 
@@ -419,8 +458,14 @@ final class SeqTable(val root: String) {
       .split(",").contains(newName.toLowerCase),
       s"renameColumn(→$newName): name was dropped earlier; pick a fresh name (see dropColumn)")
     val f = cur.fields(idx)
+    // a field-ID-indirected column (re-added after drop) has its physical name PINNED: the
+    // rename is purely logical — its old LOGICAL name was never a physical column in any file,
+    // so it must NOT join the former-PHYSICAL-names chain (requesting it would read the dead
+    // pre-drop generation's column). Plain columns keep today's physical-migration semantics.
+    val renamed = f.copy(name = newName)
     val next = org.apache.spark.sql.types.StructType(cur.fields.updated(idx,
-      SeqSchema.withFormerNames(f.copy(name = newName), f.name +: SeqSchema.formerNames(f))))
+      if (SeqSchema.physicalName(f) != f.name) renamed
+      else SeqSchema.withFormerNames(renamed, f.name +: SeqSchema.formerNames(f))))
     commit("evolve-schema", Nil, Set.empty,
       Map("schema-change" -> s"rename-column $oldName -> $newName"),
       propertyUpdates = Map("schema.json" -> next.json))
@@ -446,10 +491,11 @@ final class SeqTable(val root: String) {
   /** DROP COLUMN — the inverse evolution, for EVOLVED columns only (the base columns are
     * load-bearing: doc_id is the merge key, tokens the payload, n_tok/source the layout stats).
     * Metadata-only: data files keep the physical column until rewrites shed it; readers simply
-    * stop projecting it. The dropped NAME is retired forever (`schema.dropped` property):
-    * reconciliation is by name, so re-adding the same name would RESURRECT stale values from
-    * pre-drop files — Iceberg avoids this with field-ID indirection; this format refuses the
-    * re-add instead (documented slice boundary).
+    * stop projecting it. The dropped name history is retired (`schema.dropped` property):
+    * reconciliation is by name, so a NAIVE re-add of the same name would RESURRECT stale values
+    * from pre-drop files — instead [[addColumn]] detects retired names and re-adds them under a
+    * fresh field-ID physical name (Iceberg's field-ID indirection, adapted to plain parquet —
+    * see [[SeqSchema.PhysicalNameKey]]).
     */
   def dropColumn(name: String): Snapshot = {
     require(!SeqSchema.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
@@ -459,10 +505,13 @@ final class SeqTable(val root: String) {
       s"dropColumn($name): no such column")
     val next = org.apache.spark.sql.types.StructType(
       cur.fields.filterNot(_.name.equalsIgnoreCase(name)))
-    // a renamed column retires its WHOLE name history: any of those physical names could still
-    // live in un-rewritten files, so none may ever be re-added
+    // a renamed column retires its WHOLE name history (logical + physical + formers): any of
+    // those physical names could still live in un-rewritten files. Retired names CAN come back
+    // via addColumn's field-ID indirection — the retirement list is what routes a re-add onto a
+    // fresh physical name instead of the dead generation's column.
     val history = cur.fields.find(_.name.equalsIgnoreCase(name)).toSeq
-      .flatMap(f => f.name.toLowerCase +: SeqSchema.formerNames(f).map(_.toLowerCase))
+      .flatMap(f => Seq(f.name.toLowerCase, SeqSchema.physicalName(f).toLowerCase) ++
+        SeqSchema.formerNames(f).map(_.toLowerCase)).distinct
     val dropped = currentSnapshot().properties.getOrElse("schema.dropped", "")
     val retired = (dropped.split(",").filter(_.nonEmpty) ++ history).distinct
     commit("evolve-schema", Nil, Set.empty,

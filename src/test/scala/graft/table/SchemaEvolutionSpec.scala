@@ -128,13 +128,116 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     Rewrite.compactFiles(spark, table, table.liveFiles(), cfg, 500)
     val written = spark.read.parquet(table.liveFiles().map(table.absolutePath): _*)
     assert(!written.columns.contains("lang"), "rewritten files must not carry the dropped column")
-    // base columns are not droppable; the retired name cannot be re-added (stale resurrection)
+    // base columns are not droppable; dropping an already-gone column is refused
     intercept[IllegalArgumentException](table.dropColumn("doc_id"))
-    intercept[IllegalArgumentException](table.addColumn("lang", StringType))
     intercept[IllegalArgumentException](table.dropColumn("lang")) // already gone
     // a fresh name still works
     table.addColumn("lang2", StringType)
     assert(table.currentSchema().fieldNames.contains("lang2"))
+  }
+
+  test("re-add after drop: field-ID indirection — the new generation is clean and writable, " +
+      "stale pre-drop values never resurrect") {
+    val root = fresh("readd")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 300, 3)
+    table.addColumn("lang", StringType)
+    Ingest.append(spark, table, SeqGen.table(spark, 40, parts = 1)
+      .withColumn("doc_id", concat(lit("g1-"), col("doc_id")))
+      .withColumn("lang", lit("OLDGEN")))
+    val vWith = table.currentVersion()
+    table.dropColumn("lang")
+    // RE-ADD of the retired name: previously refused; now a fresh field-ID generation whose
+    // physical column (_fid<N>_lang) no pre-drop file contains
+    table.addColumn("lang", StringType)
+    assert(table.currentSchema().fieldNames.toSeq === baseCols :+ "lang")
+
+    // 1) no resurrection: pre-drop files still physically hold 'lang' = OLDGEN, but the new
+    //    generation must read every row as null
+    val now = SeqIO.read(spark, table)
+    assert(now.count() === 340)
+    assert(now.filter(col("lang").isNotNull).count() === 0,
+      "re-added column must NOT resurrect pre-drop values from un-rewritten files")
+
+    // 2) the new generation is fully writable
+    Ingest.append(spark, table, SeqGen.table(spark, 20, parts = 1)
+      .withColumn("doc_id", concat(lit("g2-"), col("doc_id")))
+      .withColumn("lang", lit("en")))
+    val g2 = SeqIO.read(spark, table)
+    assert(g2.filter(col("lang") === "en").count() === 20)
+    assert(g2.filter(col("lang") === "OLDGEN").count() === 0)
+
+    // 3) time travel BEFORE the drop still reads the old generation's values
+    assert(SeqIO.readAt(spark, table, vWith).filter(col("lang") === "OLDGEN").count() === 40)
+
+    // 4) a full compaction sheds the dead generation physically and carries the live one
+    Rewrite.compactFiles(spark, table, table.liveFiles(), cfg, 500)
+    val compacted = SeqIO.read(spark, table)
+    assert(compacted.filter(col("lang") === "en").count() === 20)
+    assert(compacted.filter(col("lang").isNotNull).count() === 20)
+    val physical = spark.read.parquet(table.liveFiles().map(table.absolutePath): _*)
+    assert(!physical.columns.contains("lang"),
+      "the re-added generation lives under its field-ID physical name, not the dead one")
+
+    // 5) rename of a re-added column is LOGICAL-only (physical name pinned): values survive,
+    //    nothing resurrects, merge/DML speak the new name
+    table.renameColumn("lang", "language")
+    val ren = SeqIO.read(spark, table)
+    assert(ren.filter(col("language") === "en").count() === 20)
+    assert(ren.filter(col("language").isNotNull).count() === 20)
+    Dml.updateWhere(spark, table, col("language").isNull,
+      Map("language" -> lit("und")), cfg, 500)
+    assert(SeqIO.read(spark, table).filter(col("language") === "und").count() === 340)
+
+    // 6) a second drop + re-add cycle works too (monotonic field ids)
+    table.dropColumn("language")
+    table.addColumn("language", StringType)
+    assert(SeqIO.read(spark, table).filter(col("language").isNotNull).count() === 0)
+    Ingest.append(spark, table, SeqGen.table(spark, 5, parts = 1)
+      .withColumn("doc_id", concat(lit("g3-"), col("doc_id")))
+      .withColumn("language", lit("g3")))
+    assert(SeqIO.read(spark, table).filter(col("language") === "g3").count() === 5)
+  }
+
+  test("widen column type: metadata-only promotion, old files up-cast at scan, time travel " +
+      "reads the narrow type") {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    val root = fresh("widen")
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 200, 2)
+    table.addColumn("score", IntegerType)
+    Ingest.append(spark, table, SeqGen.table(spark, 20, parts = 1)
+      .withColumn("doc_id", concat(lit("w1-"), col("doc_id")))
+      .withColumn("score", lit(7)))
+    val vNarrow = table.currentVersion()
+
+    table.widenColumn("score", LongType)
+    val df = SeqIO.read(spark, table)
+    assert(df.schema("score").dataType === LongType)
+    assert(df.filter(col("score") === 7L).count() === 20,
+      "files written under the narrow type must read up-cast")
+    // new writes land values beyond the narrow range; both generations coexist in one scan
+    Ingest.append(spark, table, SeqGen.table(spark, 10, parts = 1)
+      .withColumn("doc_id", concat(lit("w2-"), col("doc_id")))
+      .withColumn("score", lit(10000000000L)))
+    val mixed = SeqIO.read(spark, table)
+    assert(mixed.filter(col("score") === 10000000000L).count() === 10)
+    assert(mixed.filter(col("score") === 7L).count() === 20)
+    // compaction roundtrip under the wide type
+    Rewrite.compactFiles(spark, table, table.liveFiles(), cfg, 500)
+    assert(SeqIO.read(spark, table).filter(col("score") === 10000000000L).count() === 10)
+    // time travel BEFORE the widen reads the narrow type
+    assert(SeqIO.readAt(spark, table, vNarrow).schema("score").dataType === IntegerType)
+    // refusals: base columns and narrowing are not promotions
+    intercept[IllegalArgumentException](table.widenColumn("n_tok", LongType))
+    intercept[IllegalArgumentException](table.widenColumn("score", IntegerType))
+    // float → double too
+    table.addColumn("conf", FloatType)
+    Ingest.append(spark, table, SeqGen.table(spark, 5, parts = 1)
+      .withColumn("doc_id", concat(lit("w3-"), col("doc_id")))
+      .withColumn("conf", lit(0.5f)))
+    table.widenColumn("conf", DoubleType)
+    val fd = SeqIO.read(spark, table)
+    assert(fd.schema("conf").dataType === DoubleType)
+    assert(fd.filter(col("conf") > 0.49 && col("conf") < 0.51).count() === 5)
   }
 
   test("rename column: metadata-only, old files keep their values, writers migrate, " +
@@ -202,11 +305,13 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](table.addColumn("lang", StringType))
     table.addColumn("score", org.apache.spark.sql.types.DoubleType)
     intercept[IllegalArgumentException](table.renameColumn("score", "lang"))
-    // dropping a renamed column retires its WHOLE name history
+    // dropping a renamed column retires its WHOLE name history: a RENAME target may never be a
+    // retired name (rename has no field-ID indirection — the new physical name would collide
+    // with the dead generation's column in un-rewritten files); re-ADDS go through addColumn's
+    // indirection instead (see the dedicated re-add test)
     table.dropColumn("language")
-    intercept[IllegalArgumentException](table.addColumn("language", StringType))
-    intercept[IllegalArgumentException](table.addColumn("lang", StringType))
     intercept[IllegalArgumentException](table.renameColumn("score", "lang"))
+    intercept[IllegalArgumentException](table.renameColumn("score", "language"))
     // a genuinely fresh name is fine
     table.renameColumn("score", "quality")
     assert(table.currentSchema().fieldNames.toSeq === baseCols :+ "quality")
