@@ -21,16 +21,29 @@ final case class PlannedTask(taskId: Int, region: Region, filePaths: Seq[String]
   */
 object MaintenancePlanner {
 
+  /** Weight of the MoR delete-ratio term in [[fragScore]]: a fully-deleted file scores 2.0 on
+    * pressure alone — above the default act threshold (1.0) by itself, because outstanding
+    * deletes tax EVERY read with an anti-join until materialized, which small files don't.
+    */
+  val DeleteWeight = 2.0
+
   /** Fragmentation score of a file: how much would rewriting it help?
     *  - small-file penalty: linear in how far below the target record count it is
     *  - clustering penalty: +0.5 when the file spans >1 grid cell (its min/max stats are loose →
     *    it defeats manifest pruning), +1 when its source set overflowed (unknown layout)
+    *  - delete pressure: [[DeleteWeight]] × the estimated fraction of rows hidden by pending MoR
+    *    deletes ([[DeletePressure]]) — rewriting materializes them ([[Rewrite.compactFiles]]
+    *    reads delete-aware), restoring the no-join read fast path
     */
-  def fragScore(f: FileMeta, cfg: GridConfig, targetRecords: Long): Double = {
+  def fragScore(
+      f: FileMeta,
+      cfg: GridConfig,
+      targetRecords: Long,
+      pressure: FileMeta => Double = DeletePressure.Zero): Double = {
     val small = math.max(0.0, 1.0 - f.records.toDouble / targetRecords)
     val span = cellsOf(f, cfg).size
     val spanPenalty = if (f.sources.isEmpty) 1.0 else if (span > 1) 0.5 else 0.0
-    small + spanPenalty
+    small + spanPenalty + DeleteWeight * pressure(f)
   }
 
   /** Grid cells covered by a file, from its manifest stats. Files with overflowed source stats
@@ -59,8 +72,12 @@ object MaintenancePlanner {
     (x, y)
   }
 
-  def fileCells(f: FileMeta, cfg: GridConfig, targetRecords: Long): Seq[Cell] = {
-    val s = fragScore(f, cfg, targetRecords)
+  def fileCells(
+      f: FileMeta,
+      cfg: GridConfig,
+      targetRecords: Long,
+      pressure: FileMeta => Double = DeletePressure.Zero): Seq[Cell] = {
+    val s = fragScore(f, cfg, targetRecords, pressure)
     if (s <= 0) Nil
     else {
       val (x, y) = centroidCell(f, cfg)
@@ -75,12 +92,13 @@ object MaintenancePlanner {
       cfg: GridConfig,
       k: Int,
       targetRecords: Long,
-      overlapAllowed: Boolean = false): Vector[Region] = {
+      overlapAllowed: Boolean = false,
+      pressure: FileMeta => Double = DeletePressure.Zero): Vector[Region] = {
     import spark.implicits._
     if (metas.isEmpty) return Vector.empty
     // file metadata → weighted cell points, then the shared distributed-top-k pipeline
     val cells: Dataset[Cell] = spark.createDataset(metas)
-      .flatMap(f => fileCells(f, cfg, targetRecords))
+      .flatMap(f => fileCells(f, cfg, targetRecords, pressure))
     GridTopK.solve(spark, cells, cfg, k, overlapAllowed)
   }
 
@@ -93,7 +111,8 @@ object MaintenancePlanner {
       winners: Seq[Region],
       metas: Seq[FileMeta],
       cfg: GridConfig,
-      targetRecords: Long): Seq[PlannedTask] = {
+      targetRecords: Long,
+      pressure: FileMeta => Double = DeletePressure.Zero): Seq[PlannedTask] = {
     val withCentroid = metas.map(f => (f, centroidCell(f, cfg)))
     val claimed = scala.collection.mutable.HashSet.empty[String]
     winners.zipWithIndex.flatMap { case (r, i) =>
@@ -109,8 +128,12 @@ object MaintenancePlanner {
       // files the engine itself wrote curve-sorted are as tight as their size allows — only a
       // file-count win can improve them; external (unclustered) spanning files also justify a
       // splitting re-cluster when there is enough data for ≥2 output files
+      // delete-laden files are useful to rewrite regardless of layout win: the rewrite applies
+      // their pending MoR deletes (terminating — rewritten files outlive every delete sequence,
+      // so their pressure is 0 next cycle)
       val useful = outFiles < fs.size ||
-        (fs.exists(f => !f.clustered && cellsOf(f, cfg).size > 1) && total >= 2 * targetRecords)
+        (fs.exists(f => !f.clustered && cellsOf(f, cfg).size > 1) && total >= 2 * targetRecords) ||
+        fs.exists(f => pressure(f) > 0)
       if (useful) {
         fs.foreach(f => claimed += f.path)
         Some(PlannedTask(i, r, fs.map(_.path), r.score))
@@ -124,9 +147,11 @@ object MaintenancePlanner {
       cfg: GridConfig,
       k: Int,
       threshold: Double,
-      targetRecords: Long): Seq[PlannedTask] = {
-    val winners = topRegions(spark, metas, cfg, k, targetRecords).filter(_.score >= threshold)
-    claimTasks(winners, metas, cfg, targetRecords)
+      targetRecords: Long,
+      pressure: FileMeta => Double = DeletePressure.Zero): Seq[PlannedTask] = {
+    val winners = topRegions(spark, metas, cfg, k, targetRecords, overlapAllowed = false, pressure)
+      .filter(_.score >= threshold)
+    claimTasks(winners, metas, cfg, targetRecords, pressure)
   }
 
   /** Incremental plan (reference algo 6, partial recompute): per-node kernel results are cached in
@@ -142,29 +167,40 @@ object MaintenancePlanner {
       threshold: Double,
       targetRecords: Long,
       prev: Option[PlannerState],
-      onRun: (Set[Int], Int) => Unit = (_, _) => ()): (Seq[PlannedTask], PlannerState) = {
+      onRun: (Set[Int], Int) => Unit = (_, _) => (),
+      pressure: FileMeta => Double = DeletePressure.Zero): (Seq[PlannedTask], PlannerState) = {
     import spark.implicits._
     val version = table.currentVersion()
     val metas = table.liveFiles()
 
     def nodesOf(fs: Seq[FileMeta]): Set[Int] =
-      fs.flatMap(f => fileCells(f, cfg, targetRecords))
+      fs.flatMap(f => fileCells(f, cfg, targetRecords, pressure))
         .flatMap(c => cfg.nodesForCell(c.x, c.y)).toSet
 
     val allNodes = nodesOf(metas)
     // dirty = nodes touched by files added OR removed since the cached base (exact manifest diff;
-    // falls back to all-dirty when the base snapshot has been expired)
+    // falls back to all-dirty when the base snapshot has been expired), PLUS — when the pending
+    // MoR delete set changed — nodes of files whose delete pressure changed with it (their cached
+    // scores were computed under the OLD pressure; file membership alone can't see this)
     val dirty: Set[Int] = prev match {
       case Some(st) if table.snapshotVersions().contains(st.baseVersion) =>
-        val prevLive = table.liveFiles(table.snapshot(st.baseVersion))
+        val baseSnap = table.snapshot(st.baseVersion)
+        val prevLive = table.liveFiles(baseSnap)
         val nowPaths = metas.map(_.path).toSet
         val prevPaths = prevLive.map(_.path).toSet
+        val delDirty: Set[Int] =
+          if (baseSnap.deleteManifests == table.currentSnapshot().deleteManifests) Set.empty
+          else {
+            val basePressure = DeletePressure.of(spark, table, baseSnap)
+            nodesOf(metas.filter(f => pressure(f) > 0 || basePressure(f) > 0))
+          }
         nodesOf(metas.filterNot(f => prevPaths.contains(f.path))) ++
-          nodesOf(prevLive.filterNot(f => nowPaths.contains(f.path)))
+          nodesOf(prevLive.filterNot(f => nowPaths.contains(f.path))) ++ delDirty
       case _ => allNodes
     }
 
-    val cells = spark.createDataset(metas).flatMap(f => fileCells(f, cfg, targetRecords)).persist()
+    val cells = spark.createDataset(metas)
+      .flatMap(f => fileCells(f, cfg, targetRecords, pressure)).persist()
     try {
       def runNodes(nodes: Set[Int], kPrime: Int): Map[Int, NodeResult] =
         if (nodes.isEmpty) Map.empty
@@ -182,7 +218,8 @@ object MaintenancePlanner {
 
       val (winners, newState) = IncrementalTopK.solve(
         runNodes, allNodes, dirty, prev, version, k, overlapAllowed = false)
-      (claimTasks(winners.filter(_.score >= threshold), metas, cfg, targetRecords), newState)
+      (claimTasks(winners.filter(_.score >= threshold), metas, cfg, targetRecords, pressure),
+        newState)
     } finally { cells.unpersist(); () }
   }
 
@@ -197,12 +234,13 @@ object MaintenancePlanner {
       cfg: GridConfig,
       k: Int,
       threshold: Double,
-      targetRecords: Long): Seq[PlannedTask] = {
+      targetRecords: Long,
+      pressure: FileMeta => Double = DeletePressure.Zero): Seq[PlannedTask] = {
     import spark.implicits._
-    val cells = metas.flatMap(f => fileCells(f, cfg, targetRecords))
+    val cells = metas.flatMap(f => fileCells(f, cfg, targetRecords, pressure))
     val winners = GridTopK.solve(spark, cells, cfg, k, overlapAllowed = false)
       .filter(_.score >= threshold)
-    claimTasksDistributed(spark, metas, winners, cfg, targetRecords)
+    claimTasksDistributed(spark, metas, winners, cfg, targetRecords, pressure)
   }
 
   /** Distributed file claiming for a winner set: each file maps to at most one winner (centroid
@@ -214,7 +252,8 @@ object MaintenancePlanner {
       metas: Dataset[FileMeta],
       winners: Seq[Region],
       cfg: GridConfig,
-      targetRecords: Long): Seq[PlannedTask] = {
+      targetRecords: Long,
+      pressure: FileMeta => Double = DeletePressure.Zero): Seq[PlannedTask] = {
     import spark.implicits._
     if (winners.isEmpty) return Nil
     val wb = spark.sparkContext.broadcast(winners.zipWithIndex.toIndexedSeq)
@@ -231,7 +270,8 @@ object MaintenancePlanner {
       val total = fs.map(_.records).sum
       val outFiles = math.max(1L, (total + targetRecords - 1) / targetRecords)
       val useful = outFiles < fs.size ||
-        (fs.exists(f => !f.clustered && cellsOf(f, cfg).size > 1) && total >= 2 * targetRecords)
+        (fs.exists(f => !f.clustered && cellsOf(f, cfg).size > 1) && total >= 2 * targetRecords) ||
+        fs.exists(f => pressure(f) > 0)
       if (useful) Some(PlannedTask(i, r, fs.map(_.path), r.score)) else None
     }
   }
@@ -250,25 +290,35 @@ object MaintenancePlanner {
       threshold: Double,
       targetRecords: Long,
       prev: Option[PlannerState],
-      onRun: (Set[Int], Int) => Unit = (_, _) => ()): (Seq[PlannedTask], PlannerState) = {
+      onRun: (Set[Int], Int) => Unit = (_, _) => (),
+      pressure: FileMeta => Double = DeletePressure.Zero): (Seq[PlannedTask], PlannerState) = {
     import spark.implicits._
     val version = table.currentVersion()
     val metas = graft.table.SeqIO.fileMetaDS(spark, table, narrow = true)
 
     def nodesOfDS(fs: Dataset[FileMeta]): Set[Int] =
-      fs.flatMap(f => fileCells(f, cfg, targetRecords).flatMap(c => cfg.nodesForCell(c.x, c.y)))
+      fs.flatMap(f => fileCells(f, cfg, targetRecords, pressure)
+        .flatMap(c => cfg.nodesForCell(c.x, c.y)))
         .distinct().collect().toSet
 
-    val cells = metas.flatMap(f => fileCells(f, cfg, targetRecords)).persist()
+    val cells = metas.flatMap(f => fileCells(f, cfg, targetRecords, pressure)).persist()
     try {
       val allNodes = cells.flatMap(c => cfg.nodesForCell(c.x, c.y)).distinct().collect().toSet
       val dirty: Set[Int] = prev match {
         case Some(st) if table.snapshotVersions().contains(st.baseVersion) =>
-          val prevDS = graft.table.SeqIO.fileMetaDSOf(
-            spark, table, table.snapshot(st.baseVersion), narrow = true)
+          val baseSnap = table.snapshot(st.baseVersion)
+          val prevDS = graft.table.SeqIO.fileMetaDSOf(spark, table, baseSnap, narrow = true)
           val added = metas.join(prevDS.select("path"), Seq("path"), "left_anti").as[FileMeta]
           val removed = prevDS.join(metas.select("path"), Seq("path"), "left_anti").as[FileMeta]
-          nodesOfDS(added) ++ nodesOfDS(removed)
+          // pressure-dirty mirrors the driver variant: cached node scores under the OLD delete
+          // set are stale wherever either side's pressure is nonzero
+          val delDirty: Set[Int] =
+            if (baseSnap.deleteManifests == table.currentSnapshot().deleteManifests) Set.empty
+            else {
+              val basePressure = DeletePressure.of(spark, table, baseSnap)
+              nodesOfDS(metas.filter(f => pressure(f) > 0 || basePressure(f) > 0))
+            }
+          nodesOfDS(added) ++ nodesOfDS(removed) ++ delDirty
         case _ => allNodes
       }
 
@@ -289,7 +339,7 @@ object MaintenancePlanner {
       val (winners, newState) = IncrementalTopK.solve(
         runNodes, allNodes, dirty, prev, version, k, overlapAllowed = false)
       (claimTasksDistributed(spark, metas, winners.filter(_.score >= threshold), cfg,
-        targetRecords), newState)
+        targetRecords, pressure), newState)
     } finally { cells.unpersist(); () }
   }
 }

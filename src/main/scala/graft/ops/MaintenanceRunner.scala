@@ -83,22 +83,28 @@ object MaintenanceRunner {
       case None =>
         val cycle = checkpoint.lastCycle() + 1
         val base = table.currentVersion()
+        // pending MoR deletes weight the planner's file scores (SURVEY §7.1 delete-ratio): laden
+        // cells rise into the top-k and their task rewrites materialize the deletes in the same
+        // clustered pass ([[Rewrite.compactFiles]] reads delete-aware) — no separate full
+        // MaterializeDeletes sweep
+        val pressure = timed("delete-pressure")(DeletePressure.of(spark, table, headSnap))
         val planned = timed("plan")(
           if (opts.incremental) {
             val (tasks, st) =
               if (useDistributed) MaintenancePlanner.planIncrementalDistributed(spark, table, cfg,
                 opts.k, opts.threshold, opts.targetRecordsPerFile, checkpoint.loadPlannerState(),
-                onPlannerRun)
+                onPlannerRun, pressure)
               else MaintenancePlanner.planIncremental(spark, table, cfg,
                 opts.k, opts.threshold, opts.targetRecordsPerFile, checkpoint.loadPlannerState(),
-                onPlannerRun)
+                onPlannerRun, pressure)
             checkpoint.savePlannerState(st)
             tasks
           } else if (useDistributed) MaintenancePlanner.planCompactionDistributed(
             spark, SeqIO.fileMetaDS(spark, table, narrow = true), cfg,
-            opts.k, opts.threshold, opts.targetRecordsPerFile)
+            opts.k, opts.threshold, opts.targetRecordsPerFile, pressure)
           else MaintenancePlanner.planCompaction(
-            spark, metasByPath.values.toSeq, cfg, opts.k, opts.threshold, opts.targetRecordsPerFile))
+            spark, metasByPath.values.toSeq, cfg, opts.k, opts.threshold,
+            opts.targetRecordsPerFile, pressure))
         checkpoint.append(StateEvent("CYCLE_START", cycle, -1, base, -1, Nil, Nil,
           Map("live-files" -> liveCount.toString), now()))
         planned.foreach { t =>
@@ -165,6 +171,15 @@ object MaintenanceRunner {
     }
 
     // ---- housekeeping ----
+    // retire delete manifests the task rewrites just made obsolete (metadata-only commit once no
+    // live file can match a pending delete) — the closing half of planner-scheduled
+    // materialization; laden files below the act threshold keep their manifests (reads stay
+    // delete-aware) until a future cycle's pressure-weighted planner claims them
+    if (headSnap.deleteManifests.nonEmpty) {
+      timed("drop-obsolete-deletes")(MaterializeDeletes.dropObsolete(spark, table,
+        if (useDistributed) 0L else SeqIO.DistributedDiffMetaFiles))
+      ()
+    }
     // above the distributed-planning threshold the manifest must not materialize on the driver
     // for the REWRITE either — build the merged manifest with a Spark job (parts = manifests)
     if (opts.rewriteManifests) {

@@ -33,57 +33,7 @@ object MaterializeDeletes {
           distributedMetaFiles
       if (useDistributed) table.manifestFormat = "parquet"
 
-      val dels = SeqIO.deletesDF(spark, table, snap)
-        .select(col("_del_key").as("key"), col("_del_seq").as("seq"))
-      // ONE bounded scan decides both "how many keys" and the probe set (dels is an uncached
-      // multi-file text read — a separate count() plus a distinct-collect would re-read every
-      // delete manifest twice more)
-      val maxK = graft.table.DocBloom.PruneMaxKeys
-      val keyArr = dels.select("key").distinct().limit(maxK.toInt + 1).as[String].collect()
-
-      // candidates: files old enough for some delete to apply AND whose key range can contain it;
-      // then per-file doc_id Blooms cut the curve-layout survivors (where ranges prune nothing —
-      // see DocBloom) down to the files that actually hold a deleted key
-      val candidates: Seq[graft.table.FileMeta] =
-        if (!useDistributed) {
-          val live = table.liveFiles(snap)
-          val fileRanges = spark.createDataset(live.map(f => (f.path, f.minDocId, f.maxDocId, f.addedAt)))
-            .toDF("path", "min_doc", "max_doc", "added")
-          val rangePaths = fileRanges
-            .join(broadcast(dels),
-              col("key").between(col("min_doc"), col("max_doc")) && col("seq") > col("added"))
-            .select("path").distinct().as[String].collect().toSet
-          val rangeCandidates = live.filter(f => rangePaths.contains(f.path))
-          val probeBudgetOk = keyArr.length <= maxK &&
-            keyArr.length.toLong * rangeCandidates.size <= 200_000_000L
-          if (!probeBudgetOk) rangeCandidates
-          // bloom absence proves the file holds no deleted key at all — sound to skip regardless
-          // of sequence numbers (the range+seq join above already handled ordering)
-          else rangeCandidates.filter(f => graft.table.DocBloom.mayContainAny(f, keyArr))
-        } else {
-          // 10^7-file path: range+seq join on the NARROW manifest Dataset (executors), Bloom
-          // refinement on the candidates' full-width entries ON EXECUTORS — no docBloom byte
-          // reaches the driver, the collected candidates are delete-set-proportional
-          val metaN = SeqIO.fileMetaDSOf(spark, table, snap, narrow = true)
-          val cand = metaN.toDF()
-            .join(broadcast(dels),
-              col("key").between(col("minDocId"), col("maxDocId")) && col("seq") > col("addedAt"),
-              "left_semi")
-            .as[graft.table.FileMeta].collect().toSeq
-          val probeBudgetOk = keyArr.length <= maxK &&
-            keyArr.length.toLong * cand.size <= 200_000_000L
-          if (!probeBudgetOk || cand.isEmpty) cand
-          else {
-            val candPaths = spark.createDataset(cand.map(_.path)).toDF("path")
-            val ka = spark.sparkContext.broadcast(keyArr)
-            SeqIO.fileMetaDSOf(spark, table, snap)
-              .join(broadcast(candPaths), Seq("path"), "left_semi")
-              .as[graft.table.FileMeta]
-              .filter(f => graft.table.DocBloom.mayContainAny(f, ka.value))
-              .map(_.copy(docBloom = None))
-              .collect().toSeq
-          }
-        }
+      val candidates = candidateFiles(spark, table, snap, useDistributed)
       val candidatePaths = candidates.map(_.path).toSet
 
       val added =
@@ -111,5 +61,90 @@ object MaterializeDeletes {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Candidate files for delete materialization: old enough for some delete to apply AND whose
+    * key range can contain it; per-file doc_id Blooms then cut the curve-layout survivors (where
+    * ranges prune nothing — see [[graft.table.DocBloom]]) down to the files that actually hold a
+    * deleted key. Distributed variant: range+seq join on the NARROW manifest Dataset (executors),
+    * Bloom refinement on the candidates' full-width entries ON EXECUTORS — no docBloom byte
+    * reaches the driver, the collected candidates are delete-set-proportional.
+    */
+  private[ops] def candidateFiles(
+      spark: SparkSession,
+      table: SeqTable,
+      snap: Snapshot,
+      useDistributed: Boolean): Seq[graft.table.FileMeta] = {
+    import spark.implicits._
+    val dels = SeqIO.deletesDF(spark, table, snap)
+      .select(col("_del_key").as("key"), col("_del_seq").as("seq"))
+    // ONE bounded scan decides both "how many keys" and the probe set (dels is an uncached
+    // multi-file text read — a separate count() plus a distinct-collect would re-read every
+    // delete manifest twice more)
+    val maxK = graft.table.DocBloom.PruneMaxKeys
+    val keyArr = dels.select("key").distinct().limit(maxK.toInt + 1).as[String].collect()
+
+    if (!useDistributed) {
+      val live = table.liveFiles(snap)
+      val fileRanges = spark.createDataset(live.map(f => (f.path, f.minDocId, f.maxDocId, f.addedAt)))
+        .toDF("path", "min_doc", "max_doc", "added")
+      val rangePaths = fileRanges
+        .join(broadcast(dels),
+          col("key").between(col("min_doc"), col("max_doc")) && col("seq") > col("added"))
+        .select("path").distinct().as[String].collect().toSet
+      val rangeCandidates = live.filter(f => rangePaths.contains(f.path))
+      val probeBudgetOk = keyArr.length <= maxK &&
+        keyArr.length.toLong * rangeCandidates.size <= 200_000_000L
+      if (!probeBudgetOk) rangeCandidates
+      // bloom absence proves the file holds no deleted key at all — sound to skip regardless
+      // of sequence numbers (the range+seq join above already handled ordering)
+      else rangeCandidates.filter(f => graft.table.DocBloom.mayContainAny(f, keyArr))
+    } else {
+      val metaN = SeqIO.fileMetaDSOf(spark, table, snap, narrow = true)
+      val cand = metaN.toDF()
+        .join(broadcast(dels),
+          col("key").between(col("minDocId"), col("maxDocId")) && col("seq") > col("addedAt"),
+          "left_semi")
+        .as[graft.table.FileMeta].collect().toSeq
+      val probeBudgetOk = keyArr.length <= maxK &&
+        keyArr.length.toLong * cand.size <= 200_000_000L
+      if (!probeBudgetOk || cand.isEmpty) cand
+      else {
+        val candPaths = spark.createDataset(cand.map(_.path)).toDF("path")
+        val ka = spark.sparkContext.broadcast(keyArr)
+        SeqIO.fileMetaDSOf(spark, table, snap)
+          .join(broadcast(candPaths), Seq("path"), "left_semi")
+          .as[graft.table.FileMeta]
+          .filter(f => graft.table.DocBloom.mayContainAny(f, ka.value))
+          .map(_.copy(docBloom = None))
+          .collect().toSeq
+      }
+    }
+  }
+
+  /** Planner-companion housekeeping: retire delete manifests that no live file can match anymore
+    * (because pressure-weighted maintenance tasks already rewrote every laden file delete-aware)
+    * with a METADATA-ONLY commit — no data moves. Candidates remaining means some laden file
+    * stayed below the act threshold: the manifests stay and reads keep applying them (correct,
+    * just not yet materialized) until a future cycle's planner claims the file. Returns None when
+    * manifests remain or a concurrent commit raced us (the next cycle retries).
+    */
+  def dropObsolete(
+      spark: SparkSession,
+      table: SeqTable,
+      distributedMetaFiles: Long = SeqIO.DistributedDiffMetaFiles): Option[Snapshot] = {
+    val snap = table.currentSnapshot()
+    if (snap.deleteManifests.isEmpty) return None
+    val useDistributed = distributedMetaFiles == 0L ||
+      snap.summary.get("total-files").flatMap(_.toLongOption).getOrElse(0L) > distributedMetaFiles
+    if (candidateFiles(spark, table, snap, useDistributed).nonEmpty) return None
+    try Some(table.commit("materialize-deletes", Nil, Set.empty,
+      Map("delete-manifests-dropped" -> snap.deleteManifests.size.toString,
+        "obsolete" -> "true"),
+      removedDeleteManifests = snap.deleteManifests.toSet,
+      plannedDeleteManifests = Some(snap.deleteManifests.toSet),
+      editPlanner =
+        if (useDistributed) Some(SeqIO.distributedManifestEdit(spark, table)) else None))
+    catch { case _: table.CommitConflictException => None }
   }
 }

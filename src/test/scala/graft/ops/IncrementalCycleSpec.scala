@@ -52,4 +52,47 @@ class IncrementalCycleSpec extends AnyFunSuite {
     }
     assert(SeqIO.read(spark, table).count() === 6500)
   }
+
+  test("the cycle materializes MoR deletes by itself: pressure-weighted planning rewrites " +
+      "laden files and housekeeping retires the obsolete manifests (no caller-invoked " +
+      "MaterializeDeletes)") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("inc-mor-").toString + "/t"
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 3000, 12)
+    val opts = MaintenanceOptions(k = 12, targetRecordsPerFile = 500, incremental = true)
+    val ckpt = new Checkpoint(s"$root/state")
+    var c = 0
+    while (MaintenanceRunner.runCycle(spark, table, cfg, opts, ckpt).tasksExecuted > 0 && c < 12)
+      c += 1
+    assert(c < 12)
+
+    // heavy MoR delete set: manifests land, nothing is rewritten, reads go delete-aware
+    val changes = SeqGen.changeSet(spark, 3000, changes = 100, deletes = 2000).persist()
+    MergeInto.merge(spark, table, changes, cfg, 500, mor = true)
+    assert(table.currentSnapshot().deleteManifests.nonEmpty)
+    val logical = SeqIO.read(spark, table).persist()
+    val expected = logical.count()
+    val delKeys = changes.filter(col("_op") === "D").select("doc_id").persist()
+
+    // the CYCLE alone must materialize: pressure routes the laden files into the top-k, the
+    // delete-aware task rewrite applies the deletes, housekeeping drops the obsolete manifests
+    var c2 = 0
+    var executedAny = 0
+    var go = true
+    while (go && c2 < 12) {
+      val r = MaintenanceRunner.runCycle(spark, table, cfg, opts, ckpt)
+      executedAny += r.tasksExecuted
+      go = r.tasksExecuted > 0 || table.currentSnapshot().deleteManifests.nonEmpty
+      c2 += 1
+    }
+    assert(c2 < 12, "cycles must converge after materializing the deletes")
+    assert(executedAny > 0, "the planner must have scheduled the delete-laden files")
+    assert(table.currentSnapshot().deleteManifests.isEmpty,
+      "obsolete delete manifests must be retired by the cycle's housekeeping")
+    val physical = SeqIO.read(spark, table)
+    assert(physical.count() === expected)
+    assert(physical.join(delKeys, Seq("doc_id"), "left_semi").count() === 0,
+      "deleted keys must stay gone after materialization")
+    logical.unpersist(); changes.unpersist(); delKeys.unpersist()
+  }
 }
