@@ -552,7 +552,10 @@ object Bench {
       // Executor heap. Large backlogs on the LOW leg can exceed the small default aggregate
       // heap and spill, which inflates the pair's efficiency past 1.0 (more executors = more
       // aggregate memory, the classic superlinear artifact) — size the heap so NEITHER leg
-      // spills and the pair measures compute scaling, not memory relief.
+      // spills and the pair measures compute scaling, not memory relief. NOTE: the third slot
+      // of local-cluster[n,c,m] is only the WORKER's capacity; the executor JVM heap is still
+      // spark.executor.memory (default 1g) and must be set explicitly or the sizing above is a
+      // no-op — r7's first merge-leg run OOM'd a 1 GB executor exactly this way.
       val memMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM_MB", "6144").trim.toInt
       val sRows = sys.env.get("SPARK_GRAFT_SCALE_ROWS").map(_.toLong).getOrElse(rows * 5)
       val sFiles = (sRows / 500).toInt
@@ -571,6 +574,7 @@ object Bench {
         val s = SparkSession.builder()
           .master(s"local-cluster[$n,$coresPerExec,$memMb]")
           .appName(s"graft-scale-$n")
+          .config("spark.executor.memory", s"${memMb}m")
           .config("spark.executor.extraClassPath", classesDir)
           .config("spark.sql.shuffle.partitions", (n * coresPerExec).toString)
           .config("spark.sql.adaptive.enabled", "true")
