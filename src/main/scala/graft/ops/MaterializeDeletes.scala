@@ -63,18 +63,62 @@ object MaterializeDeletes {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Live files targeted by the snapshot's deletion vectors — the `.dv` manifests name their
+    * target files outright (header parse, no bitmap decode), so candidacy is an exact basename
+    * lookup: change-proportional driver work, no range/Bloom machinery needed. Dead basenames
+    * (file already rewritten) match nothing — their DVs are retirement-eligible garbage.
+    */
+  private def dvCandidateFiles(
+      spark: SparkSession,
+      table: SeqTable,
+      snap: Snapshot,
+      useDistributed: Boolean): Seq[graft.table.FileMeta] = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dvMs = SeqIO.dvManifestsOf(snap)
+    if (dvMs.isEmpty) return Nil
+    val basenames = dvMs.flatMap { m =>
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(table.deleteManifestPath(m))).asScala
+        .map(l => graft.table.Dv.parseLineHeader(l)._1)
+    }.toSet
+    if (!useDistributed)
+      table.liveFiles(snap).filter(f => basenames(SeqIO.fileBasename(f.path)))
+        .map(_.copy(docBloom = None))
+    else {
+      val bn = spark.sparkContext.broadcast(basenames)
+      SeqIO.fileMetaDSOf(spark, table, snap, narrow = true)
+        .filter(f => bn.value(SeqIO.fileBasename(f.path)))
+        .collect().toSeq
+    }
+  }
+
   /** Candidate files for delete materialization: old enough for some delete to apply AND whose
     * key range can contain it; per-file doc_id Blooms then cut the curve-layout survivors (where
     * ranges prune nothing — see [[graft.table.DocBloom]]) down to the files that actually hold a
-    * deleted key. Distributed variant: range+seq join on the NARROW manifest Dataset (executors),
-    * Bloom refinement on the candidates' full-width entries ON EXECUTORS — no docBloom byte
-    * reaches the driver, the collected candidates are delete-set-proportional.
+    * deleted key; plus every live file a deletion vector targets (exact by construction). The
+    * delete-aware rewrite then materializes BOTH delete families in one pass. Distributed
+    * variant: range+seq join on the NARROW manifest Dataset (executors), Bloom refinement on the
+    * candidates' full-width entries ON EXECUTORS — no docBloom byte reaches the driver, the
+    * collected candidates are delete-set-proportional.
     */
   private[ops] def candidateFiles(
       spark: SparkSession,
       table: SeqTable,
       snap: Snapshot,
       useDistributed: Boolean): Seq[graft.table.FileMeta] = {
+    val eq = equalityCandidateFiles(spark, table, snap, useDistributed)
+    val dv = dvCandidateFiles(spark, table, snap, useDistributed)
+    val eqPaths = eq.map(_.path).toSet
+    eq ++ dv.filterNot(f => eqPaths(f.path))
+  }
+
+  private def equalityCandidateFiles(
+      spark: SparkSession,
+      table: SeqTable,
+      snap: Snapshot,
+      useDistributed: Boolean): Seq[graft.table.FileMeta] = {
+    if (SeqIO.keyManifestsOf(snap).isEmpty) return Nil
     import spark.implicits._
     val dels = SeqIO.deletesDF(spark, table, snap)
       .select(col("_del_key").as("key"), col("_del_seq").as("seq"))

@@ -205,12 +205,25 @@ object SeqIO {
     */
   val DeleteBroadcastMaxBytes: Long = 64L * 1024 * 1024
 
+  /** The snapshot's EQUALITY-delete manifests (`.keys` files) — the anti-join family. */
+  def keyManifestsOf(snap: Snapshot): Seq[String] = snap.deleteManifests.filter(_.endsWith(".keys"))
+
+  /** The snapshot's POSITION deletion-vector manifests (`.dv` files — see [[Dv]]). Both families
+    * share the `deleteManifests` lifecycle (carry-forward, expiry, planned-manifest conflict
+    * fences); only the read-time application differs.
+    */
+  def dvManifestsOf(snap: Snapshot): Seq[String] = snap.deleteManifests.filter(_.endsWith(".dv"))
+
   /** One relation holding every outstanding equality-delete key of `snap`:
     * (_del_key, _del_seq) — ONE multi-path text scan; the sequence number is parsed from the
     * manifest file name via the scan-attached `_metadata.file_path` column.
     */
   def deletesDF(spark: SparkSession, table: SeqTable, snap: Snapshot): DataFrame = {
-    val paths = snap.deleteManifests.map(table.deleteManifestPath)
+    val paths = keyManifestsOf(snap).map(table.deleteManifestPath)
+    if (paths.isEmpty) { // snapshots can carry ONLY .dv manifests — no key relation then
+      import spark.implicits._
+      return Seq.empty[(String, Long)].toDF("_del_key", "_del_seq")
+    }
     // anchor the sequence-number parse to the BASENAME: matching the full path would let a table
     // rooted under any directory named like 'delete-<digits>-…' stamp every manifest with the
     // directory's digits and silently mis-apply deletes. Unparseable names fail loudly.
@@ -223,35 +236,79 @@ object SeqIO {
   }
 
   /** Delete-aware read of `metas`: merge-on-read equality deletes with sequence s hide rows of
-    * files with addedAt < s.
+    * files with addedAt < s; position deletion vectors hide their file's row ordinals outright
+    * (a DV is pinned to one immutable file — no sequence algebra needed).
     *
     * ONE parquet scan over all files (r01 built one scan per addedAt group, so plan size grew with
     * every MoR commit and file packing within a scan was lost); each row's addedAt is re-attached
     * by joining the scan-attached `_metadata.file_path` basename against the manifest entries —
     * metadata columns cannot be detached from their scan (unlike input_file_name()). Delete keys
-    * broadcast below [[DeleteBroadcastMaxBytes]], else shuffle anti-join. No-join fast path when
-    * the snapshot carries no deletes.
+    * broadcast below [[DeleteBroadcastMaxBytes]], else shuffle anti-join. DVs apply FIRST and as
+    * a codegen'd per-row bitmap probe ([[DvHiddenExpr]]) — no join in the plan at all below
+    * [[DeleteBroadcastMaxBytes]] of encoded bitmap. No-join fast path when the snapshot carries
+    * no deletes.
+    *
+    * `keepPos` retains the scan position columns `_fn` (file basename) and `_pos`
+    * (`_metadata.row_index`) in the output — the DV writers' victim scans need them.
     */
   def readWithDeletes(spark: SparkSession, table: SeqTable, snap: Snapshot,
       metas: Seq[FileMeta], maxBroadcastBytes: Long = DeleteBroadcastMaxBytes,
-      schema: StructType = null): DataFrame = {
+      schema: StructType = null, keepPos: Boolean = false): DataFrame = {
     val sch = Option(schema).getOrElse(table.schemaOf(snap)) // default: the snapshot's schema
-    if (snap.deleteManifests.isEmpty || metas.isEmpty) return readFiles(spark, table, metas, sch)
+    if ((snap.deleteManifests.isEmpty && !keepPos) || metas.isEmpty)
+      return readFiles(spark, table, metas, sch)
     import spark.implicits._
-    val dels0 = deletesDF(spark, table, snap)
-    val delBytes = snap.deleteManifests
-      .map(m => Files.size(Paths.get(table.deleteManifestPath(m)))).sum
-    val dels = if (delBytes <= maxBroadcastBytes) broadcast(dels0) else dels0
-    val ages = broadcast(
-      spark.createDataset(metas.map(m => (fileBasename(m.path), m.addedAt))).toDF("_fn", "_added"))
-    readFiles(spark, table, metas, sch)
+    val outCols =
+      (sch.fieldNames.toSeq ++ (if (keepPos) Seq("_fn", "_pos") else Nil)).map(col)
+    var df = readFiles(spark, table, metas, sch)
       .withColumn("_fn", element_at(split(col("_metadata.file_path"), "/"), -1))
-      .join(ages, Seq("_fn"))
-      .join(dels, col("doc_id") === col("_del_key") && col("_del_seq") > col("_added"), "left_anti")
-      .select(sch.fieldNames.map(col).toSeq: _*)
+      .withColumn("_pos", col("_metadata.row_index"))
+    val dvMs = dvManifestsOf(snap)
+    if (dvMs.nonEmpty) df = applyDvFilter(spark, table, dvMs, df, maxBroadcastBytes)
+    val keyMs = keyManifestsOf(snap)
+    if (keyMs.nonEmpty) {
+      val dels0 = deletesDF(spark, table, snap)
+      val delBytes = keyMs.map(m => Files.size(Paths.get(table.deleteManifestPath(m)))).sum
+      val dels = if (delBytes <= maxBroadcastBytes) broadcast(dels0) else dels0
+      val ages = broadcast(
+        spark.createDataset(metas.map(m => (fileBasename(m.path), m.addedAt))).toDF("_fn", "_added"))
+      df = df.join(ages, Seq("_fn"))
+        .join(dels, col("doc_id") === col("_del_key") && col("_del_seq") > col("_added"),
+          "left_anti")
+    }
+    df.select(outCols: _*)
   }
 
-  private def fileBasename(path: String): String = path.substring(path.lastIndexOf('/') + 1)
+  /** Apply the deletion vectors in `dvManifests` to `df` (which must carry `_fn` and `_pos`).
+    * Below `maxBroadcastBytes` of encoded bitmap the probe is a broadcast map + the codegen'd
+    * [[DvHiddenExpr]] filter (no join); above it the manifests are parsed executor-side and the
+    * positions explode into a shuffle anti-join — correct but heavy, and a delete set that large
+    * has delete-pressure ≈ 1.0 on its files, so the planner materializes it within a cycle.
+    */
+  private[graft] def applyDvFilter(spark: SparkSession, table: SeqTable,
+      dvManifests: Seq[String], df: DataFrame, maxBroadcastBytes: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val paths = dvManifests.map(table.deleteManifestPath)
+    val totalBytes = paths.map(p => Files.size(Paths.get(p))).sum
+    if (totalBytes <= maxBroadcastBytes) {
+      val entries = paths.flatMap(p => Files.readAllLines(Paths.get(p)).asScala)
+        .map(Dv.parseLine)
+      val dvMap: Map[String, Array[Array[Byte]]] =
+        entries.groupBy(_._1).map { case (bn, vs) => bn -> vs.map(_._3).toArray }
+      val idx = new DvIndex(spark.sparkContext.broadcast(dvMap))
+      df.filter(!DvHiddenExpr.column(col("_fn"), col("_pos"), idx))
+    } else {
+      import spark.implicits._
+      val pos = spark.read.textFile(paths: _*).flatMap { line =>
+        val (bn, _, bytes) = Dv.parseLine(line)
+        Dv.positionsIterator(Dv.decode(bytes)).map(p => (bn, p))
+      }.toDF("_dv_fn", "_dv_pos")
+      df.join(pos, col("_fn") === col("_dv_fn") && col("_pos") === col("_dv_pos"), "left_anti")
+    }
+  }
+
+  private[graft] def fileBasename(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
 
   /** Target keys per delete-manifest file (sizes the executor-side write parallelism). */
   val DeleteManifestKeysPerFile: Long = 10L * 1000 * 1000
@@ -281,6 +338,44 @@ object SeqIO {
     SeqTable.listDir(tmp).foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(tmp)
     names
+  }
+
+  /** Distributed deletion-vector manifest write: `victims` is (file basename, row ordinal) —
+    * one group per file builds its sorted run bitmap executor-side ([[Dv.fromPositions]],
+    * bounded by the file's own row count), and the line set lands as text parts moved into
+    * `delete-<seq>-*.dv` manifests — same no-driver-funnel shape as [[writeDeleteManifests]].
+    * Returns the manifest names (empty input → no manifests).
+    */
+  def writeDvManifests(spark: SparkSession, table: SeqTable, victims: DataFrame,
+      seq: Long): Seq[String] = {
+    import spark.implicits._
+    val lines = victims.toDF("_fn", "_pos").as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (fn, it) =>
+        val arr = it.map(_._2).toArray
+        java.util.Arrays.sort(arr)
+        Dv.formatLine(fn, Dv.fromPositions(arr))
+      }
+      .persist()
+    try {
+      val nLines = lines.count()
+      if (nLines == 0) return Nil
+      val metaDir = Paths.get(table.root, "metadata")
+      val tmp = metaDir.resolve(s".tmp-dv-${java.util.UUID.randomUUID().toString.take(8)}")
+      val parts0 = math.max(1L, nLines / 100000L).toInt // ~100k files' bitmaps per manifest
+      lines.coalesce(parts0).write.mode("overwrite").text(tmp.toString)
+      val parts = SeqTable.listDir(tmp)
+        .filter(p => p.getFileName.toString.startsWith("part-") && Files.size(p) > 0)
+        .sortBy(_.getFileName.toString)
+      val names = parts.zipWithIndex.map { case (p, i) =>
+        val name = s"delete-$seq-${java.util.UUID.randomUUID().toString.take(8)}$i.dv"
+        Files.move(p, metaDir.resolve(name))
+        name
+      }
+      SeqTable.listDir(tmp).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(tmp)
+      names
+    } finally { lines.unpersist(); () }
   }
 
   /** Full-table read at the current snapshot (merge-on-read deletes applied). Reads build their
@@ -490,6 +585,19 @@ object SeqIO {
     if (parts.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else parts.reduce(_ unionByName _)
+  }
+
+  /** EXECUTOR-SIDE membership check for [[SeqTable.commit]]'s `requireLivePaths` fence (the
+    * 10^7-file path): one broadcast semi-join of the required paths against the path-only
+    * manifest scan — the driver collects at most |paths| hits, never a manifest entry.
+    */
+  def distributedLivePathsCheck(spark: SparkSession, table: SeqTable)
+      : (Snapshot, Set[String]) => Set[String] = { (base, paths) =>
+    import spark.implicits._
+    val req = broadcast(spark.createDataset(paths.toSeq).toDF("path"))
+    val found = manifestPathsDF(spark, table, base.manifests)
+      .join(req, Seq("path"), "left_semi").distinct().as[String].collect().toSet
+    paths.diff(found)
   }
 
   /** (path, carrier-manifest basename) of a set of manifest carriers, scanned by executors —
@@ -849,6 +957,16 @@ object SeqIO {
 
   final case class ScanStats(filesScanned: Int, totalFiles: Int, recordsScanned: Long)
 
+  /** Stats-only file skipping on (source equality, n_tok range) — sound, never exact. */
+  private[graft] def pruneMetas(live: Seq[FileMeta], source: Option[String],
+      ntokMin: Option[Int], ntokMax: Option[Int]): Seq[FileMeta] =
+    live.filter { f =>
+      val srcOk = source.forall(s => f.sources.isEmpty || f.sources.contains(s))
+      val loOk = ntokMax.forall(hi => f.minNtok <= hi)
+      val hiOk = ntokMin.forall(lo => f.maxNtok >= lo)
+      srcOk && loOk && hiOk
+    }
+
   /** Manifest-pruned scan: `source = ? AND n_tok BETWEEN ? AND ?`, with file skipping driven purely
     * by manifest min/max stats — the metric the Z-order rewrite is meant to improve. The residual
     * predicate still applies (pruning is sound, not exact).
@@ -865,12 +983,7 @@ object SeqIO {
       ntokMax: Option[Int]): (DataFrame, ScanStats) = {
     val snap = table.currentSnapshot()
     val live = table.liveFilesNarrow(snap) // stats-only pruning: bloom payloads never needed
-    val selected = live.filter { f =>
-      val srcOk = source.forall(s => f.sources.isEmpty || f.sources.contains(s))
-      val loOk = ntokMax.forall(hi => f.minNtok <= hi)
-      val hiOk = ntokMin.forall(lo => f.maxNtok >= lo)
-      srcOk && loOk && hiOk
-    }
+    val selected = pruneMetas(live, source, ntokMin, ntokMax)
     var df = readWithDeletes(spark, table, snap, selected)
     source.foreach(s => df = df.filter(col("source") === s))
     ntokMin.foreach(lo => df = df.filter(col("n_tok") >= lo))

@@ -559,7 +559,16 @@ final class SeqTable(val root: String) {
       propertyRemovals: Set[String] = Set.empty,
       ref: String = "",
       requirePropertyEquals: Map[String, Option[String]] = Map.empty,
-      editPlanner: Option[(Snapshot, Set[String]) => SeqTable.ManifestEdit] = None): Snapshot = {
+      editPlanner: Option[(Snapshot, Set[String]) => SeqTable.ManifestEdit] = None,
+      // lost-update fence for POSITION deletes: a deletion-vector commit is only valid while its
+      // target files are still live — a concurrent rewrite of one (compaction, COW merge,
+      // materialization) would strand the DV on a dead basename and resurrect the rows in the
+      // replacement file. Re-validated against the rebased head on every CAS attempt.
+      requireLivePaths: Set[String] = Set.empty,
+      // distributed membership check for the 10^7-file path (same contract shape as editPlanner):
+      // returns the subset of requireLivePaths MISSING from the snapshot's manifests. Default =
+      // driver narrow scan (bloom-free, stops once all paths are found).
+      livePathsChecker: Option[(Snapshot, Set[String]) => Set[String]] = None): Snapshot = {
     var attempt = 0
     while (true) {
       // ref = "" commits to MAIN; ref = <branchName> commits to that branch's own CAS chain
@@ -594,6 +603,22 @@ final class SeqTable(val root: String) {
           throw new CommitConflictException(
             s"commit($operation): concurrent delete manifests appeared since the plan " +
               s"(${appeared.take(3).mkString(", ")}); rewriting now would resurrect deleted rows")
+      }
+      if (requireLivePaths.nonEmpty) {
+        val missing = livePathsChecker match {
+          case Some(f) => f(base, requireLivePaths)
+          case None =>
+            val remaining = scala.collection.mutable.HashSet.empty[String] ++= requireLivePaths
+            val it = base.manifests.iterator
+            while (remaining.nonEmpty && it.hasNext)
+              readManifestNarrow(it.next()).foreach(e => remaining -= e.path)
+            remaining.toSet
+        }
+        if (missing.nonEmpty)
+          throw new CommitConflictException(
+            s"commit($operation): target files no longer live " +
+              s"(${missing.take(3).mkString(", ")}) — position deletes against rewritten files " +
+              "refused (lost-update fence)")
       }
       // base live-file count for the summary: every commit records it, so reading it back is
       // free; only legacy snapshots fall back to a (narrow, bloom-free) manifest count

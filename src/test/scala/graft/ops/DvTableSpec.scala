@@ -1,0 +1,137 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.fixtures.SeqGen
+import graft.planner.GridConfig
+import graft.table.{SeqIO, SeqTable}
+
+/** End-to-end deletion-vector behavior: DV DELETE/UPDATE parity with the COW verbs, time
+  * travel, multi-DV union on one file, the fallback anti-join path, the lost-update commit
+  * fence, and materialization through the ordinary delete-aware rewrite.
+  */
+class DvTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val cfg = GridConfig()
+
+  private def fresh(tag: String, n: Long = 2000, files: Int = 10): SeqTable = {
+    val root = Files.createTempDirectory(s"dv-$tag-").toString + "/t"
+    SeqGen.fragmentedTable(spark, root, n, files)._1
+  }
+
+  private def contentHash(df: org.apache.spark.sql.DataFrame): Long =
+    df.agg(expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))")).head.getLong(0)
+
+  test("dv delete hides exactly the predicate rows; metadata-only commit; parity with COW") {
+    val table = fresh("parity")
+    val cond = col("n_tok") < 512
+    val before = SeqIO.read(spark, table)
+    val keep = before.filter(!cond)
+    val (wantCount, wantHash) = (keep.count(), contentHash(keep))
+    assert(wantCount > 0 && wantCount < 2000)
+    val filesBefore = table.liveFilesNarrow(table.currentSnapshot()).map(_.path).toSet
+
+    val r = Dml.deleteWhere(spark, table, cond, cfg, 1000, dv = true)
+    assert(r.filesRewritten == 0)
+    val snap = table.currentSnapshot()
+    assert(snap.operation == "delete-dv")
+    assert(SeqIO.dvManifestsOf(snap).nonEmpty && SeqIO.keyManifestsOf(snap).isEmpty)
+    // metadata-only: not one data file added or removed
+    assert(table.liveFilesNarrow(snap).map(_.path).toSet == filesBefore)
+
+    val after = SeqIO.read(spark, table)
+    assert(after.count() == wantCount)
+    assert(after.filter(cond).count() == 0)
+    assert(contentHash(after) == wantHash, "DV read must equal the COW-delete result")
+  }
+
+  test("time travel: the pre-delete version still sees every row") {
+    val table = fresh("tt")
+    val v0 = table.currentVersion()
+    Dml.deleteWhere(spark, table, col("source") === "src1", cfg, 1000, dv = true)
+    assert(SeqIO.readAt(spark, table, v0).count() == 2000)
+    assert(SeqIO.read(spark, table).filter(col("source") === "src1").count() == 0)
+  }
+
+  test("two dv deletes on overlapping files union; equality deletes compose on top") {
+    val table = fresh("union")
+    Dml.deleteWhere(spark, table, col("n_tok") < 300, cfg, 1000, dv = true)
+    Dml.deleteWhere(spark, table, col("n_tok").between(250, 600), cfg, 1000, dv = true)
+    // an equality-MoR delete over a third slice composes with both DVs at read time
+    Dml.deleteWhere(spark, table, col("n_tok") > 1800, cfg, 1000, mor = true)
+    val after = SeqIO.read(spark, table)
+    assert(after.filter(col("n_tok") < 601 || col("n_tok") > 1800).count() == 0)
+    val expect = 2000 - SeqIO.readAt(spark, table, 1)
+      .filter(col("n_tok") < 601 || col("n_tok") > 1800).count()
+    assert(after.count() == expect)
+  }
+
+  test("fallback anti-join path (bitmaps over the broadcast cap) matches the probe path") {
+    val table = fresh("fallback")
+    Dml.deleteWhere(spark, table, col("n_tok") % 7 === 0, cfg, 1000, dv = true)
+    val snap = table.currentSnapshot()
+    val metas = table.liveFilesNarrow(snap)
+    val probe = SeqIO.readWithDeletes(spark, table, snap, metas)
+    val joined = SeqIO.readWithDeletes(spark, table, snap, metas, maxBroadcastBytes = 0L)
+    assert(probe.count() == joined.count())
+    assert(contentHash(probe) == contentHash(joined))
+  }
+
+  test("dv update: one commit, old rows hidden, new rows visible, unmatched byte-identical") {
+    val table = fresh("upd")
+    val cond = col("source") === "src1"
+    val matched = SeqIO.read(spark, table).filter(cond).count()
+    assert(matched > 0)
+    val beforeUnmatched = contentHash(SeqIO.read(spark, table).filter(!cond))
+    val vBefore = table.currentVersion()
+    val r = Dml.updateWhere(spark, table, cond,
+      Map("tokens" -> slice(col("tokens"), 1, 8), "source" -> lit("redacted")),
+      cfg, 1000, dv = true)
+    assert(r.recordsWritten == matched)
+    assert(table.currentVersion() == vBefore + 1, "dv update must be ONE commit")
+    assert(table.currentSnapshot().operation == "update-dv")
+    val after = SeqIO.read(spark, table)
+    assert(after.count() == 2000)
+    assert(after.filter(col("source") === "src1").count() == 0)
+    assert(after.filter(col("source") === "redacted").count() == matched)
+    assert(after.filter(col("n_tok") =!= size(col("tokens"))).count() == 0)
+    assert(contentHash(after.filter(col("source") =!= "redacted")) == beforeUnmatched)
+  }
+
+  test("lost-update fence: a dv commit against a concurrently rewritten file is refused") {
+    val table = fresh("fence")
+    val snap = table.currentSnapshot()
+    val victims = SeqIO.readWithDeletes(spark, table, snap,
+      table.liveFilesNarrow(snap), keepPos = true)
+      .filter(col("n_tok") < 512).select(col("_fn"), col("_pos"))
+    val dvNames = SeqIO.writeDvManifests(spark, table, victims, snap.version + 1)
+    val targeted = table.liveFilesNarrow(snap).map(_.path).toSet // every file targeted
+    // concurrent compaction rewrites the table between our scan and our commit
+    val rewritten = Rewrite.compactFiles(spark, table, table.liveFiles(), cfg, 1000)
+    assert(rewritten.operation == "compact")
+    intercept[table.CommitConflictException] {
+      table.commit("delete-dv", Nil, Set.empty,
+        addedDeleteManifests = dvNames, requireLivePaths = targeted)
+    }
+    // and the op-level retry loop handles the same race end-to-end (re-scan + commit)
+    val r = Dml.deleteWhere(spark, table, col("n_tok") < 512, cfg, 1000, dv = true)
+    assert(SeqIO.read(spark, table).filter(col("n_tok") < 512).count() == 0)
+    assert(r.filesRewritten == 0)
+  }
+
+  test("compaction materializes DVs (delete-aware rewrite) and reads stay correct") {
+    val table = fresh("mat", n = 3000, files = 30)
+    Dml.deleteWhere(spark, table, col("n_tok") < 700, cfg, 1000, dv = true)
+    val want = SeqIO.read(spark, table).count()
+    val wantHash = contentHash(SeqIO.read(spark, table))
+    // full materialization drops every delete manifest in one atomic commit
+    val s = MaterializeDeletes.run(spark, table, cfg, 1000)
+    assert(s.isDefined)
+    assert(table.currentSnapshot().deleteManifests.isEmpty)
+    val after = SeqIO.read(spark, table)
+    assert(after.count() == want && contentHash(after) == wantHash)
+    assert(after.filter(col("n_tok") < 700).count() == 0)
+  }
+}
