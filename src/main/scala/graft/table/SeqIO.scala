@@ -799,30 +799,47 @@ object SeqIO {
     var toSide = readWithDeletes(spark, table, sTo, addedFiles, maxBroadcastBytes, schema)
     var fromSide = readWithDeletes(spark, table, sFrom, removedFiles, maxBroadcastBytes, schema)
 
-    // carried files: only a DELTA delete key can change a row's visibility (addedAt is fixed
-    // once written, so applicability flips only when the delete-manifest set itself changes)
+    // carried files: only a DELTA delete can change a row's visibility (addedAt is fixed once
+    // written, so applicability flips only when the delete-manifest set itself changes). Two
+    // delta families: equality keys (.keys — a key can flip visibility in ANY carried file its
+    // range/Bloom admits) and deletion vectors (.dv — each names its target files outright, so
+    // candidacy is an exact basename lookup).
     val deltaManifests =
       ((sFrom.deleteManifests.toSet diff sTo.deleteManifests.toSet) ++
         (sTo.deleteManifests.toSet diff sFrom.deleteManifests.toSet)).toSeq.sorted
-    if (deltaManifests.nonEmpty) {
-      val deltaBytes = deltaManifests
+    val deltaKeyManifests = deltaManifests.filter(_.endsWith(".keys"))
+    val deltaDvManifests = deltaManifests.filter(_.endsWith(".dv"))
+    // dv-delta target basenames: executor-side header parse, change-proportional collect
+    val dvDeltaBasenames: Set[String] =
+      if (deltaDvManifests.isEmpty) Set.empty
+      else spark.read.textFile(deltaDvManifests.map(table.deleteManifestPath): _*)
+        .map(l => Dv.parseLineHeader(l)._1).distinct().collect().toSet
+    if (deltaKeyManifests.nonEmpty || dvDeltaBasenames.nonEmpty) {
+      val deltaBytes = deltaKeyManifests
         .map(m => Files.size(Paths.get(table.deleteManifestPath(m)))).sum
-      val deltaKeys0 = spark.read.textFile(deltaManifests.map(table.deleteManifestPath): _*)
-        .select(col("value").as("_delta_key")).distinct()
+      val deltaKeys0 =
+        if (deltaKeyManifests.isEmpty) Seq.empty[String].toDF("_delta_key").distinct()
+        else spark.read.textFile(deltaKeyManifests.map(table.deleteManifestPath): _*)
+          .select(col("value").as("_delta_key")).distinct()
       val deltaKeys =
         if (deltaBytes <= maxBroadcastBytes) broadcast(deltaKeys0) else deltaKeys0
-      val nKeys = deltaKeys0.count() // executor-side scan of the delta manifests only
-      // two-level file prune (the MergeInto discipline, same DocBloom.PruneMaxKeys collect
-      // ceiling and probe budget): doc_id range, then per-file Bloom. Empty delta-key sets
-      // (delete manifests present but zero keys) short-circuit: no key can flip visibility.
-      val prunedCarried: Seq[FileMeta] =
+      // executor-side scan of the delta key manifests only
+      val nKeys = if (deltaKeyManifests.isEmpty) 0L else deltaKeys0.count()
+      def carriedDriver(): Seq[FileMeta] = {
+        val liveFrom = table.liveFiles(sFrom)
+        val pTo = table.liveFiles(sTo).map(_.path).toSet
+        liveFrom.filter(f => pTo(f.path))
+      }
+      def carriedDS(): DataFrame = fileMetaDSOf(spark, table, sFrom, narrow = true).toDF()
+        .join(manifestPathsDF(spark, table, sTo.manifests), Seq("path"), "left_semi")
+      // two-level file prune for the key family (the MergeInto discipline, same
+      // DocBloom.PruneMaxKeys collect ceiling and probe budget): doc_id range, then per-file
+      // Bloom. Empty delta-key sets (delete manifests present but zero keys) short-circuit:
+      // no key can flip visibility.
+      val eqCarried: Seq[FileMeta] =
         if (nKeys == 0) Nil
         else if (!useDistributed) {
-          val carried = {
-            val liveFrom = table.liveFiles(sFrom)
-            val pTo = table.liveFiles(sTo).map(_.path).toSet
-            liveFrom.filter(f => pTo(f.path))
-          }
+          val carried = carriedDriver()
           if (nKeys <= DocBloom.PruneMaxKeys && nKeys * carried.size <= 200_000_000L) {
             val keys = deltaKeys0.as[String].collect()
             carried.filter(f => keys.exists(k => k >= f.minDocId && k <= f.maxDocId) &&
@@ -831,14 +848,11 @@ object SeqIO {
         } else {
           // the carried set stays on executors: doc_id-range theta-join against the delta keys
           // selects the candidate files, and only THOSE (delta-proportional) are collected
-          val carriedDS = fileMetaDSOf(spark, table, sFrom, narrow = true).toDF()
-            .join(manifestPathsDF(spark, table, sTo.manifests), Seq("path"), "left_semi")
-          // a delta too big to broadcast can't range-prune cheaply (a shuffle theta-join is a
-          // cross product): every carried file is a candidate, collected NARROW (paths + stats,
-          // no bloom payloads — the scan below needs only path/addedAt)
+          // (a delta too big to broadcast can't range-prune cheaply — a shuffle theta-join is a
+          // cross product: every carried file is a candidate, collected NARROW)
           val cand =
-            if (deltaBytes > maxBroadcastBytes) carriedDS.as[FileMeta].collect().toSeq
-            else carriedDS
+            if (deltaBytes > maxBroadcastBytes) carriedDS().as[FileMeta].collect().toSeq
+            else carriedDS()
               .join(broadcast(deltaKeys0),
                 col("_delta_key").between(col("minDocId"), col("maxDocId")), "left_semi")
               .as[FileMeta].collect().toSeq
@@ -855,26 +869,52 @@ object SeqIO {
               .filter(f => DocBloom.mayContainAny(f, keys))
           } else cand
         }
+      // dv candidates: carried files a delta DV targets, by exact basename
+      val dvCarried: Seq[FileMeta] =
+        if (dvDeltaBasenames.isEmpty) Nil
+        else if (!useDistributed)
+          carriedDriver().filter(f => dvDeltaBasenames(fileBasename(f.path)))
+            .map(_.copy(docBloom = None))
+        else {
+          val bnDF = broadcast(spark.createDataset(dvDeltaBasenames.toSeq).toDF("_bn"))
+          carriedDS()
+            .withColumn("_bn", element_at(split(col("path"), "/"), -1))
+            .join(bnDF, Seq("_bn"), "left_semi")
+            .drop("_bn").as[FileMeta].collect().toSeq
+        }
+      val eqPaths = eqCarried.map(_.path).toSet
+      val prunedCarried = eqCarried ++ dvCarried.filterNot(f => eqPaths(f.path))
       if (prunedCarried.nonEmpty) {
-        // candidate rows (delta-key hits) with their file's addedAt attached, then visibility
-        // under EACH endpoint's full delete set decides which side(s) the row lands on
+        // candidate rows (delta-key hits, or any row of a dv-delta file) with their file's
+        // addedAt attached, then visibility under EACH endpoint's full delete set — equality
+        // anti-join AND that endpoint's DVs — decides which side(s) the row lands on
         import spark.implicits._
         val ages = broadcast(spark.createDataset(
           prunedCarried.map(m => (fileBasename(m.path), m.addedAt))).toDF("_fn", "_added"))
+        val dvBnFlag = broadcast(spark.createDataset(dvDeltaBasenames.toSeq).toDF("_fn")
+          .withColumn("_dvh", lit(1)))
+        // deltaKeys is distinct, so the flag left-join cannot duplicate candidate rows
         val cand = readFiles(spark, table, prunedCarried, schema)
           .withColumn("_fn", element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("_pos", col("_metadata.row_index"))
           .join(ages, Seq("_fn"))
-          .join(deltaKeys, col("doc_id") === col("_delta_key"), "left_semi")
-        def visibleAt(snap: Snapshot): DataFrame =
-          if (snap.deleteManifests.isEmpty) cand.select(cols.map(col): _*)
-          else {
-            val delBytes = snap.deleteManifests
-              .map(m => Files.size(Paths.get(table.deleteManifestPath(m)))).sum
+          .join(deltaKeys, col("doc_id") === col("_delta_key"), "left")
+          .join(dvBnFlag, Seq("_fn"), "left")
+          .filter(col("_delta_key").isNotNull || col("_dvh").isNotNull)
+        def visibleAt(snap: Snapshot): DataFrame = {
+          var v = cand
+          val dvMs = dvManifestsOf(snap)
+          if (dvMs.nonEmpty) v = applyDvFilter(spark, table, dvMs, v, maxBroadcastBytes)
+          val keyMs = keyManifestsOf(snap)
+          if (keyMs.nonEmpty) {
+            val delBytes = keyMs.map(m => Files.size(Paths.get(table.deleteManifestPath(m)))).sum
             val dels0 = deletesDF(spark, table, snap)
             val dels = if (delBytes <= maxBroadcastBytes) broadcast(dels0) else dels0
-            cand.join(dels, col("doc_id") === col("_del_key") && col("_del_seq") > col("_added"),
-              "left_anti").select(cols.map(col): _*)
+            v = v.join(dels,
+              col("doc_id") === col("_del_key") && col("_del_seq") > col("_added"), "left_anti")
           }
+          v.select(cols.map(col): _*)
+        }
         fromSide = fromSide.unionByName(visibleAt(sFrom))
         toSide = toSide.unionByName(visibleAt(sTo))
       }

@@ -121,6 +121,43 @@ class DvTableSpec extends AnyFunSuite {
     assert(r.filesRewritten == 0)
   }
 
+  test("CDC: tableDiff surfaces a DV delete on CARRIED files as exactly its D rows") {
+    val table = fresh("cdc")
+    val v0 = table.currentVersion()
+    val cond = col("n_tok") < 512
+    val expectD = SeqIO.read(spark, table).filter(cond)
+    val (dCount, dHash) = (expectD.count(), contentHash(expectD))
+    Dml.deleteWhere(spark, table, cond, cfg, 1000, dv = true)
+    val diff = SeqIO.tableDiff(spark, table, v0, table.currentVersion())
+    assert(diff.filter(col("change_type") === "I").count() == 0)
+    val d = diff.filter(col("change_type") === "D")
+    assert(d.count() == dCount)
+    assert(contentHash(d) == dHash, "the D side must be exactly the deleted rows")
+    // and a DV update surfaces as D(old) + I(new)
+    val v1 = table.currentVersion()
+    Dml.updateWhere(spark, table, col("source") === "src2",
+      Map("source" -> lit("relabeled")), cfg, 1000, dv = true)
+    val diff2 = SeqIO.tableDiff(spark, table, v1, table.currentVersion())
+    val updated = diff2.filter(col("change_type") === "I").count()
+    assert(updated > 0)
+    assert(diff2.filter(col("change_type") === "D").count() == updated)
+    assert(diff2.filter(col("change_type") === "I" && col("source") =!= "relabeled").count() == 0)
+    assert(diff2.filter(col("change_type") === "D" && col("source") =!= "src2").count() == 0)
+  }
+
+  test("CDC: a DV delta composes with an equality-key delta in the same diff range") {
+    val table = fresh("cdc2")
+    val v0 = table.currentVersion()
+    Dml.deleteWhere(spark, table, col("n_tok") < 300, cfg, 1000, dv = true)
+    Dml.deleteWhere(spark, table, col("n_tok") > 1700, cfg, 1000, mor = true)
+    val diff = SeqIO.tableDiff(spark, table, v0, table.currentVersion())
+    val expect = SeqIO.readAt(spark, table, v0)
+      .filter(col("n_tok") < 300 || col("n_tok") > 1700)
+    assert(diff.filter(col("change_type") === "I").count() == 0)
+    assert(diff.filter(col("change_type") === "D").count() == expect.count())
+    assert(contentHash(diff.filter(col("change_type") === "D")) == contentHash(expect))
+  }
+
   test("compaction materializes DVs (delete-aware rewrite) and reads stay correct") {
     val table = fresh("mat", n = 3000, files = 30)
     Dml.deleteWhere(spark, table, col("n_tok") < 700, cfg, 1000, dv = true)
