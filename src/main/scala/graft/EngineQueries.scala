@@ -491,6 +491,43 @@ object EngineQueries {
     sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
+  /** DELETION VECTORS driver-green (q61): the same logical DML as [[dml]] (q52) but through the
+    * POSITION-delete path — DELETE writes per-file row-ordinal bitmaps in a metadata-only commit
+    * (not one data file touched, asserted on the live file set), UPDATE appends the new rows and
+    * hides the old positions in ONE commit with no survivor rewrite, reads apply both as a
+    * codegen bitmap probe, and [[MaterializeDeletes]] then rewrites the laden files and drops
+    * every DV in one atomic commit with the content unchanged. Sharing q52's DuckDB oracle is
+    * the point: two physically different DML engines, one predicted result.
+    */
+  def dvDml(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("dvdml"), port, (n / 500).toInt.max(10))
+    val filesBefore = table.liveFilesNarrow(table.currentSnapshot()).map(_.path).toSet
+
+    val del = Dml.deleteWhere(s, table, col("n_tok") <= 20, cfg, targetFor(n), dv = true)
+    require(del.snapshot.operation == "delete-dv", s"unexpected op ${del.snapshot.operation}")
+    require(table.liveFilesNarrow(table.currentSnapshot()).map(_.path).toSet == filesBefore,
+      "dv delete must be metadata-only (no data file added or removed)")
+
+    val vDel = table.currentVersion()
+    val upd = Dml.updateWhere(s, table, col("source") === "src1",
+      Map("tokens" -> reverse(col("tokens")), "source" -> lit("redacted")),
+      cfg, targetFor(n), dv = true)
+    require(upd.snapshot.version == vDel + 1 && upd.snapshot.operation == "update-dv",
+      "dv update must be ONE commit")
+    require(SeqIO.dvManifestsOf(table.currentSnapshot()).nonEmpty, "no DV manifests present")
+
+    val beforeMat = SeqIO.read(s, table).count()
+    MaterializeDeletes.run(s, table, cfg, targetFor(n))
+    require(table.currentSnapshot().deleteManifests.isEmpty,
+      "materialization must drop every DV manifest")
+    require(SeqIO.read(s, table).count() == beforeMat,
+      "materialization changed the visible row count")
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
+  }
+
   /** SCHEMA EVOLUTION driver-green (q53): the portable table is appended (v1, base 4-column
     * schema), a NULLABLE `lang` column is added as a metadata-only commit, a re-keyed batch
     * (docnum%10=2, 'e…') carrying lang = source is appended, the column is RENAMED to
@@ -830,6 +867,16 @@ object EngineQueries {
 
   // ---------- DuckDB oracles ----------
 
+  private def dmlOracleSql(reps: Int): String = {
+    import PortableSeq._
+    s"""WITH port AS (${sql(reps)}), kept AS (SELECT * FROM port WHERE n_tok > 20)
+       |SELECT doc_id, n_tok::BIGINT AS n_tok,
+       |  CASE WHEN source = 'src1' THEN 'redacted' ELSE source END AS source,
+       |  CASE WHEN source = 'src1' THEN md5(array_to_string(list_reverse(tokens), ','))
+       |       ELSE md5(array_to_string(tokens, ',')) END AS tok_md5
+       |FROM kept""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val reps = PortableSeq.repsFor("")
     import PortableSeq._
@@ -863,14 +910,11 @@ object EngineQueries {
            |SELECT printf('w%09d', docnum), n_tok::BIGINT, source,
            |  md5(array_to_string(tokens, ','))
            |FROM port WHERE docnum%10 = 1""".stripMargin,
-      // delete n_tok<=20, then update src1 survivors (tokens reversed, source redacted)
-      "q52_engine_dml" ->
-        s"""WITH port AS (${sql(reps)}), kept AS (SELECT * FROM port WHERE n_tok > 20)
-           |SELECT doc_id, n_tok::BIGINT AS n_tok,
-           |  CASE WHEN source = 'src1' THEN 'redacted' ELSE source END AS source,
-           |  CASE WHEN source = 'src1' THEN md5(array_to_string(list_reverse(tokens), ','))
-           |       ELSE md5(array_to_string(tokens, ',')) END AS tok_md5
-           |FROM kept""".stripMargin,
+      // delete n_tok<=20, then update src1 survivors (tokens reversed, source redacted).
+      // q61 runs the SAME logical DML through the deletion-vector path (position bitmaps +
+      // one-commit update + materialization) — one oracle, two physical DML engines.
+      "q52_engine_dml" -> dmlOracleSql(reps),
+      "q61_engine_dv_dml" -> dmlOracleSql(reps),
       "q49_engine_metadata" ->
         s"""WITH port AS (${sql(reps)}),
            |c AS (SELECT count(*) AS n,

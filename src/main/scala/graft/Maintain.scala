@@ -210,23 +210,34 @@ object Maintain {
             println(s"[changes] (${fromS}, $to] rows=${delta.count()}")
         }
 
-      case "delete" :: dir :: condSql :: _ =>
-        // DELETE FROM <dir> WHERE <condSql> — through the transactional MERGE path (auto COW/MoR)
+      case "delete" :: dir :: condSql :: rest =>
+        // DELETE FROM <dir> WHERE <condSql> — default: the transactional MERGE path (auto
+        // COW/MoR); trailing `mor` forces equality delete manifests, `dv` writes position
+        // deletion vectors (metadata-only commit, bitmap-probe read tax)
         val table = SeqTable.load(dir)
-        val r = graft.ops.Dml.deleteWhere(spark, table, expr(condSql), cfg, opts.targetRecordsPerFile)
-        println(s"[delete] where ($condSql): files-rewritten=${r.filesRewritten} → v${r.snapshot.version}")
+        val mode = rest.headOption.getOrElse("")
+        require(Set("", "mor", "dv")(mode), s"delete: unknown mode '$mode' (want mor|dv)")
+        val r = graft.ops.Dml.deleteWhere(spark, table, expr(condSql), cfg,
+          opts.targetRecordsPerFile, mor = mode == "mor", dv = mode == "dv")
+        println(s"[delete] where ($condSql)${if (mode.isEmpty) "" else s" [$mode]"}: " +
+          s"files-rewritten=${r.filesRewritten} → v${r.snapshot.version}")
 
-      case "update" :: dir :: condSql :: setSql :: _ =>
+      case "update" :: dir :: condSql :: setSql :: rest =>
         // UPDATE <dir> SET <setSql> WHERE <condSql>; setSql = "col=expr;col=expr"
-        // (tokens/source only — doc_id is the key, n_tok re-derives from tokens)
+        // (tokens/source only — doc_id is the key, n_tok re-derives from tokens); trailing
+        // `mor`/`dv` as for delete — `dv` appends new rows + hides old positions in one commit
         val table = SeqTable.load(dir)
+        val mode = rest.headOption.getOrElse("")
+        require(Set("", "mor", "dv")(mode), s"update: unknown mode '$mode' (want mor|dv)")
         val set = setSql.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
           val i = kv.indexOf('=')
           require(i > 0, s"update: bad assignment '$kv' (want col=expr)")
           kv.take(i).trim -> expr(kv.drop(i + 1).trim)
         }.toMap
-        val r = graft.ops.Dml.updateWhere(spark, table, expr(condSql), set, cfg, opts.targetRecordsPerFile)
-        println(s"[update] set (${set.keys.mkString(", ")}) where ($condSql): " +
+        val r = graft.ops.Dml.updateWhere(spark, table, expr(condSql), set, cfg,
+          opts.targetRecordsPerFile, mor = mode == "mor", dv = mode == "dv")
+        println(s"[update] set (${set.keys.mkString(", ")}) where ($condSql)" +
+          s"${if (mode.isEmpty) "" else s" [$mode]"}: " +
           s"files-rewritten=${r.filesRewritten} → v${r.snapshot.version}")
 
       case "stage" :: dir :: parquetPath :: _ =>

@@ -352,6 +352,7 @@ object SparkEntry {
     "q58_engine_stream_cdc" -> ((s, dir) => EngineQueries.streamCdc(s, dir)),
     "q59_engine_schema_readd" -> ((s, dir) => EngineQueries.schemaReAdd(s, dir)),
     "q60_engine_schema_widen" -> ((s, dir) => EngineQueries.schemaWiden(s, dir)),
+    "q61_engine_dv_dml" -> ((s, dir) => EngineQueries.dvDml(s, dir)),
     "q38_jdbc_roundtrip" -> ((s, dir) => EngineQueries.jdbcRoundtrip(s, dir)),
 
     "q33_image_roundtrip" -> ((s, dir) => {
