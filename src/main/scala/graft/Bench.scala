@@ -535,6 +535,68 @@ object Bench {
       return
     }
 
+    if (args.headOption.contains("dvbench")) {
+      // Delete-strategy economics on byte-identical table clones: the SAME scattered ~1% delete
+      // applied as (a) equality MoR keys and (b) position deletion vectors. Three numbers per
+      // strategy: delete latency (MoR writes a key manifest; DV scans victims + writes bitmaps —
+      // an intentionally larger write cost), the READ TAX (full-table scan ×3 best-of: MoR pays
+      // a broadcast anti-join per read forever, DV a codegen bitmap probe), and parity (count +
+      // content hash equal between the two strategies and the predicate-filtered baseline).
+      val rows = sys.env.get("SPARK_GRAFT_DV_ROWS").map(_.toLong).getOrElse(2000000L)
+      val spark = session(cpus)
+      val top = Files.createTempDirectory("graft-dv-bench-")
+      val rootA = top.toString + "/eq"
+      val (eqTable, _) = SeqGen.fragmentedTable(spark, rootA, rows, (rows / 10000).toInt.max(4))
+      val rootB = top.toString + "/dv"
+      locally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(java.nio.file.Paths.get(rootA)).iterator().asScala.toSeq.foreach { p =>
+          val dst = java.nio.file.Paths.get(rootB)
+            .resolve(java.nio.file.Paths.get(rootA).relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(dst)
+          else { Files.createDirectories(dst.getParent); Files.copy(p, dst) }
+        }
+      }
+      val dvTable = graft.table.SeqTable.load(rootB)
+      val cfg = GridConfig()
+      val cond = pmod(xxhash64(col("doc_id")), lit(100L)) === 0L // scattered ~1%
+      def readTax(t: graft.table.SeqTable): (Double, Long, Long) = {
+        def rep(): (Double, Long, Long) = {
+          var n = 0L; var h = 0L
+          val (_, sec) = time {
+            val r = SeqIO.read(spark, t)
+              .agg(count(lit(1)),
+                coalesce(expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))"), lit(0L))).head
+            n = r.getLong(0); h = r.getLong(1)
+          }
+          (sec, n, h)
+        }
+        rep(); Seq.fill(3)(rep()).minBy(_._1)
+      }
+      val base = readTax(eqTable)
+      println(f"[dvbench] rows=$rows no-delete read (fast path):   ${base._1}%.2fs")
+      val (eqRes, tEqDel) = time(
+        Dml.deleteWhere(spark, eqTable, cond, cfg, 20000, mor = true))
+      val eqRead = readTax(eqTable)
+      println(f"[dvbench] equality-MoR: delete=${tEqDel}%.2fs read=${eqRead._1}%.2fs " +
+        f"(anti-join tax ${eqRead._1 - base._1}%+.2fs/read) v${eqRes.snapshot.version}")
+      val (dvRes, tDvDel) = time(
+        Dml.deleteWhere(spark, dvTable, cond, cfg, 20000, dv = true))
+      val dvRead = readTax(dvTable)
+      println(f"[dvbench] deletion-vec: delete=${tDvDel}%.2fs read=${dvRead._1}%.2fs " +
+        f"(bitmap tax   ${dvRead._1 - base._1}%+.2fs/read) v${dvRes.snapshot.version}")
+      println(s"[dvbench] parity: counts ${eqRead._2} == ${dvRead._2} = " +
+        s"${eqRead._2 == dvRead._2}, content hashes equal = ${eqRead._3 == dvRead._3}")
+      spark.stop()
+      locally {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(top)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      return
+    }
+
     if (args.headOption.contains("scalingCluster")) {
       // N vs 4N EXECUTORS, literally: Spark's local-cluster master launches one real JVM per
       // executor (own heap, own GC, shuffle over localhost) — the faithful sandbox stand-in for

@@ -36,6 +36,24 @@ final case class MergeResult(
   */
 object MergeInto {
 
+  /** Ceiling for the collected sorted-key prune array (~4M keys ≈ tens of MB broadcast);
+    * larger change sets fall back to the theta-join prune and auto-route MoR regardless.
+    */
+  val MaxPruneKeys: Long = 1L << 22
+
+  /** Does [min, max] (inclusive, per manifest stats) contain ANY of the sorted keys?
+    * Two binary searches — the O(log K) per-file range prune.
+    */
+  private[ops] def rangeMayHit(sorted: Array[String], min: String, max: String): Boolean = {
+    var lo = 0
+    var hi = sorted.length
+    while (lo < hi) { // first index with sorted(i) >= min
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid).compareTo(min) < 0) lo = mid + 1 else hi = mid
+    }
+    lo < sorted.length && sorted(lo).compareTo(max) <= 0
+  }
+
   /** @param mor  force merge-on-read (delete manifests, no target rewrite)
     * @param auto pick the physical strategy per attempt from the prune result: when the affected
     *             files hold more than `autoMorFraction` of the table's records, a COW rewrite
@@ -107,12 +125,20 @@ object MergeInto {
     try {
       keys = ch.select(col("c_doc_id")).distinct().persist()
       val nKeys = timed("materialize-changes")(keys.count()) // once; reused every attempt
-      // bloom-prune key set, collected ONCE (not per conflict-retry attempt); empty = disabled
-      val bloomKeys: Array[String] = {
+      // SORTED key array for the range prune, collected ONCE (not per conflict-retry attempt):
+      // per-file candidacy is two binary searches — O(F log K) — where the broadcast theta-join
+      // it replaces was a nested-loop O(F × K): 10^7 files × 10^6 keys is 10^13 comparisons
+      // (hours) vs 2×10^8 (sub-second). Above MaxPruneKeys the array no longer broadcasts
+      // comfortably and the merge is table-wide anyway (auto-routes MoR) — the theta-join
+      // fallback stands. The ≤ PruneMaxKeys prefix doubles as the bloom probe set.
+      val sortedKeys: Array[String] = {
         import spark.implicits._
-        if (nKeys > graft.table.DocBloom.PruneMaxKeys) Array.empty
-        else keys.as[String].collect()
+        if (nKeys > MaxPruneKeys) null
+        else { val a = keys.as[String].collect(); java.util.Arrays.sort(a, Ordering[String]); a }
       }
+      val bloomKeys: Array[String] =
+        if (sortedKeys == null || nKeys > graft.table.DocBloom.PruneMaxKeys) Array.empty
+        else sortedKeys
       var attempt = 0
       while (true) {
         attempt += 1
@@ -132,14 +158,21 @@ object MergeInto {
         import spark.implicits._
         val (affected: Seq[FileMeta], liveRecords: Long) =
           if (!useDistributed) {
-            // bench-scale fast path: cached driver manifests, zero metadata jobs
+            // bench-scale fast path: cached driver manifests; with the sorted key array the
+            // range prune is a driver-local binary-search filter — ZERO metadata jobs
             val live = table.liveFiles(snap)
-            val fileRanges = spark.createDataset(live.map(f => (f.path, f.minDocId, f.maxDocId)))
-              .toDF("path", "min_doc", "max_doc")
-            val rangePaths = timed("prune")(fileRanges
-              .join(broadcast(keys), col("c_doc_id").between(col("min_doc"), col("max_doc")))
-              .select("path").distinct().as[String].collect().toSet)
-            val rangeAffected = live.filter(f => rangePaths.contains(f.path))
+            val rangeAffected = timed("prune")(
+              if (sortedKeys != null)
+                live.filter(f => rangeMayHit(sortedKeys, f.minDocId, f.maxDocId))
+              else {
+                val fileRanges = spark.createDataset(
+                  live.map(f => (f.path, f.minDocId, f.maxDocId)))
+                  .toDF("path", "min_doc", "max_doc")
+                val rangePaths = fileRanges
+                  .join(broadcast(keys), col("c_doc_id").between(col("min_doc"), col("max_doc")))
+                  .select("path").distinct().as[String].collect().toSet
+                live.filter(f => rangePaths.contains(f.path))
+              })
             // probe budget: the driver-side test is keys × candidate-files in the worst case;
             // above the ceiling the range prune stands alone (dense sets route to MoR regardless)
             val probeBudgetOk =
@@ -157,10 +190,15 @@ object MergeInto {
             val metaN = SeqIO.fileMetaDSOf(spark, table, snap, narrow = true)
             val liveRecords = timed("meta-agg")(
               metaN.toDF().agg(coalesce(sum("records"), lit(0L))).head.getLong(0))
-            val cand = timed("prune")(metaN.toDF()
-              .join(broadcast(keys),
-                col("c_doc_id").between(col("minDocId"), col("maxDocId")), "left_semi")
-              .as[FileMeta].collect().toSeq)
+            val cand = timed("prune")(
+              if (sortedKeys != null) {
+                val ka = spark.sparkContext.broadcast(sortedKeys)
+                metaN.filter(f => MergeInto.rangeMayHit(ka.value, f.minDocId, f.maxDocId))
+                  .collect().toSeq
+              } else metaN.toDF()
+                .join(broadcast(keys),
+                  col("c_doc_id").between(col("minDocId"), col("maxDocId")), "left_semi")
+                .as[FileMeta].collect().toSeq)
             val probeBudgetOk =
               bloomKeys.nonEmpty && bloomKeys.length.toLong * cand.size <= 200_000_000L
             val a = timed("bloom-prune")(
@@ -249,12 +287,13 @@ object MergeInto {
         //    since our plan — our rewritten files would escape its deletes), drop our orphan
         //    files and replan from the new head
         try {
-          val s = table.commit("merge", rewritten ++ insertedFiles, affectedPaths,
+          val s = timed("cow-commit")(table.commit("merge", rewritten ++ insertedFiles,
+            affectedPaths,
             Map("merge-attempt" -> attempt.toString),
             plannedDeleteManifests = Some(snap.deleteManifests.toSet),
             propertyUpdates = propertyUpdates,
             requirePropertyEquals = requirePropertyEquals,
-            editPlanner = editPlanner)
+            editPlanner = editPlanner))
           return MergeResult(s, affected.size, attempt,
             (rewritten ++ insertedFiles).map(_.records).sum)
         } catch {
