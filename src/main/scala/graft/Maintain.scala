@@ -99,6 +99,20 @@ object Maintain {
         println(s"[demo] dml: deleted the wap batch (files-rewritten=${dr.filesRewritten}) " +
           s"→ v${table.currentVersion()}")
 
+        // position deletion vectors: metadata-only delete, bitmap-probe read, rolled back
+        val vPreDv = table.currentVersion()
+        val dvVictims = SeqIO.read(spark, table).filter(col("n_tok") < 64).count()
+        val dvr = graft.ops.Dml.deleteWhere(spark, table, col("n_tok") < 64,
+          cfg, opts.targetRecordsPerFile, dv = true)
+        require(dvr.filesRewritten == 0, "dv delete must touch no data file")
+        require(SeqIO.read(spark, table).filter(col("n_tok") < 64).count() == 0,
+          "dv-deleted rows visible")
+        require(SeqIO.read(spark, table).count() == preWap - dvVictims, "dv delete count off")
+        table.rollbackTo(vPreDv) // keep the rest of the demo's row arithmetic unchanged
+        require(SeqIO.read(spark, table).count() == preWap, "rollback must restore dv victims")
+        println(s"[demo] dv: hid $dvVictims rows via deletion vectors (metadata-only, " +
+          s"0 files rewritten), rolled back → v${table.currentVersion()}")
+
         // schema evolution: add a nullable column (metadata-only), prove old rows null-fill
         table.addColumn("lang", org.apache.spark.sql.types.StringType)
         val langNulls = SeqIO.read(spark, table).filter(col("lang").isNull).count()

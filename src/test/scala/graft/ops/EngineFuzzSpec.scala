@@ -77,8 +77,26 @@ class EngineFuzzSpec extends AnyFunSuite {
       var pendingBranch: Option[(String, Long, Seq[(String, (Long, Int, String))])] = None
       for (_ <- 1 to fuzzSteps) {
         step += 1
-        val op = rnd.nextInt(16)
+        val op = rnd.nextInt(18)
         val tag = op match {
+          case 16 => // POSITION-DELETE (deletion vectors): hide a random n_tok band, metadata-only
+            val lo = 16 + rnd.nextInt(1800)
+            val hi = lo + 20 + rnd.nextInt(120)
+            Dml.deleteWhere(spark, table, col("n_tok").between(lo, hi), cfg,
+              opts.targetRecordsPerFile, dv = true)
+            model.filterInPlace { case (_, (_, n, _)) => n < lo || n > hi }
+            s"dv-delete([$lo,$hi])"
+          case 17 => // DV UPDATE: relabel a random n_tok band's source — ONE commit, old
+            // positions hidden, new rows appended; tokens unchanged so the model hash carries
+            val lo = 16 + rnd.nextInt(1800)
+            val hi = lo + 20 + rnd.nextInt(120)
+            val src = s"dv$step"
+            Dml.updateWhere(spark, table, col("n_tok").between(lo, hi),
+              Map("source" -> lit(src)), cfg, opts.targetRecordsPerFile, dv = true)
+            model.mapValuesInPlace { case (_, v @ (th, n, _)) =>
+              if (n >= lo && n <= hi) (th, n, src) else v
+            }
+            s"dv-update([$lo,$hi]->$src)"
           case 0 | 1 => // merge (COW or MoR) with upserts + deletes
             val mor = op == 1
             val changes = SeqGen.changeSet(spark, rows,
