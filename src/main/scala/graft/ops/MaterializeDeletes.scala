@@ -168,10 +168,14 @@ object MaterializeDeletes {
 
   /** Planner-companion housekeeping: retire delete manifests that no live file can match anymore
     * (because pressure-weighted maintenance tasks already rewrote every laden file delete-aware)
-    * with a METADATA-ONLY commit — no data moves. Candidates remaining means some laden file
-    * stayed below the act threshold: the manifests stay and reads keep applying them (correct,
-    * just not yet materialized) until a future cycle's planner claims the file. Returns None when
-    * manifests remain or a concurrent commit raced us (the next cycle retries).
+    * with a METADATA-ONLY commit — no data moves. When candidates remain (some laden file stayed
+    * below the act threshold), the `.dv` manifests whose EVERY target basename is dead are still
+    * individually retired: a DV is file-pinned and basenames are never reused, so a dead-target
+    * DV is provably inert — the partial drop trims the read path's bitmap load while the live
+    * remainder keeps applying. Both drops pin `expectedBase`: deadness was judged against THIS
+    * snapshot, and a concurrent ROLLBACK can restore a state where the files live again (their
+    * rows hidden by exactly these manifests) — a rebase would silently resurrect them. Returns
+    * None when nothing can drop or a concurrent commit raced us (the next cycle retries).
     */
   def dropObsolete(
       spark: SparkSession,
@@ -181,12 +185,28 @@ object MaterializeDeletes {
     if (snap.deleteManifests.isEmpty) return None
     val useDistributed = distributedMetaFiles == 0L ||
       snap.summary.get("total-files").flatMap(_.toLongOption).getOrElse(0L) > distributedMetaFiles
-    if (candidateFiles(spark, table, snap, useDistributed).nonEmpty) return None
+    val drop: Set[String] =
+      if (candidateFiles(spark, table, snap, useDistributed).isEmpty)
+        snap.deleteManifests.toSet // nothing left to materialize — the whole set retires
+      else {
+        import scala.jdk.CollectionConverters._
+        val dvMs = SeqIO.dvManifestsOf(snap)
+        if (dvMs.isEmpty) return None
+        val liveBasenames =
+          table.liveFilesNarrow(snap).iterator.map(f => SeqIO.fileBasename(f.path)).toSet
+        dvMs.filter { m =>
+          java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(table.deleteManifestPath(m))).asScala
+            .forall(l => !liveBasenames(graft.table.Dv.parseLineHeader(l)._1))
+        }.toSet
+      }
+    if (drop.isEmpty) return None
     try Some(table.commit("materialize-deletes", Nil, Set.empty,
-      Map("delete-manifests-dropped" -> snap.deleteManifests.size.toString,
+      Map("delete-manifests-dropped" -> drop.size.toString,
         "obsolete" -> "true"),
-      removedDeleteManifests = snap.deleteManifests.toSet,
+      removedDeleteManifests = drop,
       plannedDeleteManifests = Some(snap.deleteManifests.toSet),
+      expectedBase = Some(snap.version),
       editPlanner =
         if (useDistributed) Some(SeqIO.distributedManifestEdit(spark, table)) else None))
     catch { case _: table.CommitConflictException => None }

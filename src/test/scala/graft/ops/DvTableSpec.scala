@@ -68,6 +68,20 @@ class DvTableSpec extends AnyFunSuite {
     assert(after.count() == expect)
   }
 
+  test("DV read plan: no join, filter inside WholeStageCodegen (the structural win vs MoR)") {
+    val table = fresh("plan")
+    Dml.deleteWhere(spark, table, col("n_tok") < 512, cfg, 1000, dv = true)
+    val plan = SeqIO.read(spark, table).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"DV read must not plan a join:\n$plan")
+    // the *(N) stage marker on the Filter = it runs inside WholeStageCodegen
+    assert(plan.split("\n").exists(l => l.matches(""".*\*\(\d+\) Filter.*dv_hidden.*""")),
+      s"DV filter must stay inside a codegen stage:\n$plan")
+    // equality-MoR on the same table shape DOES pay a join — the contrast the DV path removes
+    val table2 = fresh("plan2")
+    Dml.deleteWhere(spark, table2, col("n_tok") < 512, cfg, 1000, mor = true)
+    assert(SeqIO.read(spark, table2).queryExecution.executedPlan.toString.contains("Join"))
+  }
+
   test("fallback anti-join path (bitmaps over the broadcast cap) matches the probe path") {
     val table = fresh("fallback")
     Dml.deleteWhere(spark, table, col("n_tok") % 7 === 0, cfg, 1000, dv = true)
@@ -156,6 +170,36 @@ class DvTableSpec extends AnyFunSuite {
     assert(diff.filter(col("change_type") === "I").count() == 0)
     assert(diff.filter(col("change_type") === "D").count() == expect.count())
     assert(contentHash(diff.filter(col("change_type") === "D")) == contentHash(expect))
+  }
+
+  test("housekeeping retires a DEAD dv manifest individually while a live one keeps applying") {
+    val table = fresh("retire")
+    // DV1 over band1; then compact exactly DV1's target files → DV1's basenames all die
+    Dml.deleteWhere(spark, table, col("n_tok") < 400, cfg, 1000, dv = true)
+    val dv1 = SeqIO.dvManifestsOf(table.currentSnapshot())
+    import scala.jdk.CollectionConverters._
+    val dv1Targets = dv1.flatMap { m =>
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(table.deleteManifestPath(m))).asScala
+        .map(l => graft.table.Dv.parseLineHeader(l)._1)
+    }.toSet
+    val laden = table.liveFiles().filter(f => dv1Targets(SeqIO.fileBasename(f.path)))
+    assert(laden.nonEmpty)
+    Rewrite.compactFiles(spark, table, laden, cfg, 1000)
+    // DV2 over a band of the rewritten (live) files → a LIVE dv manifest alongside dead DV1
+    Dml.deleteWhere(spark, table, col("n_tok") > 1600, cfg, 1000, dv = true)
+    val snap = table.currentSnapshot()
+    assert(SeqIO.dvManifestsOf(snap).toSet.intersect(dv1.toSet) == dv1.toSet,
+      "dead DV1 must still be carried before housekeeping")
+    val want = SeqIO.read(spark, table).count()
+    val s = MaterializeDeletes.dropObsolete(spark, table)
+    assert(s.isDefined, "partial retirement must commit")
+    val after = table.currentSnapshot()
+    assert(SeqIO.dvManifestsOf(after).toSet.intersect(dv1.toSet).isEmpty, "DV1 must retire")
+    assert(SeqIO.dvManifestsOf(after).nonEmpty, "live DV2 must survive")
+    assert(SeqIO.read(spark, table).count() == want, "retirement must not change content")
+    assert(SeqIO.read(spark, table)
+      .filter(col("n_tok") < 400 || col("n_tok") > 1600).count() == 0)
   }
 
   test("compaction materializes DVs (delete-aware rewrite) and reads stay correct") {

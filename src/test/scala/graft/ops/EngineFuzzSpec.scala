@@ -156,15 +156,22 @@ class EngineFuzzSpec extends AnyFunSuite {
             evolvedCols += name
             s"evolve-schema($name)"
           case 11 => // DROP an evolved column (no-op when none outstanding): later ops must
-            // ride the narrower schema; the retired name must refuse re-adding
+            // ride the narrower schema. Since the field-ID work (r7), RE-ADDING the dropped
+            // name is legal — the new generation lives under a fresh _fid physical name, so it
+            // must read ALL-NULL (a stale value resurrecting from a pre-drop file is the exact
+            // bug field IDs exist to prevent); sometimes re-add right here and assert that
             if (evolvedCols.isEmpty) "drop-noop"
             else {
               val name = evolvedCols.remove(rnd.nextInt(evolvedCols.size))
               table.dropColumn(name)
               assert(!table.currentSchema().fieldNames.contains(name))
-              intercept[IllegalArgumentException](
-                table.addColumn(name, org.apache.spark.sql.types.StringType))
-              s"drop-column($name)"
+              if (rnd.nextBoolean()) {
+                table.addColumn(name, org.apache.spark.sql.types.StringType)
+                assert(SeqIO.read(spark, table).filter(col(name).isNotNull).count() == 0,
+                  s"re-added '$name' resurrected a dead generation's values")
+                evolvedCols += name
+                s"drop+readd-column($name)"
+              } else s"drop-column($name)"
             }
           case 13 => // RENAME an evolved column (no-op when none outstanding): later reads
             // must reconcile old-named files through the former-name fallback, later writes
