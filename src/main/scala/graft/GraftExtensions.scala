@@ -236,6 +236,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toDF("kind", "name", "base_version", "head_version")
         out.queryExecution.analyzed: LogicalPlan
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("table_deletes"),
+      info("table_deletes",
+        "table_deletes(tableDir STRING) - outstanding merge-on-read delete manifests: " +
+          "family ('keys' = equality, 'dv' = position bitmaps), sequence, entries " +
+          "(keys or per-file bitmaps), hidden rows (exact for dv; -1 for keys), bytes"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, s"table_deletes expects 1 argument, got ${args.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        val table = graft.table.SeqTable.load(strArg(args(0), "table_deletes"))
+        val snap = table.currentSnapshot()
+        val rows = snap.deleteManifests.sorted.map { m =>
+          val p = java.nio.file.Paths.get(table.deleteManifestPath(m))
+          val bytes = java.nio.file.Files.size(p)
+          val seq = m.stripPrefix("delete-").takeWhile(_.isDigit).toLong
+          if (m.endsWith(".dv")) {
+            val heads = java.nio.file.Files.readAllLines(p).asScala
+              .map(graft.table.Dv.parseLineHeader)
+            (m, "dv", seq, heads.size.toLong, heads.map(_._2).sum, bytes)
+          } else {
+            val entries = java.nio.file.Files.readAllLines(p).size.toLong
+            (m, "keys", seq, entries, -1L, bytes)
+          }
+        }
+        val out = rows.toDF("manifest", "family", "seq", "entries", "hidden_rows", "bytes")
+        out.queryExecution.analyzed: LogicalPlan
+      }))
     e.injectFunction((
       FunctionIdentifier("lsh_buckets"),
       info("lsh_buckets",

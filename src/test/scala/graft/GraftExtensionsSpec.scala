@@ -129,6 +129,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .queryExecution.executedPlan.toString
         assert(plan.contains("FileScan") || plan.contains("Scan parquet"),
           s"table_at must resolve to a lazy parquet scan, got:\n$plan")
+        // delete observability: a DV delete surfaces as family 'dv' with EXACT hidden-row
+        // count; an equality-MoR delete as family 'keys' (hidden_rows unknown = -1)
+        locally {
+          val dvr = graft.ops.Dml.deleteWhere(spark, t,
+            org.apache.spark.sql.functions.col("n_tok") < 200,
+            graft.planner.GridConfig(), 1000, dv = true)
+          val hidden = spark.sql(
+            s"SELECT family, entries, hidden_rows FROM table_deletes('$root')")
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+          assert(hidden.nonEmpty && hidden.forall(_._1 == "dv"))
+          val expectHidden = 180 - spark.sql(s"SELECT count(*) FROM table_at('$root')")
+            .head.getLong(0)
+          assert(hidden.map(_._3).sum === expectHidden,
+            s"table_deletes hidden_rows must be exact, got $hidden want $expectHidden")
+          t.rollbackTo(dvr.snapshot.parent)
+          assert(spark.sql(s"SELECT count(*) FROM table_deletes('$root')").head.getLong(0) === 0)
+        }
+
         // manifest-pruned scan from SQL: agrees with the full read under the same predicate,
         // and unconstrained arguments fall back to the whole table
         val lib = SeqIO.read(spark, t)
@@ -152,8 +170,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         val hist = spark.sql(
           s"SELECT version, operation, total_files FROM table_history('$root') ORDER BY version")
           .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-        assert(hist === Seq((0L, "create"), (1L, "append"), (2L, "append"), (3L, "tag")),
-          s"table_history must mirror the snapshot lineage (incl. the tag commit), got $hist")
+        assert(hist === Seq((0L, "create"), (1L, "append"), (2L, "append"), (3L, "tag"),
+          (4L, "delete-dv"), (5L, "rollback")),
+          s"table_history must mirror the snapshot lineage (incl. the tag, the dv delete and " +
+            s"its rollback), got $hist")
       }
     } finally {
       // do not stop(): SparkContext is shared process-wide with the other suites
