@@ -285,17 +285,31 @@ object SeqIO {
     * positions explode into a shuffle anti-join — correct but heavy, and a delete set that large
     * has delete-pressure ≈ 1.0 on its files, so the planner materializes it within a cycle.
     */
+  /** Per-JVM cache of broadcast [[DvIndex]]es keyed by (application, table root, manifest
+    * set): delete manifests are IMMUTABLE once written and names are never reused, so a cached
+    * broadcast can never serve stale bitmaps — repeated reads of the same snapshot (every
+    * analytical session's shape) skip the driver parse + re-broadcast. Coarse bound: the map
+    * clears past 64 entries; dropped `Broadcast` references are reclaimed by Spark's
+    * ContextCleaner.
+    */
+  private val dvIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Seq[String]), DvIndex]()
+
   private[graft] def applyDvFilter(spark: SparkSession, table: SeqTable,
       dvManifests: Seq[String], df: DataFrame, maxBroadcastBytes: Long): DataFrame = {
     import scala.jdk.CollectionConverters._
     val paths = dvManifests.map(table.deleteManifestPath)
     val totalBytes = paths.map(p => Files.size(Paths.get(p))).sum
     if (totalBytes <= maxBroadcastBytes) {
-      val entries = paths.flatMap(p => Files.readAllLines(Paths.get(p)).asScala)
-        .map(Dv.parseLine)
-      val dvMap: Map[String, Array[Array[Byte]]] =
-        entries.groupBy(_._1).map { case (bn, vs) => bn -> vs.map(_._3).toArray }
-      val idx = new DvIndex(spark.sparkContext.broadcast(dvMap))
+      if (dvIndexCache.size > 64) dvIndexCache.clear()
+      val idx = dvIndexCache.computeIfAbsent(
+        (spark.sparkContext.applicationId, table.root, dvManifests.sorted), { _ =>
+          val entries = paths.flatMap(p => Files.readAllLines(Paths.get(p)).asScala)
+            .map(Dv.parseLine)
+          val dvMap: Map[String, Array[Array[Byte]]] =
+            entries.groupBy(_._1).map { case (bn, vs) => bn -> vs.map(_._3).toArray }
+          new DvIndex(spark.sparkContext.broadcast(dvMap))
+        })
       df.filter(!DvHiddenExpr.column(col("_fn"), col("_pos"), idx))
     } else {
       import spark.implicits._

@@ -390,6 +390,11 @@ final class SeqTable(val root: String) {
         "physical name would let the rename fallback read unrelated values from old files")
     require(!name.toLowerCase.matches("_fid\\d+_.*"),
       s"addColumn($name): the _fid<N>_ prefix is reserved for field-ID physical names")
+    // the whole `_` namespace is the engine's: scan-internal columns (_fn/_pos/_added/_metadata),
+    // merge plumbing (_op, c_*-free but underscore-led join keys) — a user column named `_pos`
+    // would be silently shadowed by the deletion-vector read path's row-ordinal column
+    require(!name.startsWith("_"),
+      s"addColumn($name): names starting with '_' are reserved for engine-internal columns")
     val head = currentSnapshot()
     val dropped = head.properties.getOrElse("schema.dropped", "")
       .split(",").filter(_.nonEmpty).toSet
