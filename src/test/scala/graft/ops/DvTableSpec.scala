@@ -172,6 +172,50 @@ class DvTableSpec extends AnyFunSuite {
     assert(contentHash(diff.filter(col("change_type") === "D")) == contentHash(expect))
   }
 
+  test("concurrent dv deletes: four disjoint bands race through the CAS, union applied") {
+    val table = fresh("race", n = 4000, files = 20)
+    val bands = Seq((16, 200), (400, 600), (800, 1000), (1200, 1400))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = bands.map { case (lo, hi) =>
+      new Thread(() => {
+        try Dml.deleteWhere(spark, table, col("n_tok").between(lo, hi), cfg, 1000, dv = true)
+        catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"a metadata-only dv delete lost its race permanently: ${errs.peek()}")
+    val bandPred = bands.map { case (lo, hi) => col("n_tok").between(lo, hi) }.reduce(_ || _)
+    val after = SeqIO.read(spark, table)
+    assert(after.filter(bandPred).count() == 0, "a raced dv delete was lost")
+    assert(after.count() == 4000 - SeqIO.readAt(spark, table, 1).filter(bandPred).count())
+  }
+
+  test("dv deletes racing compaction: commits land cleanly or refuse loudly, never silent loss") {
+    val table = fresh("race2", n = 4000, files = 40)
+    val bands = Seq((16, 300), (600, 900), (1300, 1600))
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]()
+    val deleter = new Thread(() => bands.foreach { case (lo, hi) =>
+      try {
+        Dml.deleteWhere(spark, table, col("n_tok").between(lo, hi), cfg, 1000, dv = true)
+        landed.add((lo, hi)); ()
+      } catch { case _: table.CommitConflictException => () } // loud refusal is a legal outcome
+    })
+    val compactor = new Thread(() => (1 to 3).foreach { _ =>
+      try { Rewrite.compactFiles(spark, table, table.liveFiles(), cfg, 1000); () }
+      catch { case _: table.CommitConflictException => () }
+    })
+    deleter.start(); compactor.start(); deleter.join(); compactor.join()
+    import scala.jdk.CollectionConverters._
+    val ok = landed.asScala.toSeq
+    val after = SeqIO.read(spark, table)
+    if (ok.nonEmpty) {
+      val pred = ok.map { case (lo, hi) => col("n_tok").between(lo, hi) }.reduce(_ || _)
+      assert(after.filter(pred).count() == 0,
+        s"a COMMITTED dv delete's rows resurrected under a racing compaction: $ok")
+      assert(after.count() == 4000 - SeqIO.readAt(spark, table, 1).filter(pred).count())
+    } else assert(after.count() == 4000)
+  }
+
   test("housekeeping retires a DEAD dv manifest individually while a live one keeps applying") {
     val table = fresh("retire")
     // DV1 over band1; then compact exactly DV1's target files → DV1's basenames all die
