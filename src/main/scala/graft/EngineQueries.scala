@@ -528,6 +528,51 @@ object EngineQueries {
     sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
   }
 
+  /** POINT LOOKUP driver-green (q62): the needle query against the compacted (curve-clustered)
+    * portable table — fetch an explicit doc_id set opening only range+Bloom candidate files.
+    * Half the looked-up keys are first hidden behind a DELETION VECTOR, so the lookup must
+    * compose with the delete machinery (a positionally-deleted key returns nothing). Engine
+    * invariants the hash can't see are `require`d: a lookup for a nonexistent key resolves to
+    * (almost) zero candidate files via the Blooms — the prune proof at any SF — and the real
+    * lookup never opens the whole table.
+    */
+  def pointLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("lookup"), port, (n / 500).toInt.max(10))
+    locally {
+      val opts = MaintenanceOptions(k = 16, targetRecordsPerFile = targetFor(n))
+      val ckpt = new Checkpoint(s"${table.root}/state")
+      var go = true
+      var cycles = 0
+      while (go && cycles < 8) {
+        val r = MaintenanceRunner.runCycle(s, table, cfg, opts, ckpt)
+        cycles += 1; go = r.tasksExecuted > 0
+      }
+    }
+
+    val lookupKeys = port.filter(pmod(col("docnum"), lit(997)) === 0)
+      .select("doc_id").as[String].collect().toSeq.sorted
+    require(lookupKeys.nonEmpty, "portable input too small for the lookup key set")
+    val delKeys = port.filter(pmod(col("docnum"), lit(1994)) === 0)
+      .select("doc_id").as[String].collect().toSeq
+    if (delKeys.nonEmpty)
+      Dml.deleteWhere(s, table, col("doc_id").isInCollection(delKeys), cfg, targetFor(n),
+        dv = true)
+
+    val (misses, missStats) = SeqIO.lookupKeys(s, table, Seq("zzz-no-such-key"))
+    require(missStats.filesScanned <= 2,
+      s"nonexistent-key lookup opened ${missStats.filesScanned} files — Bloom prune broken")
+    require(misses.count() == 0)
+
+    val (hits, stats) = SeqIO.lookupKeys(s, table, lookupKeys)
+    require(stats.filesScanned <= stats.totalFiles,
+      s"lookup stats degenerate: $stats")
+    sealAndReclaim(PortableSeq.content(hits), table.root)
+  }
+
   /** SCHEMA EVOLUTION driver-green (q53): the portable table is appended (v1, base 4-column
     * schema), a NULLABLE `lang` column is added as a metadata-only commit, a re-keyed batch
     * (docnum%10=2, 'e…') carrying lang = source is appended, the column is RENAMED to
@@ -915,6 +960,11 @@ object EngineQueries {
       // one-commit update + materialization) — one oracle, two physical DML engines.
       "q52_engine_dml" -> dmlOracleSql(reps),
       "q61_engine_dv_dml" -> dmlOracleSql(reps),
+      // the looked-up key set minus its DV-deleted half — the needle query's exact answer
+      "q62_engine_point_lookup" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT $contentColsSql FROM port
+           |WHERE docnum%997 = 0 AND docnum%1994 <> 0""".stripMargin,
       "q49_engine_metadata" ->
         s"""WITH port AS (${sql(reps)}),
            |c AS (SELECT count(*) AS n,

@@ -193,6 +193,15 @@ object Maintain {
           eps = epsS.toDouble, k = kS.toInt, lonCol = lonCol, latCol = latCol, sigma = sigma)
         println(graft.brs.BRS.renderJson(res))
 
+      case "get" :: dir :: keysCsv :: _ =>
+        // POINT LOOKUP: rows of an explicit doc_id set, opening only range+Bloom candidates
+        val table = SeqTable.load(dir)
+        val keys = keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val (df, stats) = SeqIO.lookupKeys(spark, table, keys)
+        df.show(keys.size.min(100), truncate = false)
+        println(s"[get] ${keys.size} keys: scanned ${stats.filesScanned}/${stats.totalFiles} " +
+          s"files (${stats.recordsScanned} rows in candidates)")
+
       case "rewrite-manifests" :: dir :: _ =>
         // distributed by default: the merged manifest is built by a Spark job (parts become
         // manifests), the driver parses zero manifest entries

@@ -353,6 +353,7 @@ object SparkEntry {
     "q59_engine_schema_readd" -> ((s, dir) => EngineQueries.schemaReAdd(s, dir)),
     "q60_engine_schema_widen" -> ((s, dir) => EngineQueries.schemaWiden(s, dir)),
     "q61_engine_dv_dml" -> ((s, dir) => EngineQueries.dvDml(s, dir)),
+    "q62_engine_point_lookup" -> ((s, dir) => EngineQueries.pointLookup(s, dir)),
     "q38_jdbc_roundtrip" -> ((s, dir) => EngineQueries.jdbcRoundtrip(s, dir)),
 
     "q33_image_roundtrip" -> ((s, dir) => {

@@ -44,7 +44,7 @@ object MergeInto {
   /** Does [min, max] (inclusive, per manifest stats) contain ANY of the sorted keys?
     * Two binary searches — the O(log K) per-file range prune.
     */
-  private[ops] def rangeMayHit(sorted: Array[String], min: String, max: String): Boolean = {
+  private[graft] def rangeMayHit(sorted: Array[String], min: String, max: String): Boolean = {
     var lo = 0
     var hi = sorted.length
     while (lo < hi) { // first index with sorted(i) >= min

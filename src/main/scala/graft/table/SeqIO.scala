@@ -1044,4 +1044,54 @@ object SeqIO {
     ntokMax.foreach(hi => df = df.filter(col("n_tok") <= hi))
     (df, ScanStats(selected.size, live.size, selected.map(_.records).sum))
   }
+
+  /** POINT LOOKUP — the needle query: fetch the rows of an explicit `doc_id` key set by opening
+    * only the files that can hold one. Two-level prune, all metadata: the [minDocId, maxDocId]
+    * range test over the NARROW manifest entries, then per-file doc_id Blooms over just the
+    * range candidates (the level that works on curve-clustered layouts, where every file spans
+    * the whole key domain) — the same discipline as MERGE, at read time. Above
+    * `distributedMetaFiles` the Bloom refinement fetches candidates' full-width entries with an
+    * executor-side semi-join (no docBloom byte reaches the driver for non-candidates); below,
+    * the cached driver manifests win. The final scan pushes `doc_id IN (…)` into parquet
+    * (row-group skipping on clustered files) and applies the snapshot's deletes — a key
+    * deleted by equality or a deletion vector does NOT return.
+    *
+    * At the 10^7-file design point a clustered table resolves a single key to O(1) files via
+    * range alone; a curve-clustered one to the Bloom's false-positive share of range hits.
+    */
+  def lookupKeys(spark: SparkSession, table: SeqTable, keys: Seq[String],
+      distributedMetaFiles: Long = DistributedDiffMetaFiles): (DataFrame, ScanStats) = {
+    require(keys.nonEmpty, "lookupKeys: empty key set")
+    require(keys.size <= DocBloom.PruneMaxKeys,
+      s"lookupKeys: ${keys.size} keys — a point lookup above ${DocBloom.PruneMaxKeys} keys " +
+        "is a scan; use read() with an isin filter")
+    val snap = table.currentSnapshot()
+    val sorted = keys.distinct.sorted.toArray
+    val live = table.liveFilesNarrow(snap)
+    val rangeCand = live.filter(f =>
+      graft.ops.MergeInto.rangeMayHit(sorted, f.minDocId, f.maxDocId))
+    val useDistributed = distributedMetaFiles == 0L ||
+      snap.summary.get("total-files").flatMap(_.toLongOption).getOrElse(0L) >
+        distributedMetaFiles
+    val selected: Seq[FileMeta] =
+      if (rangeCand.isEmpty) Nil
+      else if (!useDistributed)
+        table.liveFiles(snap).filter(f =>
+          graft.ops.MergeInto.rangeMayHit(sorted, f.minDocId, f.maxDocId) &&
+            DocBloom.mayContainAny(f, sorted)).map(_.copy(docBloom = None))
+      else {
+        import spark.implicits._
+        val candPaths = spark.createDataset(rangeCand.map(_.path)).toDF("path")
+        val ka = spark.sparkContext.broadcast(sorted)
+        fileMetaDSOf(spark, table, snap)
+          .join(broadcast(candPaths), Seq("path"), "left_semi")
+          .as[FileMeta]
+          .filter(f => DocBloom.mayContainAny(f, ka.value))
+          .map(_.copy(docBloom = None))
+          .collect().toSeq
+      }
+    val df = readWithDeletes(spark, table, snap, selected)
+      .filter(col("doc_id").isInCollection(sorted))
+    (df, ScanStats(selected.size, live.size, selected.map(_.records).sum))
+  }
 }
