@@ -573,6 +573,42 @@ object EngineQueries {
     sealAndReclaim(PortableSeq.content(hits), table.root)
   }
 
+  /** CHECK CONSTRAINTS driver-green (q63): add `n_tok BETWEEN 16 AND 40` (the portable data's
+    * true invariant — add-time validation passes), `require` that a constraint existing rows
+    * violate is REFUSED without a commit, that a violating batch fails the write loudly with
+    * zero rows landing, then append a valid re-keyed batch (docnum%10=6, 'c…') through the
+    * gate. DuckDB predicts port ∪ the valid batch — a leaked violating row or a dropped valid
+    * one flips the hash.
+    */
+  def constraints(s: SparkSession, dir: String): DataFrame = {
+    val reps = PortableSeq.repsFor(dir)
+    val port = PortableSeq.df(s, dir, reps)
+    val n = port.count()
+    val table = fragmented(s, fresh("chk"), port, (n / 500).toInt.max(10))
+
+    val vBefore = table.currentVersion()
+    intercept(Constraints.add(s, table, "impossible", "n_tok > 100"))
+    require(table.currentVersion() == vBefore, "refused add must not commit")
+    Constraints.add(s, table, "ntok-band", "n_tok BETWEEN 16 AND 40")
+
+    val bad = port.filter(pmod(col("docnum"), lit(10)) === 6)
+      .select(format_string("z%09d", col("docnum")).as("doc_id"),
+        col("tokens"), lit(999).cast("int").as("n_tok"), col("source"))
+    intercept(graft.sources.Ingest.append(s, table, bad))
+    require(SeqIO.read(s, table).count() == n, "no violating row may land")
+
+    val good = port.filter(pmod(col("docnum"), lit(10)) === 6)
+      .select(format_string("c%09d", col("docnum")).as("doc_id"),
+        col("tokens"), col("n_tok"), col("source"))
+    graft.sources.Ingest.append(s, table, good)
+    sealAndReclaim(PortableSeq.content(SeqIO.read(s, table)), table.root)
+  }
+
+  private def intercept(f: => Any): Unit = {
+    val threw = try { f; false } catch { case _: Throwable => true }
+    require(threw, "expected a loud refusal, got success")
+  }
+
   /** SCHEMA EVOLUTION driver-green (q53): the portable table is appended (v1, base 4-column
     * schema), a NULLABLE `lang` column is added as a metadata-only commit, a re-keyed batch
     * (docnum%10=2, 'e…') carrying lang = source is appended, the column is RENAMED to
@@ -965,6 +1001,14 @@ object EngineQueries {
         s"""WITH port AS (${sql(reps)})
            |SELECT $contentColsSql FROM port
            |WHERE docnum%997 = 0 AND docnum%1994 <> 0""".stripMargin,
+      // port ∪ the valid 'c…' batch; the violating 'z…' batch must never land
+      "q63_engine_constraints" ->
+        s"""WITH port AS (${sql(reps)})
+           |SELECT $contentColsSql FROM port
+           |UNION ALL
+           |SELECT printf('c%09d', docnum), n_tok::BIGINT, source,
+           |  md5(array_to_string(tokens, ','))
+           |FROM port WHERE docnum%10 = 6""".stripMargin,
       "q49_engine_metadata" ->
         s"""WITH port AS (${sql(reps)}),
            |c AS (SELECT count(*) AS n,

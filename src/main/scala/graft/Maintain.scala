@@ -193,6 +193,24 @@ object Maintain {
           eps = epsS.toDouble, k = kS.toInt, lonCol = lonCol, latCol = latCol, sigma = sigma)
         println(graft.brs.BRS.renderJson(res))
 
+      case "constrain" :: dir :: name :: predSql :: _ =>
+        // CHECK constraint: validates existing rows, then gates every future write
+        val table = SeqTable.load(dir)
+        val s = graft.ops.Constraints.add(spark, table, name, predSql)
+        println(s"[constrain] $name CHECK ($predSql) → v${s.version}")
+
+      case "unconstrain" :: dir :: name :: _ =>
+        val table = SeqTable.load(dir)
+        val s = graft.ops.Constraints.drop(table, name)
+        println(s"[unconstrain] dropped $name → v${s.version}")
+
+      case "constraints" :: dir :: _ =>
+        val table = SeqTable.load(dir)
+        val cs = graft.ops.Constraints.of(table.currentSnapshot())
+        if (cs.isEmpty) println("[constraints] none")
+        else cs.toSeq.sortBy(_._1).foreach { case (n, p) =>
+          println(s"[constraints] $n CHECK ($p)") }
+
       case "get" :: dir :: keysCsv :: _ =>
         // POINT LOOKUP: rows of an explicit doc_id set, opening only range+Bloom candidates
         val table = SeqTable.load(dir)

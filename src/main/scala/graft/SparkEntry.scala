@@ -354,6 +354,7 @@ object SparkEntry {
     "q60_engine_schema_widen" -> ((s, dir) => EngineQueries.schemaWiden(s, dir)),
     "q61_engine_dv_dml" -> ((s, dir) => EngineQueries.dvDml(s, dir)),
     "q62_engine_point_lookup" -> ((s, dir) => EngineQueries.pointLookup(s, dir)),
+    "q63_engine_constraints" -> ((s, dir) => EngineQueries.constraints(s, dir)),
     "q38_jdbc_roundtrip" -> ((s, dir) => EngineQueries.jdbcRoundtrip(s, dir)),
 
     "q33_image_roundtrip" -> ((s, dir) => {

@@ -111,11 +111,19 @@ object SeqIO {
     }
     val batch = java.util.UUID.randomUUID().toString.take(8)
     val tmp = table.dataDir.resolve(s".tmp-$batch")
+    // CHECK constraints gate every physical row write right here (the single write boundary):
+    // a violating row fails the write loudly before any file lands. Rewrites of existing rows
+    // re-evaluate too — one codegen predicate per row, and the add-time validation already
+    // established the invariant for them (cheap insurance, not the primary defense)
+    val checked = {
+      val cs = graft.ops.Constraints.of(table.currentSnapshot())
+      if (cs.isEmpty) df else graft.ops.Constraints.enforced(df, cs)
+    }
     // the table's CURRENT schema decides the physical column set: evolved columns ride along
     // through every rewrite; the stats pass below reads only the core narrow columns regardless.
     // Logical→PHYSICAL name mapping happens here, the single write boundary: a re-added column
     // lands under its generation-unique physical name (see [[SeqSchema.PhysicalNameKey]])
-    timed("write")(df.select(table.currentSchema().fields.toSeq.map(f =>
+    timed("write")(checked.select(table.currentSchema().fields.toSeq.map(f =>
         col(f.name).as(SeqSchema.physicalName(f))): _*)
       .write.mode("overwrite").parquet(tmp.toString))
 
