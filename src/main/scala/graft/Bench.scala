@@ -116,7 +116,7 @@ object Bench {
       recordsRewritten: Long, mergeRecords: Long,
       filesBefore: Int, filesAfter: Int,
       scanBefore: (Int, Int), scanAfter: (Int, Int), scanSecAfter: Double,
-      changelogSec: Double = 0.0, changelogRows: Long = 0L) {
+      changelogSec: Double = 0.0, changelogRows: Long = 0L, lookupSec: Double = 0.0) {
     /** sequences compacted + re-clustered (incl. merge rewrite) per second of maintenance time */
     def throughput: Double = (recordsRewritten + mergeRecords) / (cycleSec + mergeSec)
   }
@@ -192,6 +192,12 @@ object Bench {
     val ((df, after), _) = time(SeqIO.scanPruned(spark, table, Some("src0"), Some(256), Some(1024)))
     val (_, tScan) = time(df.count())
 
+    // needle query on the compacted+merged table: 16 live keys + 4 misses in one lookup — the
+    // range+Bloom prune resolves misses to ~zero files and hits to their few candidates
+    val lookupKeys = (0 until 16).map(i => f"doc-${i.toLong * (rows / 16)}%010d") ++
+      (0 until 4).map(i => s"zzz-missing-$i")
+    val (_, tLookup) = time(SeqIO.lookupKeys(spark, table, lookupKeys)._1.count())
+
     // MoR merge last (it leaves delete manifests outstanding; scan metrics above are pure-COW)
     val changes2 = staged(
       SeqGen.changeSet(spark, rows, changes = rows / 10, deletes = rows / 50)
@@ -212,7 +218,7 @@ object Bench {
 
     MaintBench(rows, tIngest, tCycles, tMerge, tMergeMor, rewritten, mergeRecords,
       metas.size, filesAfterCompact, (before.filesScanned, before.totalFiles),
-      (after.filesScanned, after.totalFiles), tScan, tChangelog, changelogRows)
+      (after.filesScanned, after.totalFiles), tScan, tChangelog, changelogRows, tLookup)
   }
 
   private def sfOf(dir: String): Double =
@@ -826,6 +832,7 @@ object Bench {
       results += "m_merge_into" -> mb.mergeSec
       results += "m_merge_into_mor" -> mb.morMergeSec
       results += "m_changelog" -> mb.changelogSec
+      results += "m_point_lookup" -> mb.lookupSec
       results += "m_pruned_scan" -> mb.scanSecAfter
 
       // a crashed query must NOT masquerade as a (suspiciously fast) timing row: record it in
