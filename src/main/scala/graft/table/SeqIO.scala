@@ -263,7 +263,13 @@ object SeqIO {
       metas: Seq[FileMeta], maxBroadcastBytes: Long = DeleteBroadcastMaxBytes,
       schema: StructType = null, keepPos: Boolean = false): DataFrame = {
     val sch = Option(schema).getOrElse(table.schemaOf(snap)) // default: the snapshot's schema
-    if ((snap.deleteManifests.isEmpty && !keepPos) || metas.isEmpty)
+    if (metas.isEmpty) { // a fully-pruned scan still owes keepPos callers the position columns
+      val base = readFiles(spark, table, Nil, sch)
+      return if (!keepPos) base
+        else base.withColumn("_fn", lit(null).cast("string"))
+          .withColumn("_pos", lit(null).cast("long"))
+    }
+    if (snap.deleteManifests.isEmpty && !keepPos)
       return readFiles(spark, table, metas, sch)
     import spark.implicits._
     val outCols =

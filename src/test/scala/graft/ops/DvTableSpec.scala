@@ -47,6 +47,15 @@ class DvTableSpec extends AnyFunSuite {
     assert(contentHash(after) == wantHash, "DV read must equal the COW-delete result")
   }
 
+  test("dv delete whose prune eliminates every file is a clean no-op") {
+    val table = fresh("noop")
+    val v = table.currentVersion()
+    val r = Dml.deleteWhere(spark, table, col("source") === "no-such-source", cfg, 1000,
+      dv = true)
+    assert(r.filesRewritten == 0 && table.currentVersion() == v, "no-op must not commit")
+    assert(SeqIO.read(spark, table).count() == 2000)
+  }
+
   test("time travel: the pre-delete version still sees every row") {
     val table = fresh("tt")
     val v0 = table.currentVersion()
