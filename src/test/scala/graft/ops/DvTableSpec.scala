@@ -181,6 +181,27 @@ class DvTableSpec extends AnyFunSuite {
     assert(contentHash(diff.filter(col("change_type") === "D")) == contentHash(expect))
   }
 
+  test("planner delete-pressure reads DV cardinalities exactly from manifest headers") {
+    val table = fresh("pressure")
+    Dml.deleteWhere(spark, table, col("n_tok") < 700, cfg, 1000, dv = true)
+    val snap = table.currentSnapshot()
+    import scala.jdk.CollectionConverters._
+    val counts = SeqIO.dvManifestsOf(snap).flatMap { m =>
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(table.deleteManifestPath(m))).asScala
+        .map(graft.table.Dv.parseLineHeader)
+    }.groupBy(_._1).map { case (bn, vs) => bn -> vs.map(_._2).sum }
+    assert(counts.nonEmpty)
+    val p = DeletePressure.of(spark, table, snap)
+    table.liveFiles(snap).foreach { f =>
+      val want = math.min(1.0,
+        counts.getOrElse(SeqIO.fileBasename(f.path), 0L).toDouble / f.records)
+      assert(math.abs(p(f) - want) < 1e-9,
+        s"pressure(${f.path}) = ${p(f)}, want $want (dv count exact, no estimation)")
+    }
+    assert(table.liveFiles(snap).exists(f => p(f) > 0.2), "a laden file must score high")
+  }
+
   test("concurrent dv deletes: four disjoint bands race through the CAS, union applied") {
     val table = fresh("race", n = 4000, files = 20)
     val bands = Seq((16, 200), (400, 600), (800, 1000), (1200, 1400))
