@@ -185,9 +185,19 @@ class EngineFuzzSpec extends AnyFunSuite {
               evolvedCols(i) = to
               assert(table.currentSchema().fieldNames.contains(to) &&
                 !table.currentSchema().fieldNames.contains(from))
-              intercept[IllegalArgumentException](
-                table.addColumn(from, org.apache.spark.sql.types.StringType))
-              s"rename-column($from->$to)"
+              // re-adding the old name: REFUSED for a plain evolved column (its former name
+              // stays a live physical alias in old files), but LEGAL when the name was ever
+              // dropped before — that add→drop→re-add(fid)→rename history makes a fresh
+              // field-ID generation sound (distinct physical names), and it must read all-null
+              try {
+                table.addColumn(from, org.apache.spark.sql.types.StringType)
+                assert(SeqIO.read(spark, table).filter(col(from).isNotNull).count() == 0,
+                  s"re-added '$from' after rename resurrected values")
+                evolvedCols += from
+                s"rename-column($from->$to)+readd($from)"
+              } catch {
+                case _: IllegalArgumentException => s"rename-column($from->$to)"
+              }
             }
           case 15 => // BRANCHES: fork + branch-append (invisible to main/model), then on a later
             // step publish via fast-forward IF main is still at the fork (content adopts the
