@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+
+/** Side benchmarks for the optimization rounds — never touches the frozen [[Bench]] contract.
+  *
+  * Modes (first arg):
+  *  - `maint`   : one maintenanceBench pass (combine with GRAFT_TIMING=1 for per-stage timing)
+  *  - `plans <outdir> [suffix]` : write `.explain("formatted")` of every benched query (and the
+  *    maintenance operators' key DataFrames) to `<outdir>/<name>_<suffix>.txt`
+  *  - `noop <queryName> [reps]` : time a query with the noop sink (guide §1.4) — computes every
+  *    column, no sink cost, prints per-rep seconds
+  */
+object BenchExtra {
+
+  private def session(cpus: Int): SparkSession = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-spark-local"))
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-benchextra-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.01)
+    val rows = math.max(20000L, (sf * 2e6).toLong.min(500000L))
+    val nFiles = (rows / 500).toInt.max(40)
+
+    args.headOption.getOrElse("maint") match {
+      case "maint" =>
+        val spark = session(cpus)
+        val reps = args.lift(1).map(_.toInt).getOrElse(1)
+        (1 to reps).foreach { i =>
+          val (mb, total) = time(Bench.maintenanceBench(spark, rows, nFiles,
+            baseDir = Some("/dev/shm/graft-benchextra")))
+          println(f"[maint] rep $i total=$total%.2fs ingest=${mb.ingestSec}%.2fs " +
+            f"cycles=${mb.cycleSec}%.2fs merge=${mb.mergeSec}%.2fs mor=${mb.morMergeSec}%.2fs " +
+            f"changelog=${mb.changelogSec}%.2fs lookup=${mb.lookupSec}%.2fs " +
+            f"scan=${mb.scanSecAfter}%.2fs files ${mb.filesBefore}->${mb.filesAfter}")
+        }
+        spark.stop()
+
+      case "plans" =>
+        val outDir = java.nio.file.Paths.get(args.lift(1).getOrElse("plans/r08"))
+        val suffix = args.lift(2).getOrElse("before")
+        Files.createDirectories(outDir)
+        val spark = session(cpus)
+        // the benched headline queries whose returned DataFrame is the computation (engine
+        // lifecycle queries run imperative commits; their plans are captured via the operators)
+        val names = Seq("q01_grid_cell_agg", "q03_region_scores_w2", "q07_dedup_exact",
+          "q09_minhash_lsh_pairs", "q11_token_counts", "q16_ann_bruteforce",
+          "q19_window_running", "q21_zorder_key")
+        names.foreach { n =>
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          Files.writeString(outDir.resolve(s"${n}_$suffix.txt"),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          println(s"[plans] wrote $n")
+        }
+        spark.stop()
+
+      case "noop" =>
+        val name = args(1)
+        val reps = args.lift(2).map(_.toInt).getOrElse(3)
+        val spark = session(cpus)
+        val fn = SparkEntry.queries(name)
+        (1 to reps).foreach { i =>
+          val (_, sec) = time(
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          println(f"[noop] $name rep $i: $sec%.2fs")
+        }
+        spark.stop()
+
+      case "writebench" =>
+        // isolate the data-file WRITE cost (the term every maintenance row funnels through):
+        // the ingest-shaped payload is generated (or pre-staged) identically per variant and
+        // written with different parquet writer knobs; read-back time is checked too, since a
+        // faster write that slows every later scan is a net loss.
+        val spark = session(cpus)
+        import org.apache.spark.sql.functions._
+        val shm = "/dev/shm/graft-writebench"
+        def cleanup(): Unit = {
+          import scala.jdk.CollectionConverters._
+          val p = java.nio.file.Paths.get(shm)
+          if (Files.exists(p))
+            Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        }
+        cleanup()
+        Files.createDirectories(java.nio.file.Paths.get(shm))
+        // stage the payload once so every variant writes IDENTICAL input without re-generating
+        val src = s"$shm/src"
+        graft.fixtures.SeqGen.table(spark, rows, parts = nFiles)
+          .write.mode("overwrite").parquet(src)
+        val df = spark.read.parquet(src)
+        val variants: Seq[(String, Map[String, String])] = Seq(
+          "snappy-dict" -> Map("compression" -> "snappy"),
+          "snappy-nodict" -> Map("compression" -> "snappy", "parquet.enable.dictionary" -> "false"),
+          "zstd-dict" -> Map("compression" -> "zstd"),
+          "lz4-dict" -> Map("compression" -> "lz4"),
+          "uncompressed-nodict" ->
+            Map("compression" -> "uncompressed", "parquet.enable.dictionary" -> "false"),
+          "uncompressed-dict" -> Map("compression" -> "uncompressed"))
+        (1 to 2).foreach { round =>
+          variants.foreach { case (name, opts) =>
+            val out = s"$shm/out-$name"
+            val (_, wSec) = time {
+              var w = df.write.mode("overwrite")
+              opts.foreach { case (k, v) => w = w.option(k, v) }
+              w.parquet(out)
+            }
+            val bytes = {
+              import scala.jdk.CollectionConverters._
+              Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+                .filter(Files.isRegularFile(_)).map(Files.size).sum
+            }
+            val (_, rSec) = time {
+              spark.read.parquet(out).write.format("noop").mode("overwrite").save()
+            }
+            println(f"[writebench] round $round $name%-22s write=$wSec%6.2fs " +
+              f"read=$rSec%6.2fs bytes=${bytes / 1e6}%8.1fMB")
+          }
+        }
+        cleanup()
+        spark.stop()
+
+      case "genbench" =>
+        // decompose m_ingest: payload GENERATION (noop sink) vs staged-read vs full write
+        val spark = session(cpus)
+        val shm = "/dev/shm/graft-genbench"
+        def cleanup(): Unit = {
+          import scala.jdk.CollectionConverters._
+          val p = java.nio.file.Paths.get(shm)
+          if (Files.exists(p))
+            Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        }
+        cleanup()
+        Files.createDirectories(java.nio.file.Paths.get(shm))
+        val gen = graft.fixtures.SeqGen.table(spark, rows, parts = nFiles)
+        gen.write.mode("overwrite").parquet(s"$shm/staged") // warmup + stage
+        val staged = spark.read.parquet(s"$shm/staged")
+        (1 to 3).foreach { round =>
+          val (_, g) = time(gen.write.format("noop").mode("overwrite").save())
+          val (_, r) = time(staged.write.format("noop").mode("overwrite").save())
+          println(f"[genbench] round $round generate=$g%6.2fs stagedRead=$r%6.2fs")
+        }
+        cleanup()
+        spark.stop()
+
+      case other => sys.error(s"unknown BenchExtra mode: $other")
+    }
+  }
+}

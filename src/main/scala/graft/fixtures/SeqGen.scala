@@ -28,11 +28,15 @@ object SeqGen {
     val nTok = when(u(1) < 0.7, (lit(16) + u(2) * 2032).cast("int"))
       .otherwise((lit(16) + pow(u(2), 4.0) * 8176).cast("int"))
     val srcIdx = least((pow(u(3), 3.0) * nSources).cast("int"), lit(nSources - 1))
+    // token_stream == transform(sequence(1, c), i => pmod(hash(id, i), 50304)) bit-for-bit
+    // (SeqGenParitySpec), but fused into one codegen'd pass — the HOF formulation is interpreted
+    // per element (ArrayTransform is CodegenFallback) and was ~5 s of the 9 s ingest bench row
+    val tokens = org.apache.spark.sql.GraftSqlBridge.column(graft.functions.TokenStream(
+      org.apache.spark.sql.GraftSqlBridge.expression(id),
+      org.apache.spark.sql.GraftSqlBridge.expression((nTok * tokensScale).cast("int"))))
     ids.select(
       format_string("doc-%010d", id).as("doc_id"),
-      transform(
-        sequence(lit(1), (nTok * tokensScale).cast("int")),
-        i => pmod(hash(id, i), lit(50304))).as("tokens"),
+      tokens.as("tokens"),
       nTok.as("n_tok"),
       concat(lit("src"), srcIdx).as("source"))
   }

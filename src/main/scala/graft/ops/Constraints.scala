@@ -30,24 +30,40 @@ object Constraints {
   /** Add `name CHECK (predicateSql)` — refused if the name exists, the predicate does not
     * parse/resolve against the current schema, or any EXISTING row violates it.
     */
-  def add(spark: SparkSession, table: SeqTable, name: String, predicateSql: String): Snapshot = {
+  def add(spark: SparkSession, table: SeqTable, name: String, predicateSql: String,
+      maxAttempts: Int = 5): Snapshot = {
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*"), s"constraint name '$name' must be a word")
     val key = PropPrefix + name
-    val snap = table.currentSnapshot()
-    require(!snap.properties.contains(key), s"constraint '$name' already exists")
     val p = expr(predicateSql) // parse errors surface here
-    // existing data must satisfy the invariant the constraint promises — else reads and writes
-    // would disagree about what the table guarantees (Delta's ADD CONSTRAINT validation)
-    val violations = SeqIO.readWithDeletes(spark, table, snap, table.liveFilesNarrow(snap))
-      .filter(!coalesce(p.cast("boolean"), lit(true))) // NULL passes (ANSI CHECK)
-      .count()
-    require(violations == 0L,
-      s"addConstraint($name): $violations existing rows violate ($predicateSql) — refused")
-    // fenced: two racers adding the same name → exactly one wins, the loser aborts on rebase
-    table.commit("add-constraint", Nil, Set.empty,
-      Map("constraint" -> s"$name CHECK ($predicateSql)"),
-      propertyUpdates = Map(key -> predicateSql),
-      requireAbsentProperties = Seq(key))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val snap = table.currentSnapshot()
+      require(!snap.properties.contains(key), s"constraint '$name' already exists")
+      // existing data must satisfy the invariant the constraint promises — else reads and writes
+      // would disagree about what the table guarantees (Delta's ADD CONSTRAINT validation)
+      val violations = SeqIO.readWithDeletes(spark, table, snap, table.liveFilesNarrow(snap))
+        .filter(!coalesce(p.cast("boolean"), lit(true))) // NULL passes (ANSI CHECK)
+        .count()
+      require(violations == 0L,
+        s"addConstraint($name): $violations existing rows violate ($predicateSql) — refused")
+      // PINNED at the validated snapshot (expectedBase): a writer that read the table before the
+      // constraint landed can commit violating rows in the validate→commit window — rebasing over
+      // such a commit would publish a constraint the live data already breaks. On conflict,
+      // re-validate against the new head and retry. The absent-property fence still guards the
+      // same-name race.
+      try {
+        return table.commit("add-constraint", Nil, Set.empty,
+          Map("constraint" -> s"$name CHECK ($predicateSql)"),
+          propertyUpdates = Map(key -> predicateSql),
+          requireAbsentProperties = Seq(key),
+          expectedBase = Some(snap.version))
+      } catch {
+        case e: table.CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Drop a constraint (metadata-only). */

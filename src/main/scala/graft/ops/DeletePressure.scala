@@ -46,7 +46,7 @@ final class DeletePressure private (
     val keys = keysB.value
     if (keys.isEmpty) return 0.0
     val seqs = seqsB.value
-    // slice of delete keys inside the file's doc_id range
+    // slice of delete keys inside the file's doc_id range (Utf8Order: the stats' byte order)
     val lo = DeletePressure.lowerBound(keys, f.minDocId)
     var hi = DeletePressure.lowerBound(keys, f.maxDocId)
     if (hi < keys.length && keys(hi) == f.maxDocId) hi += 1
@@ -109,19 +109,19 @@ object DeletePressure {
         .agg(max("_del_seq")).as[Long].head()
       new DeletePressure(empty, emptySeqs, maxSeq, dvB)
     } else {
-      val sorted = rows.sortBy(_._1)
+      val sorted = rows.sortBy(_._1)(graft.table.Utf8Order) // match the stats' UTF-8 order
       new DeletePressure(spark.sparkContext.broadcast(sorted.map(_._1)),
         spark.sparkContext.broadcast(sorted.map(_._2)), -1L, dvB)
     }
   }
 
-  /** First index with keys(i) >= key (keys sorted ascending). */
+  /** First index with keys(i) >= key (keys sorted ascending in [[graft.table.Utf8Order]]). */
   private[ops] def lowerBound(keys: Array[String], key: String): Int = {
     var lo = 0
     var hi = keys.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (keys(mid).compareTo(key) < 0) lo = mid + 1 else hi = mid
+      if (graft.table.Utf8Order.compare(keys(mid), key) < 0) lo = mid + 1 else hi = mid
     }
     lo
   }

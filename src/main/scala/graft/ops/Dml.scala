@@ -224,6 +224,10 @@ object Dml {
               "dv-updated-rows" -> headers.map(_._2).sum.toString,
               "dv-files-targeted" -> targeted.size.toString),
             addedDeleteManifests = dvNames,
+            // rewrites existing rows → must fence against delete manifests that appeared since
+            // the pinned scan (same hazard as the COW merge: the update's new files carry
+            // addedAt > the concurrent delete's seq, resurrecting its deleted rows)
+            plannedDeleteManifests = Some(snap.deleteManifests.toSet),
             requireLivePaths = targeted,
             livePathsChecker =
               if (useDistributed) Some(SeqIO.distributedLivePathsCheck(spark, table)) else None)

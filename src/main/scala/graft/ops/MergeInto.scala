@@ -42,16 +42,19 @@ object MergeInto {
   val MaxPruneKeys: Long = 1L << 22
 
   /** Does [min, max] (inclusive, per manifest stats) contain ANY of the sorted keys?
-    * Two binary searches — the O(log K) per-file range prune.
+    * Two binary searches — the O(log K) per-file range prune. Keys must be sorted with
+    * [[graft.table.Utf8Order]] and all comparisons use it: the per-file min/max stats come from
+    * Spark min/max (UTF-8 byte order), and mixing in Java's UTF-16 order can wrongly prune a
+    * file that holds a key (missed COW rewrite → duplicate keys after MERGE).
     */
   private[graft] def rangeMayHit(sorted: Array[String], min: String, max: String): Boolean = {
     var lo = 0
     var hi = sorted.length
     while (lo < hi) { // first index with sorted(i) >= min
       val mid = (lo + hi) >>> 1
-      if (sorted(mid).compareTo(min) < 0) lo = mid + 1 else hi = mid
+      if (graft.table.Utf8Order.compare(sorted(mid), min) < 0) lo = mid + 1 else hi = mid
     }
-    lo < sorted.length && sorted(lo).compareTo(max) <= 0
+    lo < sorted.length && graft.table.Utf8Order.compare(sorted(lo), max) <= 0
   }
 
   /** @param mor  force merge-on-read (delete manifests, no target rewrite)
@@ -134,7 +137,7 @@ object MergeInto {
       val sortedKeys: Array[String] = {
         import spark.implicits._
         if (nKeys > MaxPruneKeys) null
-        else { val a = keys.as[String].collect(); java.util.Arrays.sort(a, Ordering[String]); a }
+        else { val a = keys.as[String].collect(); java.util.Arrays.sort(a, graft.table.Utf8Order); a }
       }
       val bloomKeys: Array[String] =
         if (sortedKeys == null || nKeys > graft.table.DocBloom.PruneMaxKeys) Array.empty

@@ -123,9 +123,14 @@ object SeqIO {
     // through every rewrite; the stats pass below reads only the core narrow columns regardless.
     // Logical→PHYSICAL name mapping happens here, the single write boundary: a re-added column
     // lands under its generation-unique physical name (see [[SeqSchema.PhysicalNameKey]])
+    // zstd, explicitly (guide §6): smaller than snappy at similar read speed — and on this
+    // engine's token-array payloads the snappy writer path measured 2-4× SLOWER than zstd for
+    // the same bytes (writebench: snappy-dict ≥3.5 s vs zstd-dict ~1.6-2.2 s per 200k-row
+    // write, dictionary-encoded size identical). Every maintenance row funnels through this
+    // write, so the codec is pinned here rather than left to the session default.
     timed("write")(checked.select(table.currentSchema().fields.toSeq.map(f =>
         col(f.name).as(SeqSchema.physicalName(f))): _*)
-      .write.mode("overwrite").parquet(tmp.toString))
+      .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString))
 
     val parts = SeqTable.listDir(tmp)
       .filter(p => p.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
@@ -870,7 +875,9 @@ object SeqIO {
           val carried = carriedDriver()
           if (nKeys <= DocBloom.PruneMaxKeys && nKeys * carried.size <= 200_000_000L) {
             val keys = deltaKeys0.as[String].collect()
-            carried.filter(f => keys.exists(k => k >= f.minDocId && k <= f.maxDocId) &&
+            // Utf8Order, not String >=: the stats are Spark min/max (UTF-8 byte order)
+            carried.filter(f => keys.exists(k => Utf8Order.compare(k, f.minDocId) >= 0 &&
+                Utf8Order.compare(k, f.maxDocId) <= 0) &&
               DocBloom.mayContainAny(f, keys))
           } else carried
         } else {
@@ -1080,7 +1087,7 @@ object SeqIO {
       s"lookupKeys: ${keys.size} keys — a point lookup above ${DocBloom.PruneMaxKeys} keys " +
         "is a scan; use read() with an isin filter")
     val snap = table.currentSnapshot()
-    val sorted = keys.distinct.sorted.toArray
+    val sorted = keys.distinct.sorted(Utf8Order).toArray
     val live = table.liveFilesNarrow(snap)
     val rangeCand = live.filter(f =>
       graft.ops.MergeInto.rangeMayHit(sorted, f.minDocId, f.maxDocId))
