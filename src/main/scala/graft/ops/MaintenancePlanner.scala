@@ -168,7 +168,8 @@ object MaintenancePlanner {
       targetRecords: Long,
       prev: Option[PlannerState],
       onRun: (Set[Int], Int) => Unit = (_, _) => (),
-      pressure: FileMeta => Double = DeletePressure.Zero): (Seq[PlannedTask], PlannerState) = {
+      pressure: FileMeta => Double = DeletePressure.Zero,
+      preMergeMinRows: Long = GridTopK.PreMergeMinRows): (Seq[PlannedTask], PlannerState) = {
     import spark.implicits._
     val version = table.currentVersion()
     val metas = table.liveFiles()
@@ -199,6 +200,12 @@ object MaintenancePlanner {
       case _ => allNodes
     }
 
+    // replicated-cell total for the runNodes driver-funnel gate: each file is one centroid cell
+    // replicated to ≤4 nodes — O(F) driver arithmetic, no job (this variant holds metas anyway)
+    val totalReplicated: Long = metas.iterator.map(f =>
+      fileCells(f, cfg, targetRecords, pressure).iterator
+        .map(c => cfg.nodesForCell(c.x, c.y).size.toLong).sum).sum
+
     val cells = spark.createDataset(metas)
       .flatMap(f => fileCells(f, cfg, targetRecords, pressure)).persist()
     try {
@@ -206,14 +213,8 @@ object MaintenancePlanner {
         if (nodes.isEmpty) Map.empty
         else {
           onRun(nodes, kPrime) // observability hook: which nodes actually recompute (specs/q35)
-          cells
-          .flatMap(c => cfg.nodesForCell(c.x, c.y).filter(nodes.contains).map(n => (n, c)))
-          .groupByKey(_._1)
-          .mapGroups { (node, it) =>
-            val (ax0, ax1, ay0, ay1) = cfg.anchorBounds(node)
-            node -> RegionKernel.localTopK(it.map(_._2).toSeq, ax0, ax1, ay0, ay1, cfg.regionW, kPrime)
-          }
-          .collect().toMap
+          runNodesOn(spark, cells, cfg, nodes, kPrime, k,
+            totalReplicated, allNodes.size, preMergeMinRows)
         }
 
       val (winners, newState) = IncrementalTopK.solve(
@@ -291,7 +292,8 @@ object MaintenancePlanner {
       targetRecords: Long,
       prev: Option[PlannerState],
       onRun: (Set[Int], Int) => Unit = (_, _) => (),
-      pressure: FileMeta => Double = DeletePressure.Zero): (Seq[PlannedTask], PlannerState) = {
+      pressure: FileMeta => Double = DeletePressure.Zero,
+      preMergeMinRows: Long = GridTopK.PreMergeMinRows): (Seq[PlannedTask], PlannerState) = {
     import spark.implicits._
     val version = table.currentVersion()
     val metas = graft.table.SeqIO.fileMetaDS(spark, table, narrow = true)
@@ -303,7 +305,12 @@ object MaintenancePlanner {
 
     val cells = metas.flatMap(f => fileCells(f, cfg, targetRecords, pressure)).persist()
     try {
-      val allNodes = cells.flatMap(c => cfg.nodesForCell(c.x, c.y)).distinct().collect().toSet
+      // one aggregation yields allNodes AND the replicated-cell total (the runNodes gate input);
+      // driver payload = #nodes rows, bounded by planner-grid geometry, never file count
+      val nodeCounts = cells.flatMap(c => cfg.nodesForCell(c.x, c.y))
+        .groupByKey(identity).count().collect()
+      val allNodes = nodeCounts.iterator.map(_._1).toSet
+      val totalReplicated = nodeCounts.iterator.map(_._2).sum
       val dirty: Set[Int] = prev match {
         case Some(st) if table.snapshotVersions().contains(st.baseVersion) =>
           val baseSnap = table.snapshot(st.baseVersion)
@@ -326,14 +333,8 @@ object MaintenancePlanner {
         if (nodes.isEmpty) Map.empty
         else {
           onRun(nodes, kPrime)
-          cells
-            .flatMap(c => cfg.nodesForCell(c.x, c.y).filter(nodes.contains).map(n => (n, c)))
-            .groupByKey(_._1)
-            .mapGroups { (node, it) =>
-              val (ax0, ax1, ay0, ay1) = cfg.anchorBounds(node)
-              node -> RegionKernel.localTopK(it.map(_._2).toSeq, ax0, ax1, ay0, ay1, cfg.regionW, kPrime)
-            }
-            .collect().toMap
+          runNodesOn(spark, cells, cfg, nodes, kPrime, k,
+            totalReplicated, allNodes.size, preMergeMinRows)
         }
 
       val (winners, newState) = IncrementalTopK.solve(
@@ -341,5 +342,48 @@ object MaintenancePlanner {
       (claimTasksDistributed(spark, metas, winners.filter(_.score >= threshold), cfg,
         targetRecords, pressure), newState)
     } finally { cells.unpersist(); () }
+  }
+
+  /** Shared per-node kernel runner of both incremental variants, with the SAME driver-funnel
+    * insurance as [[GridTopK.solve]]: when the estimated driver payload of this call — the
+    * requested nodes' replicated-cell share, capped by #nodes × K′ candidates — exceeds
+    * `preMergeMinRows`, per-node results are folded into one partial per Spark partition on
+    * EXECUTORS ([[RegionKernel.preMerge]]) and returned under synthetic NEGATIVE ids, bounding
+    * the collect at #partitions × K′ instead of #dirtyNodes × K′ (a churn-heavy commit, or a
+    * planner-state reset where dirty == allNodes, at a 10^8-cell grid). Partials are valid
+    * NodeResults in the merge algebra but are never cached ([[IncrementalTopK.solve]] treats
+    * ids ∉ allNodes as transient) — steady-state small-dirty cycles stay below the gate and
+    * keep exact per-node caching.
+    */
+  private def runNodesOn(
+      spark: SparkSession,
+      cells: Dataset[Cell],
+      cfg: GridConfig,
+      nodes: Set[Int],
+      kPrime: Int,
+      k: Int,
+      totalReplicated: Long,
+      nAllNodes: Int,
+      preMergeMinRows: Long): Map[Int, NodeResult] = {
+    import spark.implicits._
+    val perNode = cells
+      .flatMap(c => cfg.nodesForCell(c.x, c.y).filter(nodes.contains).map(n => (n, c)))
+      .groupByKey(_._1)
+      .mapGroups { (node, it) =>
+        val (ax0, ax1, ay0, ay1) = cfg.anchorBounds(node)
+        node -> RegionKernel.localTopK(it.map(_._2).toSeq, ax0, ax1, ay0, ay1, cfg.regionW, kPrime)
+      }
+    val replicatedShare =
+      if (nAllNodes == 0) 0L else totalReplicated * nodes.size / nAllNodes
+    val payloadBound =
+      math.min(replicatedShare, nodes.size.toLong * math.min(kPrime.toLong, 1L << 20))
+    if (payloadBound > preMergeMinRows) {
+      val m = math.min(math.max(kPrime, k), 1 << 20) // the GridTopK bound: keep what a node keeps
+      perNode.mapPartitions { rs =>
+        if (rs.isEmpty) Iterator.empty
+        else Iterator.single((-(org.apache.spark.TaskContext.getPartitionId() + 1),
+          RegionKernel.preMerge(rs.map(_._2), m)))
+      }.collect().toMap
+    } else perNode.collect().toMap
   }
 }

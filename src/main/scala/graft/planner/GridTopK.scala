@@ -9,6 +9,11 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object GridTopK {
 
+  /** Replicated-cell count above which per-node results are folded on executors before the
+    * collect — shared by [[solve]] and the incremental planner's runNodes gates.
+    */
+  val PreMergeMinRows: Long = 200000L
+
   /** @param preMergeMinRows replicated-cell count above which per-node results are folded into
     *   one partial per Spark partition on EXECUTORS before the collect ([[RegionKernel
     *   .preMerge]], reference P7) — node count grows with `ntokBins × sourceBuckets / nodeSide²`
@@ -23,7 +28,7 @@ object GridTopK {
       k: Int,
       overlapAllowed: Boolean,
       sigma: Option[Double] = None,
-      preMergeMinRows: Long = 200000L): Vector[Region] = {
+      preMergeMinRows: Long = PreMergeMinRows): Vector[Region] = {
     import spark.implicits._
     val keyed = cells
       .flatMap(c => cfg.nodesForCell(c.x, c.y).map(n => (n, c)))

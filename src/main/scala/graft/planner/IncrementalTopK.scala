@@ -15,7 +15,11 @@ final case class PlannerState(kPrime: Int, baseVersion: Long, nodes: Map[Int, No
   */
 object IncrementalTopK {
 
-  /** @param runNodes (nodesToCompute, kPrime) → fresh results for exactly those nodes
+  /** @param runNodes (nodesToCompute, kPrime) → fresh results for exactly those nodes — OR,
+    *                  when the runner pre-merged on executors (driver-funnel gate), partials
+    *                  under SYNTHETIC ids outside `allNodes`: a partial is a valid NodeResult
+    *                  in the merge algebra ([[RegionKernel.preMerge]]) but cannot be attributed
+    *                  to one node, so it is never cached — within rounds or across cycles
     * @param allNodes    every node with ≥1 occupied cell in the CURRENT state
     * @param dirty       nodes whose cell contents changed since `prev` was computed
     * @param baseVersion version the NEW state will reflect
@@ -55,8 +59,10 @@ object IncrementalTopK {
       done = complete
       if (!done) {
         kPrime *= 4
-        // higher K′ invalidates every truncated result, cached or fresh
-        cache = state.filter(_._2.exhausted)
+        // higher K′ invalidates every truncated result, cached or fresh; pre-merged partials
+        // (synthetic ids ∉ allNodes) are transient — carrying one into the next round while
+        // re-running its source nodes would double-count their candidates
+        cache = state.filter { case (n, r) => r.exhausted && allNodes.contains(n) }
         toRun = allNodes.diff(cache.keySet)
         round += 1
       }
@@ -67,6 +73,8 @@ object IncrementalTopK {
       answer = RegionKernel.mergeTopK(state.values.toSeq, k, overlapAllowed, sigma)._1
       kPrime = Int.MaxValue
     }
-    (answer, PlannerState(kPrime, baseVersion, state))
+    // synthetic (pre-merged) entries are not per-node facts — persisting them would let a later
+    // cycle treat a fold of many nodes as one node's cache; those nodes simply recompute next time
+    (answer, PlannerState(kPrime, baseVersion, state.filter(e => allNodes.contains(e._1))))
   }
 }

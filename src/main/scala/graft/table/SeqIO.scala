@@ -955,18 +955,22 @@ object SeqIO {
       }
     }
 
-    // Narrow-key net diff + payload re-attach (see scaladoc point 3). The GROUP/JOIN key is the
-    // PAIR OF HASHES alone — both single whole-row xxhash64 passes over every column (the second
-    // reverses the stream behind a salt for independence). Raw columns must NOT be join keys:
-    // evolved (added) columns are nullable, and equality joins drop NULL = NULL rows — the exact
-    // bug the engine fuzz caught when an add-column preceded a MoR merge (and a latent one for
-    // any null source). Every column enters the hash with an explicit null ENCODING
+    // Narrow-key net diff with the payload carried through the aggregation. The GROUP/JOIN key
+    // is the PAIR OF HASHES alone — both single whole-row xxhash64 passes over every column (the
+    // second reverses the stream behind a salt for independence). Raw columns must NOT be join
+    // keys: evolved (added) columns are nullable, and equality joins drop NULL = NULL rows — the
+    // exact bug the engine fuzz caught when an add-column preceded a MoR merge (and a latent one
+    // for any null source). Every column enters the hash with an explicit null ENCODING
     // (a paired isNull flag — see below), never null-skip: xxhash64 skips null children, which
     // would let a value "slide" between adjacent nullable columns and false-cancel a change.
-    // Each side is scanned exactly TWICE (key counts + payload re-attach); the count-diff table
-    // is key-level tiny and localCheckpointed so the I and D branches don't re-trigger the
-    // aggregations. Collision risk ~2^-128 per changed key from the paired hashes (the
-    // engine-wide content-hash discipline).
+    // Each side is scanned exactly ONCE: rows sharing a key are identical, so one
+    // `groupBy(hashes).agg(count, first(payload))` per side yields both the multiplicity AND the
+    // representative payload in the same pass (the r07 shape scanned+double-hashed each side
+    // twice — key counts, then a payload re-attach — 4 full passes and 8 token-array hash walks
+    // per diff; measured ~40% of the m_changelog row). The per-side aggregation shuffles one
+    // payload per distinct key — side-sized, and sides are change-proportional by construction
+    // (metadata diff, point 1). Collision risk ~2^-128 per changed key from the paired hashes
+    // (the engine-wide content-hash discipline).
     val keyCols = Seq("_h1", "_h2")
     val enc: Seq[Column] = schema.fields.toSeq.flatMap { f =>
       // every column hashes as the PAIR (isNull flag, null-coalesced value): null-ness is its
@@ -998,29 +1002,21 @@ object SeqIO {
       cols.map(col) :+
       xxhash64(enc: _*).as("_h1") :+
       xxhash64(lit(-7046029254386353131L) +: enc.reverse: _*).as("_h2"): _*)
-    def keyCounts(df: DataFrame, as: String): DataFrame =
-      withKeys(df).groupBy(keyCols.map(col): _*).agg(count(lit(1)).as(as))
-    val counts = keyCounts(toSide, "_tc").join(keyCounts(fromSide, "_fc"), keyCols, "full_outer")
-      .select(keyCols.map(col) :+
-        (coalesce(col("_tc"), lit(0L)) - coalesce(col("_fc"), lit(0L))).as("_d"): _*)
+    // one aggregation per side: multiplicity + a representative payload (rows sharing a key are
+    // identical) — the only pass that ever reads the side's data files
+    def sideAgg(df: DataFrame, cnt: String, pfx: String): DataFrame =
+      withKeys(df).groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as(cnt), cols.map(n => first(col(n)).as(s"$pfx$n")): _*)
+    val joined = sideAgg(toSide, "_tc", "_t_")
+      .join(sideAgg(fromSide, "_fc", "_f_"), keyCols, "full_outer")
+      .withColumn("_d", coalesce(col("_tc"), lit(0L)) - coalesce(col("_fc"), lit(0L)))
       .filter(col("_d") =!= 0L)
-      .localCheckpoint(true) // key-level, net-changed keys only — driver never sees it
-    def attach(side: DataFrame, dir: String): DataFrame = {
-      val sign = if (dir == "I") col("_d") > 0 else col("_d") < 0
-      val wants = counts.filter(sign).withColumn("_n", abs(col("_d")))
-      // fetch only net-changed rows; rows sharing a key are identical, so one copy of every
-      // column is kept per key and re-exploded to the net multiplicity
-      val changed = withKeys(side)
-        .join(wants.select(keyCols.map(col): _*), keyCols, "left_semi")
-        .groupBy(keyCols.map(col): _*)
-        .agg(first(col(cols.head)).as(cols.head),
-          cols.tail.map(n => first(col(n)).as(n)): _*)
-      changed.join(wants, keyCols)
-        .withColumn("_i", explode(sequence(lit(1), col("_n").cast("int"))))
-        .select(cols.map(col): _*)
-    }
-    withType(attach(toSide, "I"), "I")
-      .unionByName(withType(attach(fromSide, "D"), "D"))
+    // net-changed keys only: emit |_d| copies of the surviving side's payload, typed by sign —
+    // ONE linear plan (no union of two subtrees re-running the aggregations twice)
+    joined
+      .withColumn("_i", explode(sequence(lit(1), abs(col("_d")).cast("int"))))
+      .select(when(col("_d") > 0, lit("I")).otherwise(lit("D")).as("change_type") +:
+        cols.map(n => when(col("_d") > 0, col(s"_t_$n")).otherwise(col(s"_f_$n")).as(n)): _*)
   }
 
   /** File-count threshold above which [[tableDiff]]'s metadata diff runs on executors

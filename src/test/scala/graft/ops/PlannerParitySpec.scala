@@ -76,4 +76,35 @@ class PlannerParitySpec extends AnyFunSuite {
     assert(tasks.map(_.region) === distTasks.map(_.region))
     assert(tasks.map(_.filePaths.toSet) === distTasks.map(_.filePaths.toSet))
   }
+
+  test("incremental planner with executor pre-merge FORCED (threshold 0) plans identical tasks " +
+      "and keeps resumability (partials are never cached as node results)") {
+    val root = java.nio.file.Files.createTempDirectory("premerge-").toString + "/t"
+    val cfg = GridConfig()
+    val (table, _) = SeqGen.fragmentedTable(spark, root, 6000, 50)
+    // cold plan, both gates: direct collect vs pre-merge forced on — identical tasks
+    val (a1, sa1) = MaintenancePlanner.planIncremental(
+      spark, table, cfg, 8, 1.0, 600, None)
+    val (b1, sb1) = MaintenancePlanner.planIncremental(
+      spark, table, cfg, 8, 1.0, 600, None, preMergeMinRows = 0L)
+    assert(a1.map(_.region) === b1.map(_.region))
+    assert(a1.map(_.filePaths.toSet) === b1.map(_.filePaths.toSet))
+    // bounded collect: the pre-merged state carries NO synthetic ids — only real nodes may be
+    // cached (a fold of many nodes must not masquerade as one node's cache entry)
+    assert(sb1.nodes.keySet.forall(_ >= 0))
+    // distributed variant agrees under the same forced gate
+    val (c1, sc1) = MaintenancePlanner.planIncrementalDistributed(
+      spark, table, cfg, 8, 1.0, 600, None, preMergeMinRows = 0L)
+    assert(a1.map(_.region) === c1.map(_.region))
+    assert(sc1.nodes.keySet.forall(_ >= 0))
+    // next cycle from the pre-merged state still plans correctly (uncached nodes just recompute)
+    Rewrite.compactFiles(spark, table, a1.flatMap(_.filePaths).distinct
+      .flatMap(p => table.liveFiles().find(_.path == p)), cfg, 600)
+    val (a2, _) = MaintenancePlanner.planIncremental(
+      spark, table, cfg, 8, 1.0, 600, Some(sa1))
+    val (b2, _) = MaintenancePlanner.planIncremental(
+      spark, table, cfg, 8, 1.0, 600, Some(sb1), preMergeMinRows = 0L)
+    assert(a2.map(_.region) === b2.map(_.region))
+    assert(a2.map(_.filePaths.toSet) === b2.map(_.filePaths.toSet))
+  }
 }
