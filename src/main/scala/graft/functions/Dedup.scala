@@ -249,7 +249,6 @@ object Dedup {
   def minhashLshPairsWithHandle(df: DataFrame, k: Int, bands: Int, shingleN: Int,
       minJaccardX1e4: Long, maxBucket: Int = 1024,
       portable: Boolean = false): (DataFrame, () => Unit) = {
-    import org.apache.spark.sql.expressions.Window
     val rows = k / bands
     val base: Column => Column = if (portable) md5Hash48 else (s => xxhash64(s))
     val hashed = df
@@ -262,13 +261,22 @@ object Dedup {
     val keyed = hashed
       .withColumn("_band", explode(lshBandKeysPortable(sig, bands, rows)))
       .select(col("id"), col("_band.band").as("band"), col("_band.key").as("key"))
-    val capped = keyed
-      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-      .filter(col("_bn") <= maxBucket)
-    val pairs = capped.select(col("id").as("id_a"), col("band"), col("key"))
-      .join(capped.select(col("id").as("id_b"), col("band"), col("key")), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // ONE (band, key) shuffle: each bucket's member list caps and pairs in place. The prior
+    // shape — a window count for the cap, then a self-join of `capped` with itself — built the
+    // whole band relation (and its window shuffle) TWICE as the join's two subtrees and paid a
+    // third shuffle for the join; the group's pair explode is the same candidate set (pairs
+    // ordered by the same `<` both ways: array_sort and the old id_a < id_b filter share
+    // Spark's binary ordering). Buckets are tiny by construction (cap 1024, typical 1-3), so
+    // the in-bucket HOF explode is negligible next to a relation-wide shuffle.
+    val ids = array_sort(col("_ids"))
+    val pairsInBucket = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val pairs = keyed.groupBy(col("band"), col("key"))
+      .agg(collect_list(col("id")).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+      .select(explode(pairsInBucket).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
       .distinct()
     val verified = pairs
       .join(hashed.select(col("id").as("id_a"), col("_h48").as("sh_a")), Seq("id_a"))

@@ -96,6 +96,15 @@ object MaintenancePlanner {
       pressure: FileMeta => Double = DeletePressure.Zero): Vector[Region] = {
     import spark.implicits._
     if (metas.isEmpty) return Vector.empty
+    // metadata is already driver-resident here: small manifests (every steady-state cycle at
+    // bench scale, and most cycles anywhere below ~10^4 files) solve with ZERO Spark jobs —
+    // identical round/merge algebra via the shared local path (guide §2.4, remove the shuffle)
+    if (metas.size <= GridTopK.DriverLocalMaxRows) {
+      val keyed = metas.flatMap(f => fileCells(f, cfg, targetRecords, pressure))
+        .flatMap(c => cfg.nodesForCell(c.x, c.y).map(n => (n, c)))
+      if (keyed.isEmpty) return Vector.empty
+      return GridTopK.solveKeyedLocal(keyed, cfg, k, overlapAllowed)
+    }
     // file metadata → weighted cell points, then the shared distributed-top-k pipeline
     val cells: Dataset[Cell] = spark.createDataset(metas)
       .flatMap(f => fileCells(f, cfg, targetRecords, pressure))

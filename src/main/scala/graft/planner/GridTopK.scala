@@ -14,6 +14,15 @@ object GridTopK {
     */
   val PreMergeMinRows: Long = 200000L
 
+  /** Replicated-cell count at or below which the whole top-k runs ON THE DRIVER after one
+    * collect (guide §2.4: remove shuffles outright). The planner's input is metadata (one cell
+    * per file / grid bucket), so small problems — every bench-scale plan, and most steady-state
+    * maintenance cycles — were paying 3+ Spark jobs (persist, count, groupByKey shuffle per K′
+    * round) of pure scheduling overhead for a few hundred rows. 2^16 Cells ≈ 2 MB of driver
+    * heap; bigger inputs keep the distributed path unchanged.
+    */
+  val DriverLocalMaxRows: Long = 1L << 16
+
   /** @param preMergeMinRows replicated-cell count above which per-node results are folded into
     *   one partial per Spark partition on EXECUTORS before the collect ([[RegionKernel
     *   .preMerge]], reference P7) — node count grows with `ntokBins × sourceBuckets / nodeSide²`
@@ -34,7 +43,12 @@ object GridTopK {
       .flatMap(c => cfg.nodesForCell(c.x, c.y).map(n => (n, c)))
       .persist()
     try {
-      val usePremerge = keyed.count() > preMergeMinRows // also materializes the cache once
+      val n = keyed.count() // also materializes the cache once
+      if (n <= DriverLocalMaxRows) {
+        // ONE collect, then every K′ round is plain driver arithmetic — zero further jobs
+        return solveKeyedLocal(keyed.collect(), cfg, k, overlapAllowed, sigma)
+      }
+      val usePremerge = n > preMergeMinRows
       def runRound(kPrime: Int): Seq[NodeResult] = {
         val perNode = keyed.groupByKey(_._1)
           .mapGroups { (node, it) =>
@@ -51,5 +65,25 @@ object GridTopK {
       }
       DistributedTopK.solve(runRound, k, overlapAllowed, sigma = sigma)
     } finally { keyed.unpersist(); () }
+  }
+
+  /** The driver-local small-problem path shared by [[solve]] and the metadata planner
+    * ([[graft.ops.MaintenancePlanner.topRegions]]): identical K′-round/merge algebra
+    * ([[DistributedTopK.solve]]), with per-node kernels as plain loops over the already-resident
+    * replicated cells.
+    */
+  def solveKeyedLocal(
+      keyed: Iterable[(Int, Cell)],
+      cfg: GridConfig,
+      k: Int,
+      overlapAllowed: Boolean,
+      sigma: Option[Double] = None): Vector[Region] = {
+    val byNode = keyed.groupBy(_._1)
+    def localRound(kPrime: Int): Seq[NodeResult] = byNode.iterator.map { case (node, cs) =>
+      val (ax0, ax1, ay0, ay1) = cfg.anchorBounds(node)
+      RegionKernel.localTopK(cs.iterator.map(_._2).toSeq, ax0, ax1, ay0, ay1,
+        cfg.regionW, kPrime)
+    }.toSeq
+    DistributedTopK.solve(localRound, k, overlapAllowed, sigma = sigma)
   }
 }

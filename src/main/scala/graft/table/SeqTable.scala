@@ -202,7 +202,7 @@ final class SeqTable(val root: String) {
             .parquet(metaDir.resolve(rel).toString).as[FileMeta].collect().toSeq
         } else
           Files.readAllLines(metaDir.resolve(rel)).asScala.iterator
-            .filter(_.nonEmpty).map(Serialization.read[FileMeta]).toSeq
+            .filter(_.nonEmpty).map(parseLine(_, keepBloom = true)).toSeq
       cacheManifest(rel, metas)
       metas
     }
@@ -244,8 +244,34 @@ final class SeqTable(val root: String) {
         n
       } else {
         val n = s"manifest-${java.util.UUID.randomUUID()}.jsonl"
-        val lines = metas.map(Serialization.write(_)).mkString("", "\n", "\n")
-        Files.writeString(metaDir.resolve(n), lines)
+        // streaming Jackson emit — json4s' reflective Serialization.write was the driver-side
+        // serial term of every commit that rewrites manifests (the merge scaling leg's adjacent
+        // inefficiency): at 2k survivors × ~13 KB bloom payload it serialized ~26 MB through
+        // reflection, single-threaded, per commit
+        val w = Files.newBufferedWriter(metaDir.resolve(n))
+        try {
+          val g = jsonFactory.createGenerator(w)
+          g.setRootValueSeparator(new com.fasterxml.jackson.core.io.SerializedString("\n"))
+          metas.foreach { m =>
+            g.writeStartObject()
+            g.writeStringField("path", m.path)
+            g.writeNumberField("records", m.records)
+            g.writeNumberField("bytes", m.bytes)
+            g.writeNumberField("minNtok", m.minNtok)
+            g.writeNumberField("maxNtok", m.maxNtok)
+            g.writeStringField("minDocId", m.minDocId)
+            g.writeStringField("maxDocId", m.maxDocId)
+            g.writeArrayFieldStart("sources")
+            m.sources.foreach(g.writeString)
+            g.writeEndArray()
+            g.writeNumberField("addedAt", m.addedAt)
+            g.writeBooleanField("clustered", m.clustered)
+            m.docBloom.foreach(b => g.writeStringField("docBloom", b))
+            g.writeEndObject()
+          }
+          g.flush()
+          w.write('\n')
+        } finally w.close()
         n
       }
     cacheManifest(name, metas)
@@ -282,16 +308,18 @@ final class SeqTable(val root: String) {
 
   private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
 
-  /** Field-skipping jsonl parse: the docBloom value is TOKENIZED but never decoded (Jackson's
-    * lazy string token — skipping it never allocates the ~13 KB base64 String), so the narrow
-    * read's retained AND transient heap is stats-sized.
+  /** Streaming jsonl parse (shared by the narrow AND full driver reads — json4s' reflective
+    * read was ~10× slower per entry). keepBloom = false: the docBloom value is TOKENIZED but
+    * never decoded (Jackson's lazy string token — skipping it never allocates the ~13 KB
+    * base64 String), so the narrow read's retained AND transient heap is stats-sized.
     */
-  private def parseNarrowLine(line: String): FileMeta = {
+  private def parseLine(line: String, keepBloom: Boolean): FileMeta = {
     import com.fasterxml.jackson.core.JsonToken
     val p = jsonFactory.createParser(line)
     var path = ""; var records = 0L; var bytes = 0L
     var minNtok = 0; var maxNtok = 0; var minDocId = ""; var maxDocId = ""
     var sources: Seq[String] = Nil; var addedAt = 0L; var clustered = false
+    var docBloom: Option[String] = None
     try {
       require(p.nextToken() == JsonToken.START_OBJECT, s"manifest line is not an object: $line")
       while (p.nextToken() != JsonToken.END_OBJECT) {
@@ -311,13 +339,17 @@ final class SeqTable(val root: String) {
             val b = Seq.newBuilder[String]
             while (p.nextToken() != JsonToken.END_ARRAY) b += p.getText
             sources = b.result()
+          case "docBloom" if keepBloom =>
+            docBloom = if (p.currentToken() == JsonToken.VALUE_NULL) None else Option(p.getText)
           case _ => p.skipChildren() // docBloom et al: token skipped, string never decoded
         }
       }
     } finally p.close()
     FileMeta(path, records, bytes, minNtok, maxNtok, minDocId, maxDocId, sources,
-      addedAt, clustered, docBloom = None)
+      addedAt, clustered, docBloom)
   }
+
+  private def parseNarrowLine(line: String): FileMeta = parseLine(line, keepBloom = false)
 
   /** [[readManifest]] without the docBloom payload (docBloom = None on every entry). Parquet
     * manifests column-prune it off the scan entirely; jsonl manifests skip the field inside the
