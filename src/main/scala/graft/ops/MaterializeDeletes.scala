@@ -38,7 +38,7 @@ object MaterializeDeletes {
 
       val added =
         if (candidates.isEmpty) Nil
-        else {
+        else Rewrite.withSmallFileScanParallelism(spark, candidates) {
           val df = SeqIO.readWithDeletes(spark, table, snap, candidates)
           Rewrite.clusteredWrite(spark, table, df, cfg, targetRecordsPerFile,
             candidates.map(_.records).sum)
