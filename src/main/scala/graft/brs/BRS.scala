@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Node geometry for continuous BRS: eps-sized cells, nodeSide×nodeSide cells per planner node.
   * Long-packed node ids; border replication to the ≤4 nodes whose anchors can cover a point —
   * the continuous twin of the discrete [[graft.planner.GridConfig]] (reference
-  * `GridIndexer.getNodeIndex`, `/root/reference/src/main/scala/SDL/distrib/GridIndexer.scala:21-35`).
+  * `GridIndexer.getNodeIndex`, `/root/reference/src/main/scala/SDL/definitions/GridIndexer.scala:21-35`).
   */
 final case class GeoGrid(minX: Double, minY: Double, eps: Double, nodeSide: Int) {
   def cellX(x: Double): Int = math.max(0, ((x - minX) / eps).toInt)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
 /** Space-filling-curve key math for re-clustering.
   *
   * The reference engine positions each point on a 2-D eps-grid
-  * (`/root/reference/src/main/scala/SDL/distrib/GridIndexer.scala:15-19`); our engine positions each
+  * (`/root/reference/src/main/scala/SDL/definitions/GridIndexer.scala:15-19`); our engine positions each
   * row/file on the `(sourceBucket, ntokBin)` grid and orders rewrites along a space-filling curve so
   * that min/max file stats become tight 2-D bounding boxes → manifest pruning works on BOTH columns.
   *

@@ -13,7 +13,7 @@ import graft.table.{FileMeta, SeqIO, SeqTable}
   * both factors codegen'd Catalyst expressions, so the whole rewrite stays inside whole-stage
   * codegen. Rows are range-partitioned on (curveKey, doc_id): the secondary key is the **salt** —
   * a hot curve key (one dominant `source`, the reference grid's unhandled skew case,
-  * `/root/reference/src/main/scala/SDL/distrib/GridIndexer.scala` fixed sqrt grid) gets split across
+  * `/root/reference/src/main/scala/SDL/definitions/GridIndexer.scala` fixed sqrt grid) gets split across
   * as many range partitions as its row share demands, so no single executor owns a hot source.
   */
 object Rewrite {

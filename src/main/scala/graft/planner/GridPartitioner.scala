@@ -7,7 +7,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Grid geometry + partition ("node") assignment for the maintenance planner.
   *
   * Re-instantiates the reference's GridIndexer
-  * (`/root/reference/src/main/scala/SDL/distrib/GridIndexer.scala:15-35`): the continuous lon/lat
+  * (`/root/reference/src/main/scala/SDL/definitions/GridIndexer.scala:15-35`): the continuous lon/lat
   * plane becomes the discrete `(sourceBucket, ntokBin)` plane; a planner partition ("node") owns a
   * `nodeSide × nodeSide` block of cells; and the border-replication trick — emit a cell to every
   * node that owns an anchor whose w×w window covers it — replaces any shuffle join, exactly like
