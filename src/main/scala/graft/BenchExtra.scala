@@ -159,6 +159,142 @@ object BenchExtra {
         println(s"[diffplan] wrote m_changelog_tablediff_$suffix.txt")
         spark.stop()
 
+      case "mergescale" =>
+        // VERDICT r07 #6: the merge scaling evidence only exercised the DRIVER manifest-edit
+        // regime (2k files). This leg measures the DISTRIBUTED metadata path (prune + bloom
+        // refine + executor manifest edit, forced with distributedMetaFiles = 0) at
+        // >100k carried manifest entries, across two REAL executor-JVM counts
+        // (local-cluster, the Bench scalingCluster discipline). Each count merges the
+        // identical change set into a byte-identical clone; warmup + best-of-2 per count.
+        val nf = sys.env.get("SPARK_GRAFT_MERGESCALE_FILES").map(_.toInt).getOrElse(150000)
+        val execPair = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXECS", "2,8")
+          .split(",").map(_.trim.toInt).toSeq
+        val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "2").trim.toInt
+        val memMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM_MB", "6144").trim.toInt
+        val shm = "/dev/shm/graft-mergescale"
+        def cleanup(): Unit = {
+          import scala.jdk.CollectionConverters._
+          val p = java.nio.file.Paths.get(shm)
+          if (Files.exists(p))
+            Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        }
+        cleanup()
+        Files.createDirectories(java.nio.file.Paths.get(shm))
+        val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+        val cfg = graft.planner.GridConfig()
+        // template table built once with a local session, then cloned per (count, rep)
+        val template = s"$shm/template"
+        locally {
+          val s0 = session(cpus)
+          val t = graft.table.SeqTable.create(template)
+          t.manifestFormat = "parquet"
+          val fake = (0 until nf).iterator.map { i =>
+            val lo = 16 + (i * 37) % 2000
+            graft.table.FileMeta(s"data/f$i.parquet", 20000L, 2000000L, lo, lo + 400,
+              f"a$i%09d", f"b$i%09d", Seq(s"src${i % 64}"), 1L, clustered = true,
+              docBloom = Some("AAAA" * 64))
+          }.toVector
+          val dfR = graft.fixtures.SeqGen.table(s0, 1000, parts = 1).repartition(500)
+          val metasR = graft.table.SeqIO.writeFiles(s0, t, dfR)
+          t.commit("append", fake ++ metasR, Set.empty)
+          graft.fixtures.SeqGen.changeSet(s0, 1000, changes = 50, deletes = 10)
+            .write.mode("overwrite").parquet(s"$shm/changes")
+          s0.stop()
+        }
+        def clone(dst: String): Unit = {
+          import scala.jdk.CollectionConverters._
+          Files.walk(java.nio.file.Paths.get(template)).iterator().asScala.toSeq.foreach { p =>
+            val d = java.nio.file.Paths.get(dst)
+              .resolve(java.nio.file.Paths.get(template).relativize(p))
+            if (Files.isDirectory(p)) Files.createDirectories(d)
+            else { Files.createDirectories(d.getParent); Files.copy(p, d) }
+          }
+        }
+        val results = execPair.map { n =>
+          val s = SparkSession.builder()
+            .master(s"local-cluster[$n,$coresPerExec,$memMb]")
+            .appName(s"graft-mergescale-$n")
+            .config("spark.executor.memory", s"${memMb}m")
+            .config("spark.executor.extraClassPath", classesDir)
+            .config("spark.sql.shuffle.partitions", (n * coresPerExec).toString)
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+            .config("spark.local.dir", "/dev/shm/graft-spark-local")
+            .getOrCreate()
+          s.sparkContext.setLogLevel("WARN")
+          try {
+            val changes = s.read.parquet(s"$shm/changes").persist()
+            changes.count()
+            def rep(tag: String): Double = {
+              val root = s"$shm/t-$n-$tag"
+              clone(root)
+              val t = graft.table.SeqTable.load(root)
+              t.manifestFormat = "parquet"
+              val (mr, sec) = time(graft.ops.MergeInto.merge(
+                s, t, changes, cfg, 2000, distributedMetaFiles = 0L))
+              require(t.manifestFileReads.get() == 0L && t.manifestNarrowFileReads.get() == 0L,
+                "distributed merge must parse zero manifests on the driver")
+              println(f"[mergescale] execs=$n%2d rep=$tag merge=$sec%.1fs " +
+                f"rewrote=${mr.filesRewritten} wrote=${mr.recordsWritten}")
+              sec
+            }
+            rep("w") // warmup: JIT + codegen + classloading in fresh executor JVMs
+            val best = Seq(rep("1"), rep("2")).min
+            changes.unpersist()
+            n -> best
+          } finally s.stop()
+        }
+        val byN = results.toMap
+        val (lo, hi) = (execPair.min, execPair.max)
+        println(f"[mergescale] files=$nf best: $lo execs ${byN(lo)}%.1fs, " +
+          f"$hi execs ${byN(hi)}%.1fs, efficiency = " +
+          f"${byN(lo) / (hi.toDouble / lo) / byN(hi)}%.2f")
+        cleanup()
+
+      case "dvprofile" =>
+        // decompose the DV read tax: plain read vs +_fn/_pos metadata columns vs +bitmap probe
+        import org.apache.spark.sql.functions._
+        val spark = session(cpus)
+        val dvRows = sys.env.get("SPARK_GRAFT_DV_ROWS").map(_.toLong).getOrElse(2000000L)
+        val baseDir = args.lift(1).getOrElse("/dev/shm/graft-dvprofile")
+        val top = Files.createTempDirectory(
+          Files.createDirectories(java.nio.file.Paths.get(baseDir)), "t")
+        val root = top.toString + "/tbl"
+        val (table, _) = graft.fixtures.SeqGen.fragmentedTable(
+          spark, root, dvRows, (dvRows / 10000).toInt.max(4))
+        val cond = pmod(xxhash64(col("doc_id")), lit(100L)) === 0L
+        graft.ops.Dml.deleteWhere(spark, table, cond, graft.planner.GridConfig(),
+          20000, dv = true)
+        val snap = table.currentSnapshot()
+        val metas = table.liveFilesNarrow(snap)
+        def agg(df: org.apache.spark.sql.DataFrame): Double = {
+          val (_, sec) = time(df.agg(count(lit(1)),
+            coalesce(expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))"), lit(0L))).head)
+          sec
+        }
+        def rep(tag: String, mk: => org.apache.spark.sql.DataFrame): Unit = {
+          agg(mk)
+          val best = Seq.fill(3)(agg(mk)).min
+          println(f"[dvprofile] $tag%-28s best=$best%.2fs")
+        }
+        rep("plain-read", graft.table.SeqIO.readFiles(spark, table, metas))
+        rep("with-_fn/_pos-cols", graft.table.SeqIO.readFiles(spark, table, metas)
+          .withColumn("_fn", element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("_pos", col("_metadata.row_index"))
+          .drop("_fn", "_pos"))
+        rep("metadata-basename-only", graft.table.SeqIO.readFiles(spark, table, metas)
+          .withColumn("_fn", element_at(split(col("_metadata.file_path"), "/"), -1))
+          .filter(length(col("_fn")) > 0).drop("_fn"))
+        rep("full-dv-read", graft.table.SeqIO.readWithDeletes(spark, table, snap, metas))
+        locally {
+          import scala.jdk.CollectionConverters._
+          val walk = Files.walk(top)
+          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally walk.close()
+        }
+        spark.stop()
+
       case "genbench" =>
         // decompose m_ingest: payload GENERATION (noop sink) vs staged-read vs full write
         val spark = session(cpus)
