@@ -41,6 +41,17 @@ object MergeInto {
     */
   val MaxPruneKeys: Long = 1L << 22
 
+  /** Two daemon threads for the COW merge's concurrent survivor/upsert writes (guide §2.6) —
+    * shared across merges; jobs still schedule FIFO inside Spark.
+    */
+  private lazy val writePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+        val t = new Thread(r, "graft-merge-write")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Does [min, max] (inclusive, per manifest stats) contain ANY of the sorted keys?
     * Two binary searches — the O(log K) per-file range prune. Keys must be sorted with
     * [[graft.table.Utf8Order]] and all comparisons use it: the per-file min/max stats come from
@@ -127,18 +138,26 @@ object MergeInto {
     var keys: DataFrame = null
     try {
       keys = ch.select(col("c_doc_id")).distinct().persist()
-      val nKeys = timed("materialize-changes")(keys.count()) // once; reused every attempt
+      // ONE job materializes the key cache AND yields the count + the sorted prune array for
+      // every change set under the cap (the prior count-then-collect shape paid two jobs per
+      // merge — pure scheduling latency in the executor-count scaling legs); only an over-cap
+      // set pays a separate count.
       // SORTED key array for the range prune, collected ONCE (not per conflict-retry attempt):
       // per-file candidacy is two binary searches — O(F log K) — where the broadcast theta-join
       // it replaces was a nested-loop O(F × K): 10^7 files × 10^6 keys is 10^13 comparisons
       // (hours) vs 2×10^8 (sub-second). Above MaxPruneKeys the array no longer broadcasts
       // comfortably and the merge is table-wide anyway (auto-routes MoR) — the theta-join
       // fallback stands. The ≤ PruneMaxKeys prefix doubles as the bloom probe set.
-      val sortedKeys: Array[String] = {
+      val capped: Array[String] = {
         import spark.implicits._
-        if (nKeys > MaxPruneKeys) null
-        else { val a = keys.as[String].collect(); java.util.Arrays.sort(a, graft.table.Utf8Order); a }
+        timed("materialize-changes")(
+          keys.limit((MaxPruneKeys + 1).toInt).as[String].collect())
       }
+      val nKeys: Long =
+        if (capped.length > MaxPruneKeys) keys.count() else capped.length.toLong
+      val sortedKeys: Array[String] =
+        if (nKeys > MaxPruneKeys) null
+        else { java.util.Arrays.sort(capped, graft.table.Utf8Order); capped }
       val bloomKeys: Array[String] =
         if (sortedKeys == null || nKeys > graft.table.DocBloom.PruneMaxKeys) Array.empty
         else sortedKeys
@@ -265,26 +284,52 @@ object MergeInto {
         //       would poison per-file stats (an update may move the row anywhere in key space).
         //    b) UPSERT path — every non-delete change row (update or insert alike) goes through
         //       the curve-clustered write, landing where its new (source, n_tok) says it belongs.
-        val rewritten =
-          if (affected.isEmpty) Nil
-          else {
-            val conf = spark.conf
-            val prevOpenCost = conf.get("spark.sql.files.openCostInBytes", "4194304")
-            conf.set("spark.sql.files.openCostInBytes",
-              conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-            try {
-              val target = SeqIO.readWithDeletes(spark, table, snapDeletes, affected)
-              val keySide = if (broadcastChanges) broadcast(keys) else keys
-              val survivors = target
-                .join(keySide, col("doc_id") === col("c_doc_id"), "left_anti")
-              timed("survivor-rewrite")(
-                SeqIO.writeFiles(spark, table, survivors, clustered = affected.forall(_.clustered)))
-            } finally conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
+        // The two writes are INDEPENDENT (both derive from the pinned snapshot + the already-
+        // materialized ch cache), so they run as concurrent driver-thread jobs (guide §2.6:
+        // back-fill the cluster through each other's stragglers/stat-pass tails) — the merge leg
+        // of the executor-count scaling harness measured a ~7 s/merge serial term that was mostly
+        // these two job chains queuing end to end. The openCost pin is set around BOTH (session
+        // conf): it only affects file-scan packing, and the upsert side reads the ch CACHE, so
+        // its sole file scan (the post-write stats pass) merely packs into fewer tasks.
+        val conf = spark.conf
+        val prevOpenCost = conf.get("spark.sql.files.openCostInBytes", "4194304")
+        if (affected.nonEmpty)
+          conf.set("spark.sql.files.openCostInBytes",
+            conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        val (rewritten: Seq[FileMeta], insertedFiles: Seq[FileMeta]) =
+          try {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            implicit val ec = MergeInto.writePool
+            val survivorsF: Future[Seq[FileMeta]] =
+              if (affected.isEmpty) Future.successful(Nil)
+              else Future {
+                val target = SeqIO.readWithDeletes(spark, table, snapDeletes, affected)
+                val keySide = if (broadcastChanges) broadcast(keys) else keys
+                val survivors = target
+                  .join(keySide, col("doc_id") === col("c_doc_id"), "left_anti")
+                timed("survivor-rewrite")(SeqIO.writeFiles(spark, table, survivors,
+                  clustered = affected.forall(_.clustered)))
+              }
+            val upsertsF: Future[Seq[FileMeta]] = Future {
+              timed("upsert-write")(Rewrite.clusteredWrite(
+                spark, table, upsertRows, cfg, targetRecordsPerFile, nKeys))
+            }
+            try (Await.result(survivorsF, Duration.Inf), Await.result(upsertsF, Duration.Inf))
+            catch {
+              case e: Throwable =>
+                // one side failed: drain the other and reclaim any files it already landed —
+                // the commit-conflict cleanup below never sees them otherwise
+                Seq(survivorsF, upsertsF).foreach { f =>
+                  try Await.result(f, Duration.Inf).foreach(m => java.nio.file.Files
+                    .deleteIfExists(java.nio.file.Paths.get(table.absolutePath(m))))
+                  catch { case _: Throwable => () }
+                }
+                throw e
+            }
+          } finally {
+            if (affected.nonEmpty) conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
           }
-
-        val upserts = upsertRows
-        val insertedFiles = timed("upsert-write")(Rewrite.clusteredWrite(
-          spark, table, upserts, cfg, targetRecordsPerFile, nKeys))
 
         // 4. atomic swap; on conflict (incl. a delete manifest added by a concurrent MoR merge
         //    since our plan — our rewritten files would escape its deletes), drop our orphan
