@@ -109,7 +109,11 @@ object SeqIO {
       if (debugTiming) println(f"[timing] writeFiles/$tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
-    val batch = java.util.UUID.randomUUID().toString.take(8)
+    // FULL UUID: data-file basenames must be globally unique by construction — DV manifests
+    // target files BY BASENAME, and after an expired file's physical deletion a later batch
+    // reusing a truncated-entropy name would let a carried dead-target bitmap silently hide
+    // rows of the unrelated new file (round-7 review). 122 bits closes that for good.
+    val batch = java.util.UUID.randomUUID().toString
     val tmp = table.dataDir.resolve(s".tmp-$batch")
     // CHECK constraints gate every physical row write right here (the single write boundary):
     // a violating row fails the write loudly before any file lands. Rewrites of existing rows
