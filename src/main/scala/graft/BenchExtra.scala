@@ -111,13 +111,12 @@ object BenchExtra {
         val df = spark.read.parquet(src)
         val variants: Seq[(String, Map[String, String])] = Seq(
           "snappy-dict" -> Map("compression" -> "snappy"),
-          "snappy-nodict" -> Map("compression" -> "snappy", "parquet.enable.dictionary" -> "false"),
           "zstd-dict" -> Map("compression" -> "zstd"),
+          "zstd-l1-dict" -> Map("compression" -> "zstd",
+            "parquet.compression.codec.zstd.level" -> "1"),
           "lz4-dict" -> Map("compression" -> "lz4"),
-          "uncompressed-nodict" ->
-            Map("compression" -> "uncompressed", "parquet.enable.dictionary" -> "false"),
           "uncompressed-dict" -> Map("compression" -> "uncompressed"))
-        (1 to 2).foreach { round =>
+        (1 to 4).foreach { round =>
           variants.foreach { case (name, opts) =>
             val out = s"$shm/out-$name"
             val (_, wSec) = time {
